@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship parse→enrich→route→aggregate slice on
+sf0.001. `queries()` exposes every implemented operator (SURVEY.md §2);
+`oracle_sql()` gives the DuckDB twin for each oracle-testable one.
+
+The transcript fact table is derived deterministically from the driver's
+`events` parquet by dual-dialect SQL (logzoom_spark/transcripts.py), so both
+engines compute over byte-identical rows.
 """
 
 from __future__ import annotations
@@ -12,27 +14,385 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logzoom_spark import aggregate as agg
+from logzoom_spark import oracles
+from logzoom_spark import sinks as sk
+from logzoom_spark import transcripts as tr
+from logzoom_spark.enrich import enrich
+from logzoom_spark.ops import dedup, multimodal, similarity, text as tx
+from logzoom_spark.parse import parse_turns
+from logzoom_spark.route import Route, apply_route, gate_arith
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tr.load_turns(spark, sf_dir)
+
+
+def _parsed(spark: SparkSession, sf_dir: str, engine: str = "builtin") -> DataFrame:
+    return parse_turns(_turns(spark, sf_dir), engine=engine, with_attrs=False)
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline slice on sf0.001 — parse → broadcast enrich →
+    route (log_type rule) → per-sink window aggregate."""
+    parsed = _parsed(spark, SF0001)
+    enriched = enrich(parsed, tr.role_meta(spark), tr.tool_meta(spark))
+    routed = apply_route(enriched, Route("route1", "sink_redis_a", {"log_type": "log_type1"}))
+    return agg.window_counts(routed, ["role", "role_kind"], 300)
+
+
+# ---------------------------------------------------------------------------
+# Per-operator query surface
+# ---------------------------------------------------------------------------
+
+
+def _epoch(col: str = "ts") -> F.Column:
+    return F.unix_timestamp(F.col(col).cast("timestamp")).cast("bigint")
+
+
+def q_turns_table(spark: SparkSession, sf: str) -> DataFrame:
+    return _turns(spark, sf).select(
+        "conv_id", "turn_idx", "role", "text", "tool", _epoch().alias("ts_epoch")
+    )
+
+
+def _parse_proj(df: DataFrame) -> DataFrame:
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "log_type",
+        "level",
+        "latency_ms",
+        "msg",
+        "source",
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+    )
+
+
+def q_parse_kv_fields(spark: SparkSession, sf: str) -> DataFrame:
+    return _parse_proj(_parsed(spark, sf))
+
+
+def q_parse_grok_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    return _parse_proj(_parsed(spark, sf, engine="pandas"))
+
+
+def q_parse_json_fields(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _parsed(spark, sf)
+        .filter(F.col("text").startswith("{"))
+        .select("conv_id", "turn_idx", "log_type", "level", "latency_ms", "msg")
+    )
+
+
+def q_route_rule_filter(spark: SparkSession, sf: str) -> DataFrame:
+    routed = apply_route(
+        _parsed(spark, sf), Route("r", "s", {"log_type": "log_type1"})
+    )
+    return routed.select("conv_id", "turn_idx", "text")
+
+
+def q_route_multi_rule(spark: SparkSession, sf: str) -> DataFrame:
+    routed = apply_route(
+        _parsed(spark, sf), Route("r", "s", {"log_type": "log_type1", "level": "ERROR"})
+    )
+    return routed.select("conv_id", "turn_idx", "text")
+
+
+def q_route_missing_key(spark: SparkSession, sf: str) -> DataFrame:
+    df = parse_turns(_turns(spark, sf), with_attrs=True)
+    routed = apply_route(df, Route("r", "s", {"nonexistent_key": "x"}))
+    return routed.select("conv_id", "turn_idx", "text")
+
+
+def q_route_es_ignores_rules(spark: SparkSession, sf: str) -> DataFrame:
+    # rules configured but enforce_rules=False (elasticsearch.go:146-153)
+    routed = apply_route(
+        _parsed(spark, sf),
+        Route("r", "es", {"log_type": "log_type1"}, enforce_rules=False),
+    )
+    return sk.es_project(routed)
+
+
+def q_ingest_sample_arith(spark: SparkSession, sf: str) -> DataFrame:
+    return _turns(spark, sf).filter(gate_arith(37, seed=0)).select("conv_id", "turn_idx")
+
+
+def q_double_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    # ingest-side gate then S3-style <= sink gate: compounding (quirk)
+    return (
+        _turns(spark, sf)
+        .filter(gate_arith(50, seed=0))
+        .filter(gate_arith(25, seed=1, bound="le"))
+        .select("conv_id", "turn_idx")
+    )
+
+
+def q_enrich_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    out = enrich(_turns(spark, sf), tr.role_meta(spark), tr.tool_meta(spark))
+    return out.select(
+        "conv_id", "turn_idx", "role", "role_kind", "billing_class",
+        "tool", "tool_family", "risk_level",
+    )
+
+
+def q_agg_role_window(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.window_counts(_turns(spark, sf), "role", 300)
+
+
+def q_agg_tool_window(spark: SparkSession, sf: str) -> DataFrame:
+    t = _turns(spark, sf).withColumn("tool", F.coalesce("tool", F.lit("")))
+    return agg.window_counts(t, "tool", 300)
+
+
+def q_agg_conv_counts(spark: SparkSession, sf: str) -> DataFrame:
+    routed = apply_route(_parsed(spark, sf), Route("r", "s", {"log_type": "log_type1"}))
+    return agg.conv_counts(routed)
+
+
+def q_distinct_sources_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.distinct_sources_ttl(_parsed(spark, sf), ttl_seconds=86400)
+
+
+def q_tcp_line_format(spark: SparkSession, sf: str) -> DataFrame:
+    routed = apply_route(_parsed(spark, sf), Route("r", "s", {"log_type": "log_type2"}))
+    return sk.tcp_project(routed)
+
+
+def q_redis_copy_fanout(spark: SparkSession, sf: str) -> DataFrame:
+    routed = apply_route(_parsed(spark, sf), Route("r", "s", {"log_type": "log_type1"}))
+    return sk.redis_project(routed, ["q1", "q2"])
+
+
+def q_s3_timeslice_counts(spark: SparkSession, sf: str) -> DataFrame:
+    routed = apply_route(
+        _parsed(spark, sf), Route("r", "s", {"log_type": "log_type1", "level": "ERROR"})
+    )
+    return (
+        sk.s3_project(routed)
+        .groupBy("time_slice")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_es_daily_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        sk.es_project(_parsed(spark, sf))
+        .groupBy("index_day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_stable_turn_order(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    return _turns(spark, sf).select(
+        "conv_id",
+        "turn_idx",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        "text",
+    )
+
+
+# --- relational breadth -----------------------------------------------------
+
+
+def _cents(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    li = _read(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_cents"
+            ),
+            F.sum(
+                _cents(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_broadcast_dims(spark: SparkSession, sf: str) -> DataFrame:
+    c = _read(spark, sf, "customer")
+    n = _read(spark, sf, "nation")
+    r = _read(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_cents("c_acctbal")).alias("acctbal_cents"),
+        )
+    )
+
+
+def q_topk_orders_per_segment(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = _read(spark, sf, "orders")
+    c = _read(spark, sf, "customer")
+    jo = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", _cents("o_totalprice").alias("total_cents")
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("total_cents"), F.asc("o_orderkey"))
+    return (
+        jo.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "total_cents", "rn")
+    )
+
+
+def q_events_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _read(spark, sf, "events")
+    return (
+        ev.withColumn("window_start", agg.time_bucket("ts", 3600))
+        .groupBy("event_type", "window_start")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_cents("value")).alias("value_cents"),
+        )
+    )
+
+
+# --- training-data ops -------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_exact(_read(spark, sf, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return tx.doc_fingerprint(_read(spark, sf, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return tx.quality_features(_read(spark, sf, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return tx.lang_id(_read(spark, sf, "documents"))
+
+
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _read(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q_ann_brute_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.brute_force_topk(_read(spark, sf, "embeddings"), 0, 10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.lsh_bucket_topk(_read(spark, sf, "embeddings"), 0, 10)
+
+
+def q_embedding_norms_by_label(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.norms_by_label(_read(spark, sf, "embeddings"))
+
+
+def q_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.attach_fake_media(_read(spark, sf, "documents"))
+    out = multimodal.frame_sample_plan(media)
+    return out.select("doc_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
+
+
+# --- rows-only (non-SQL-expressible: xxhash64 / pandas UDF internals) --------
+
+
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_signatures(_read(spark, sf, "documents"), num_hashes=16)
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(_read(spark, sf, "documents"))
+
+
+def q_simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash(_read(spark, sf, "documents"), bits=16)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_read(spark, sf, "documents"), threshold=0.3)
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.attach_fake_media(_read(spark, sf, "documents"))
+    return multimodal.extract_features(media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # transcript pipeline (SURVEY.md §2.1)
+        "turns_table": q_turns_table,
+        "parse_kv_fields": q_parse_kv_fields,
+        "parse_json_fields": q_parse_json_fields,
+        "parse_grok_pandas": q_parse_grok_pandas,
+        "route_rule_filter": q_route_rule_filter,
+        "route_multi_rule": q_route_multi_rule,
+        "route_missing_key": q_route_missing_key,
+        "route_es_ignores_rules": q_route_es_ignores_rules,
+        "ingest_sample_arith": q_ingest_sample_arith,
+        "double_sampling": q_double_sampling,
+        "enrich_broadcast": q_enrich_broadcast,
+        "agg_role_window": q_agg_role_window,
+        "agg_tool_window": q_agg_tool_window,
+        "agg_conv_counts": q_agg_conv_counts,
+        "distinct_sources_ttl": q_distinct_sources_ttl,
+        "tcp_line_format": q_tcp_line_format,
+        "redis_copy_fanout": q_redis_copy_fanout,
+        "s3_timeslice_counts": q_s3_timeslice_counts,
+        "es_daily_counts": q_es_daily_counts,
+        "stable_turn_order": q_stable_turn_order,
+        # relational breadth
+        "tpch_q1": q_tpch_q1,
+        "join_broadcast_dims": q_join_broadcast_dims,
+        "topk_orders_per_segment": q_topk_orders_per_segment,
+        "events_window_agg": q_events_window_agg,
+        # training-data ops
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_norms_by_label": q_embedding_norms_by_label,
+        "frame_sample_plan": q_frame_sample_plan,
+        # rows-only (xxhash64 / pandas-UDF internals not in DuckDB)
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "simhash_docs": q_simhash_docs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(oracles.ORACLES)

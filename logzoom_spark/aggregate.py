@@ -1,0 +1,85 @@
+"""Per-sink aggregates: time-bucket counts, distinct-source TTL, metrics.
+
+The reference's only aggregations are streaming counters (SURVEY.md §2.1
+#12-#14): a 1-second sliding rate per sink (ratecounter,
+elasticsearch.go:180-183), a per-output-file event count (s3.go:57-60), and
+a distinct-source map with 600 s TTL eviction (websocket.go:111-138). The
+graft generalizes them to `groupBy(key, window(ts, bucket)).count()` per
+sink — Catalyst gives partial (map-side) + final hash aggregation for free,
+so the shuffle carries only (key, bucket, partial_count) rows, not turns.
+
+Window starts are emitted as epoch-second BIGINTs (floor(epoch/b)*b): this
+is identical arithmetic in Spark and DuckDB, independent of session
+timezone, and hash-stable for the oracle compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts_col: str = "ts", seconds: int = 300) -> Column:
+    """Tumbling-bucket start as epoch seconds (bigint). Equivalent to
+    `window(ts, f"{seconds} seconds").start` under a UTC session but
+    cross-engine comparable."""
+    epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    return (F.floor(epoch / seconds) * seconds).cast("bigint")
+
+
+def window_counts(
+    df: DataFrame, key: str | list[str], bucket_seconds: int = 300, ts_col: str = "ts"
+) -> DataFrame:
+    """groupBy(key, time bucket).count() — the per-sink rate aggregate
+    (reference analog: ratecounter per sink, elasticsearch.go:180-183,
+    generalized from 1 s sliding to tumbling event-time buckets)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return (
+        df.withColumn("window_start", time_bucket(ts_col, bucket_seconds))
+        .groupBy(*keys, "window_start")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def conv_counts(df: DataFrame) -> DataFrame:
+    """Per-conversation delivered-row count (reference analog: per-S3-file
+    FileInfo.Count, s3.go:57-60 — the unit of lineage accounting)."""
+    return df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("turn_idx").alias("max_turn_idx"),
+    )
+
+
+def distinct_sources_ttl(
+    df: DataFrame, ttl_seconds: int = 600, ts_col: str = "ts"
+) -> DataFrame:
+    """Distinct sources seen within `ttl` of the stream's high-water mark.
+
+    Rebuilds the WebSocket index page's `map[source]→last_seen` with 600 s
+    eviction (websocket.go:111-138) as an aggregate: last_seen per source,
+    kept iff within TTL of max(ts) overall. The high-water mark is a 1-row
+    broadcast join, not a collect."""
+    hwm = df.select(F.max(F.col(ts_col).cast("timestamp")).alias("_hwm"))
+    per_source = df.groupBy("source").agg(
+        F.max(F.col(ts_col).cast("timestamp")).alias("last_seen_ts")
+    )
+    return (
+        per_source.join(F.broadcast(hwm))
+        .filter(
+            F.unix_timestamp("last_seen_ts") >= F.unix_timestamp("_hwm") - F.lit(ttl_seconds)
+        )
+        .select(
+            "source", F.unix_timestamp("last_seen_ts").cast("bigint").alias("last_seen")
+        )
+    )
+
+
+def sink_partition_metrics(df: DataFrame, sink: str) -> DataFrame:
+    """Physical per-partition row counts for the lineage/metrics table
+    (north rule). Uses spark_partition_id — run-dependent, so this feeds
+    the metrics sink, never an oracle-compared result."""
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("rows_out"))
+        .withColumn("sink", F.lit(sink))
+    )

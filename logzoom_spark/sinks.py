@@ -1,0 +1,159 @@
+"""Sink writers shaped like the reference's five outputs.
+
+Each sink is (a) a *projection* (pure DataFrame → DataFrame, oracle-testable)
+and (b) a *writer* (the projection + a partitioned file write). External
+services (real ES/S3/Redis/TCP/WS) are out of scope in this sandbox; the
+writers produce the same bytes/layout the reference would ship:
+
+- elasticsearch → JSON lines partitioned by daily index `index_day`
+  (reference: index name `prefix-YYYY.MM.dd`, elasticsearch.go:80-86;
+  doc body is the raw Text, :96). Rules are NOT enforced (quirk,
+  elasticsearch.go:146-153).
+- s3 → gzip JSON lines partitioned by `time_slice` (strftime key template,
+  s3.go:115-129; default slice `%Y-%m-%d-%H%M` ~ example.s3-output.yml:25).
+- redis → one directory per copy_queue, each holding the routed rows'
+  raw `text` (duplication across queues, redis.go:196-198).
+- tcp → lines `"<source> <text>"` (tcp.go:66).
+- websocket → per-source filtered stream + the distinct-source TTL
+  aggregate (websocket.go:74-82, :111-138); materialized as text files
+  per source here.
+
+At cluster scale each write is one job over the routed branch; file sizing
+is governed by maxRecordsPerFile rather than the reference's 10 s wall-clock
+roll (s3.go:293) — event-time slices give the same layout without
+coordinating on wall clock.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class SinkSpec:
+    name: str
+    kind: str  # es | s3 | redis | tcp | websocket
+    options: dict = field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# Projections (oracle-testable shapes)
+# ---------------------------------------------------------------------------
+
+
+def es_project(df: DataFrame) -> DataFrame:
+    """Daily-index partition column + document payload (raw text)."""
+    return df.select(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy.MM.dd").alias("index_day"),
+        "conv_id",
+        "turn_idx",
+        "source",
+        "text",
+    )
+
+
+def s3_project(df: DataFrame, slice_fmt: str = "yyyy-MM-dd-HHmm") -> DataFrame:
+    """Time-slice partition column (s3.go:115 strftime template; ':'/'/'
+    replaced by '-' for filesystem-safe partition values)."""
+    return df.select(
+        F.date_format(F.col("ts").cast("timestamp"), slice_fmt).alias("time_slice"),
+        "conv_id",
+        "turn_idx",
+        "source",
+        "text",
+    )
+
+
+def redis_project(df: DataFrame, copy_queues: list[str]) -> DataFrame:
+    """Duplicate every routed row into each copy queue (redis.go:196-198).
+    Columnar form: cross-join with the tiny queue list (broadcast NLJ —
+    no shuffle of the fact side)."""
+    queues = df.sparkSession.createDataFrame([(q,) for q in copy_queues], ["queue"])
+    return df.crossJoin(F.broadcast(queues)).select("queue", "conv_id", "turn_idx", "text")
+
+
+def tcp_project(df: DataFrame) -> DataFrame:
+    """`"<source> <text>"` line format (tcp.go:66)."""
+    return df.select(
+        F.concat_ws(" ", F.col("source"), F.col("text")).alias("line"),
+        "conv_id",
+        "turn_idx",
+    )
+
+
+def websocket_project(df: DataFrame, source: str | None = None) -> DataFrame:
+    """Per-connection source filter (websocket.go:74-78): exact equality on
+    the provenance column; no rule enforcement (quirk)."""
+    out = df.select("source", "conv_id", "turn_idx", "text", "ts")
+    if source is not None:
+        out = out.filter(F.col("source") == F.lit(source))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Writers
+# ---------------------------------------------------------------------------
+
+
+def write_es(
+    df: DataFrame, path: str, max_records_per_file: int = 10000, mode: str = "overwrite"
+) -> None:
+    # 10k = the reference's bulk flush size (elasticsearch.go:25)
+    (
+        es_project(df)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("index_day")
+        .json(path)
+    )
+
+
+def write_s3(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    (
+        s3_project(df)
+        .write.mode(mode)
+        .option("compression", "gzip")
+        .partitionBy("time_slice")
+        .json(path)
+    )
+
+
+def write_redis(
+    df: DataFrame, path: str, copy_queues: list[str], mode: str = "overwrite"
+) -> None:
+    # one partition dir per queue; payload = raw text (redis.go:189 uses
+    # the event's Text verbatim)
+    (
+        redis_project(df, copy_queues)
+        .withColumn("payload", F.col("text"))
+        .select("queue", "payload")
+        .write.mode(mode)
+        .partitionBy("queue")
+        .json(path)
+    )
+
+
+def write_tcp(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    tcp_project(df).select("line").write.mode(mode).text(path)
+
+
+def write_websocket(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    (
+        websocket_project(df)
+        .select("source", "text")
+        .write.mode(mode)
+        .partitionBy("source")
+        .json(path)
+    )
+
+
+WRITERS = {
+    "es": write_es,
+    "s3": write_s3,
+    "redis": write_redis,
+    "tcp": write_tcp,
+    "websocket": write_websocket,
+}
