@@ -1,0 +1,126 @@
+"""Training-data operator tests: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logzoom_spark.ops import dedup, multimodal, similarity
+from logzoom_spark.ops import text as tx
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_dedup_exact_finds_planted_duplicates(spark):
+    rows = [(1, "Hello  World"), (2, "hello world"), (3, "different")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.dup_cnt for r in dedup.dedup_exact(df).collect()}
+    # normalization (case+whitespace) folds 1 and 2 together, keeps min id
+    assert out == {1: 2, 3: 1}
+    kept = {r.doc_id for r in dedup.dedup_exact_keep(df).collect()}
+    assert kept == {1, 3}
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base.replace("today", "tonight")),  # near-dup of 1
+        (3, "completely unrelated text about spark parquet shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(df, n=2).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard_pairs(df, n=2, threshold=0.3).collect()}
+    assert j.get((1, 2), 0) > 0.5
+
+
+def test_simhash_similar_docs_close(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(df, bits=32).collect()}
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFF).count("1")
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    import numpy as np
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = np.floor(vecs[0] * 1000)
+    scored = sorted(
+        (
+            (int(np.floor(v * 1000) @ q), -vid)
+            for vid, v in vecs.items()
+            if vid != 0
+        ),
+        reverse=True,
+    )[:10]
+    want = [(-v, d) for d, v in scored]
+    got = [(r.vec_id, r.dot) for r in similarity.brute_force_topk(emb, 0, 10).collect()]
+    assert got == want
+
+
+def test_lsh_topk_subset_of_brute_force_universe(spark, emb):
+    got = similarity.lsh_bucket_topk(emb, 0, 10).collect()
+    assert len(got) >= 1
+    brute = {r.vec_id: r.dot for r in similarity.brute_force_topk(emb, 0, 500).collect()}
+    for r in got:
+        assert brute[r.vec_id] == r.dot
+
+
+def test_quality_features_hostile_text(spark):
+    rows = [(1, ""), (2, "   "), (3, "a b  c!!"), (4, "123 456")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.asDict() for r in tx.quality_features(df).collect()}
+    assert out[1]["n_tokens"] == 0 and out[1]["n_chars"] == 0
+    assert out[2]["n_tokens"] == 0
+    assert out[3]["n_tokens"] == 3 and out[3]["n_punct"] == 2
+    assert out[4]["digit_ratio10k"] == int(6 / 7 * 10000)
+
+
+def test_lang_id_heuristic(spark):
+    rows = [
+        (1, "this is the best of all the things and more of it"),
+        (2, "これは日本語のテキストです 漢字を含む"),
+        (3, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.pred_lang for r in tx.lang_id(df).collect()}
+    assert out == {1: "en", 2: "cjk", 3: "unk"}
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.attach_fake_media(docs)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    r0 = rows[0]
+    assert len(r0.feat) == 8 and r0.n_bytes >= 0
+    # decode stub is explicitly not implemented (no codec libs in container)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"\x89PNG")
+
+
+def test_frame_sample_plan(spark, docs):
+    media = multimodal.attach_fake_media(docs)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    one = plan.groupBy("doc_id").count().first()
+    meta = {r.doc_id: r.duration_ms for r in media.filter(F.col("media_type") == "video").collect()}
+    assert one["count"] == meta[one["doc_id"]] // 1000 + 1

@@ -1,0 +1,138 @@
+"""Reference-semantics quirk suite (SURVEY.md §2.1 'semantic quirks'),
+each Spark behavior compared to the pure-Python oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logzoom_spark.parse import parse_turns
+from logzoom_spark.route import Route, apply_route, fan_out, gate_arith
+
+from .oracle_py import parse_row, route_allows
+
+
+def _parsed_rows(tiny_turns):
+    return [parse_row(r.asDict()) for r in tiny_turns.collect()]
+
+
+def _spark_routed_keys(df, route):
+    return {(r.conv_id, r.turn_idx) for r in apply_route(df, route).collect()}
+
+
+def _oracle_routed_keys(rows, rules, enforce=True):
+    return {
+        (r["conv_id"], r["turn_idx"]) for r in rows if route_allows(r, rules, enforce)
+    }
+
+
+def test_parse_matches_python_oracle(spark, tiny_turns):
+    spark_rows = {
+        (r.conv_id, r.turn_idx): (r.log_type, r.level, r.latency_ms, r.msg, r.parse_ok)
+        for r in parse_turns(tiny_turns, with_attrs=False).collect()
+    }
+    for o in _parsed_rows(tiny_turns):
+        assert spark_rows[(o["conv_id"], o["turn_idx"])] == (
+            o["log_type"], o["level"], o["latency_ms"], o["msg"], o["parse_ok"],
+        )
+
+
+def test_pandas_engine_equals_builtin(spark, tiny_turns):
+    a = parse_turns(tiny_turns, engine="builtin", with_attrs=False)
+    b = parse_turns(tiny_turns, engine="pandas", with_attrs=False)
+    cols = ["conv_id", "turn_idx", "log_type", "level", "latency_ms", "msg"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+
+
+def test_missing_rule_key_rejects_all(spark, tiny_turns):
+    """s3.go:303: fields[key] == nil ⇒ allowed=false."""
+    parsed = parse_turns(tiny_turns)
+    route = Route("r", "s", {"not_a_field": "x"})
+    assert _spark_routed_keys(parsed, route) == set()
+
+
+def test_rule_filter_matches_oracle(spark, tiny_turns):
+    parsed = parse_turns(tiny_turns)
+    rows = _parsed_rows(tiny_turns)
+    for rules in [
+        {"log_type": "log_type1"},
+        {"log_type": "log_type2"},
+        {"log_type": "log_type1", "level": "ERROR"},
+        {"level": "WARN"},
+        {},
+    ]:
+        got = _spark_routed_keys(parsed, Route("r", "s", rules))
+        want = _oracle_routed_keys(rows, rules)
+        assert got == want, rules
+
+
+def test_es_sink_ignores_rules(spark, tiny_turns):
+    """elasticsearch.go:146-153: rules stored but never checked."""
+    parsed = parse_turns(tiny_turns)
+    route = Route("r", "es", {"log_type": "log_type1"}, enforce_rules=False)
+    got = _spark_routed_keys(parsed, route)
+    assert got == {(r["conv_id"], r["turn_idx"]) for r in _parsed_rows(tiny_turns)}
+
+
+def test_fanout_duplication(spark, tiny_turns):
+    """buffer.go:62-68: every sink sees every (routed) event — branches
+    overlap, they don't partition."""
+    parsed = parse_turns(tiny_turns)
+    routes = [
+        Route("r1", "a", {"log_type": "log_type1"}),
+        Route("r2", "b", {"level": "ERROR"}),
+    ]
+    branches = fan_out(parsed, routes)
+    a = {(r.conv_id, r.turn_idx) for r in branches["a"].collect()}
+    b = {(r.conv_id, r.turn_idx) for r in branches["b"].collect()}
+    assert a & b, "rows matching both rules must appear in both sinks"
+
+
+def test_double_sampling_compounds(spark, turns):
+    """Input sample then sink sample compound (quirk #10); the S3 <= bound
+    admits the boundary bucket where < does not."""
+    n_all = turns.count()
+    once = turns.filter(gate_arith(50, seed=0))
+    twice = once.filter(gate_arith(50, seed=1))
+    n_once, n_twice = once.count(), twice.count()
+    assert n_once < n_all
+    assert n_twice < n_once
+    # le vs lt differ by exactly the pct-boundary bucket
+    lt = turns.filter(gate_arith(50, seed=0, bound="lt")).count()
+    le = turns.filter(gate_arith(50, seed=0, bound="le")).count()
+    boundary = turns.filter(
+        F.pmod(
+            F.substring("conv_id", 6, 10).cast("bigint") * 131 + F.col("turn_idx"),
+            F.lit(100),
+        )
+        == 50
+    ).count()
+    assert le - lt == boundary
+
+
+def test_parse_errors_counted_not_dropped(spark, tiny_turns):
+    """input/redis/redis.go:85-88 silently drops bad JSON; we keep rows and
+    flag them."""
+    parsed = parse_turns(tiny_turns)
+    assert parsed.count() == tiny_turns.count()
+    bad = parsed.filter(~F.col("parse_ok"))
+    assert bad.count() == 2  # garbled + empty string rows
+
+
+def test_text_byte_equality_through_both_engines(spark, tiny_turns):
+    """Per-turn text equality invariant incl. unicode/newline/tab through
+    the Arrow round-trip (north-rule hard part #5)."""
+    src = {(r.conv_id, r.turn_idx): r.text for r in tiny_turns.collect()}
+    for engine in ["builtin", "pandas"]:
+        out = parse_turns(tiny_turns, engine=engine, with_attrs=False)
+        got = {(r.conv_id, r.turn_idx): r.text for r in out.collect()}
+        assert got == src, engine
+
+
+def test_nonstring_rule_compare_as_string(spark, tiny_turns):
+    """Reference panics on non-string rule fields (s3.go:303 .(string));
+    we compare lexically: rule on int column works via string cast."""
+    parsed = parse_turns(tiny_turns)
+    got = _spark_routed_keys(parsed, Route("r", "s", {"turn_idx": "0"}))
+    assert got == {("c1", 0), ("c2", 0)}
