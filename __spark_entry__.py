@@ -177,7 +177,8 @@ def q_s3_timeslice_counts(spark: SparkSession, sf: str) -> DataFrame:
         _parsed(spark, sf), Route("r", "s", {"log_type": "log_type1", "level": "ERROR"})
     )
     return (
-        sk.s3_project(routed)
+        # minute-level slices: the reference's template (example.s3-output.yml:25)
+        sk.s3_project(routed, slice_fmt="yyyy-MM-dd-HHmm")
         .groupBy("time_slice")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -273,6 +274,102 @@ def q_events_window_agg(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(_cents("value")).alias("value_cents"),
+        )
+    )
+
+
+def q_sessionize_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (>30 min between turns starts a new
+    session) — lag + running sum over the per-conversation window."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    return (
+        _turns(spark, sf)
+        .withColumn("new_sess", F.when(gap > 1800, 1).otherwise(0))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.sum("new_sess").over(cum).cast("bigint").alias("session_id"),
+        )
+    )
+
+
+def q_pivot_role_by_level(spark: SparkSession, sf: str) -> DataFrame:
+    out = (
+        _parsed(spark, sf)
+        .groupBy("role")
+        .pivot("level", ["INFO", "WARN", "ERROR"])
+        .count()
+    )
+    return out.select(
+        "role",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+          for c in ["INFO", "WARN", "ERROR"]],
+    )
+
+
+def q_cube_role_tool(spark: SparkSession, sf: str) -> DataFrame:
+    t = _turns(spark, sf).select("role", F.coalesce("tool", F.lit("")).alias("tool"))
+    return (
+        t.cube("role", "tool")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("role", F.lit("ALL")).alias("role"),
+            F.coalesce("tool", F.lit("ALL")).alias("tool"),
+            "cnt",
+        )
+    )
+
+
+def q_distinct_convs_per_role(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _turns(spark, sf)
+        .groupBy("role")
+        .agg(
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+
+
+def q_set_ops_routes(spark: SparkSession, sf: str) -> DataFrame:
+    p = _parsed(spark, sf)
+    a = p.filter(F.col("log_type") == "log_type1").select("conv_id", "turn_idx")
+    b = p.filter(F.col("level") == "ERROR").select("conv_id", "turn_idx")
+    return a.subtract(b)  # EXCEPT (distinct) semantics
+
+
+def q_semi_anti_error_convs(spark: SparkSession, sf: str) -> DataFrame:
+    p = _parsed(spark, sf)
+    err = p.filter(F.col("level") == "ERROR").select("conv_id")
+    convs = p.select("conv_id").distinct()
+    semi = convs.join(err, "conv_id", "left_semi").withColumn(
+        "has_error", F.lit(1).cast("bigint")
+    )
+    anti = convs.join(err, "conv_id", "left_anti").withColumn(
+        "has_error", F.lit(0).cast("bigint")
+    )
+    return semi.unionByName(anti)
+
+
+def q_join_sort_merge_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-to-fact equi-join (lineitem ⋈ orders): too big to broadcast at
+    scale — Catalyst picks sort-merge; shuffle is on the join key only."""
+    li = _read(spark, sf, "lineitem")
+    o = _read(spark, sf, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
         )
     )
 
@@ -375,6 +472,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_broadcast_dims": q_join_broadcast_dims,
         "topk_orders_per_segment": q_topk_orders_per_segment,
         "events_window_agg": q_events_window_agg,
+        "sessionize_gaps": q_sessionize_gaps,
+        "pivot_role_by_level": q_pivot_role_by_level,
+        "cube_role_tool": q_cube_role_tool,
+        "distinct_convs_per_role": q_distinct_convs_per_role,
+        "set_ops_routes": q_set_ops_routes,
+        "semi_anti_error_convs": q_semi_anti_error_convs,
+        "join_sort_merge_revenue": q_join_sort_merge_revenue,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,

@@ -41,6 +41,40 @@ def window_counts(
     )
 
 
+def window_counts_multi(
+    df: DataFrame,
+    keys: list[str],
+    bucket_seconds: int = 300,
+    ts_col: str = "ts",
+    persist: bool = True,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """All per-sink aggregates in ONE shuffle via GROUPING SETS.
+
+    `groupBy` per key would shuffle the branch once per key (3× for
+    role/tool/conv_id). GROUPING SETS computes every (key, bucket) set in a
+    single partial+final hash aggregation — one shuffle whose rows are the
+    union of the group keys. Returns (persisted combined frame, per-key
+    slices filtered by grouping_id); caller unpersists the combined frame."""
+    with_bucket = df.withColumn("window_start", time_bucket(ts_col, bucket_seconds))
+    sets = [[k, "window_start"] for k in keys]
+    combined = with_bucket.groupingSets(
+        sets, *[F.col(k) for k in keys], F.col("window_start")
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("_gid"))
+    if persist:
+        combined = combined.persist()
+    # grouping_id bit i (MSB-first over groupBy cols) is 0 iff that column
+    # is part of the grouping set
+    n = len(keys) + 1  # + window_start
+    out: dict[str, DataFrame] = {}
+    for i, k in enumerate(keys):
+        gid = 0
+        for j in range(len(keys)):
+            if j != i:
+                gid |= 1 << (n - 1 - j)
+        out[k] = combined.filter(F.col("_gid") == gid).select(k, "window_start", "cnt")
+    return combined, out
+
+
 def conv_counts(df: DataFrame) -> DataFrame:
     """Per-conversation delivered-row count (reference analog: per-S3-file
     FileInfo.Count, s3.go:57-60 — the unit of lineage accounting)."""

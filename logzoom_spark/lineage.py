@@ -1,0 +1,137 @@
+"""Per-partition checkpointed lineage: resumable batch runs.
+
+North-rule requirement: at 10^12-turn scale any stage must be resumable
+without reprocessing completed partitions. The unit of resume is a
+*conv-hash bucket group*: turns are assigned to `n_groups` deterministic
+buckets by xxhash64(conv_id); each group is processed as its own job
+(all sinks + aggregates), and a manifest row is committed only after the
+whole group's writes succeed. A restart reads the manifest and skips
+completed groups.
+
+Reference analogs: the lumberjack ACK protocol (input/filebeat/
+parser.go:44-54, 214-217 — progress acknowledged only after delivery)
+and the Redis input's requeue-unacked-on-restart at-least-once resume
+(input/redis/redis.go:54-59). On a real cluster the manifest lives in an
+Iceberg table and group boundaries align with Iceberg partition buckets;
+here it is a parquet directory with one file per completed group (the
+write of that file is the atomic commit point).
+
+Group count trades resume granularity against per-job overhead: with
+10^12 turns and n_groups=4096, one group ≈ 244M turns — a few minutes of
+cluster work lost in the worst crash, while healthy runs pay only 4096
+driver-side job submissions.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import aggregate as agg
+from . import sinks as sk
+from .pipeline import PipelineConfig, build, default_config
+
+
+class InjectedFailure(RuntimeError):
+    """Raised by the failure-injection hook in tests."""
+
+
+GROUP_COL = "_lz_group"
+
+
+def with_group(turns: DataFrame, n_groups: int) -> DataFrame:
+    return turns.withColumn(
+        GROUP_COL, F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_groups)).cast("int")
+    )
+
+
+def completed_groups(spark: SparkSession, manifest_dir: str) -> set[int]:
+    try:
+        mf = spark.read.parquet(manifest_dir)
+    except Exception:
+        return set()
+    return {
+        r.group_id for r in mf.filter(F.col("status") == "done").select("group_id").collect()
+    }
+
+
+def _commit_group(
+    spark: SparkSession,
+    manifest_dir: str,
+    group_id: int,
+    rows_in: int,
+    sink_rows: dict[str, int],
+    elapsed_s: float,
+) -> None:
+    rows = [
+        (group_id, sink, rows_in, n, "done", float(elapsed_s))
+        for sink, n in sink_rows.items()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "group_id int, sink string, rows_in bigint, rows_out bigint, "
+        "status string, elapsed_s double",
+    )
+    # one file per group commit: the atomic resume checkpoint
+    df.coalesce(1).write.mode("append").parquet(manifest_dir)
+
+
+def run_resumable(
+    spark: SparkSession,
+    turns: DataFrame,
+    cfg: PipelineConfig | None = None,
+    out_dir: str = "/tmp/logzoom_out",
+    n_groups: int = 8,
+    fail_after_groups: int | None = None,
+) -> dict:
+    """Run the full pipeline group-by-group with manifest checkpointing.
+
+    Re-invoking with the same ``out_dir`` skips groups whose manifest rows
+    exist — completed partitions are never reprocessed (their input is not
+    even scanned: the group predicate prunes at the source).
+    ``fail_after_groups`` injects a crash for the resumability test.
+    """
+    cfg = cfg or default_config()
+    manifest_dir = f"{out_dir}/_lineage"
+    done = completed_groups(spark, manifest_dir)
+    grouped = with_group(turns, n_groups)
+
+    processed, skipped = [], []
+    for g in range(n_groups):
+        if g in done:
+            skipped.append(g)
+            continue
+        t0 = time.time()
+        sub = grouped.filter(F.col(GROUP_COL) == g).drop(GROUP_COL)
+        upstream, branches = build(spark, sub, cfg)
+        try:
+            rows_in = upstream.count()
+            sink_rows: dict[str, int] = {}
+            for sink_name, branch in branches.items():
+                spec = cfg.sinks[sink_name]
+                path = f"{out_dir}/{sink_name}/group={g}"
+                sk.WRITERS[spec.kind](branch, path, **spec.options)
+                combined, aggs = agg.window_counts_multi(
+                    branch, list(cfg.agg_keys), cfg.bucket_seconds
+                )
+                try:
+                    for key, adf in aggs.items():
+                        adf.write.mode("overwrite").parquet(
+                            f"{out_dir}/aggregates/{sink_name}/by_{key}/group={g}"
+                        )
+                    sink_rows[sink_name] = branch.count()
+                finally:
+                    combined.unpersist()
+        finally:
+            upstream.unpersist()
+        _commit_group(spark, manifest_dir, g, rows_in, sink_rows, time.time() - t0)
+        processed.append(g)
+        if fail_after_groups is not None and len(processed) >= fail_after_groups:
+            raise InjectedFailure(f"injected failure after groups {processed}")
+    return {"processed": processed, "skipped": skipped, "n_groups": n_groups}
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/_lineage")

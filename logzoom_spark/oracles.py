@@ -244,6 +244,70 @@ SELECT event_type, cast(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
 FROM events GROUP BY 1, 2
 """
 
+ORACLES["sessionize_gaps"] = f"""
+WITH {TURNS_CTE},
+gaps AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN cast(floor(epoch(ts)) AS BIGINT)
+            - cast(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM turns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx,
+       cast(sum(new_sess) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM gaps
+"""
+
+ORACLES["pivot_role_by_level"] = f"""
+{_WITH_PARSED}
+SELECT role,
+  cast(sum(CASE WHEN level = 'INFO' THEN 1 ELSE 0 END) AS BIGINT) AS INFO,
+  cast(sum(CASE WHEN level = 'WARN' THEN 1 ELSE 0 END) AS BIGINT) AS WARN,
+  cast(sum(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END) AS BIGINT) AS ERROR
+FROM parsed GROUP BY role
+"""
+
+# real null tools pre-coalesced to '' so CUBE's roll-up null ('ALL') stays
+# unambiguous in both engines
+ORACLES["cube_role_tool"] = f"""
+WITH {TURNS_CTE},
+t AS (SELECT role, coalesce(tool, '') AS tool FROM turns)
+SELECT coalesce(role, 'ALL') AS role, coalesce(tool, 'ALL') AS tool,
+       count(*) AS cnt
+FROM t GROUP BY CUBE (role, tool)
+"""
+
+ORACLES["distinct_convs_per_role"] = f"""
+WITH {TURNS_CTE}
+SELECT role, count(DISTINCT conv_id) AS n_convs, count(*) AS n_turns
+FROM turns GROUP BY role
+"""
+
+ORACLES["set_ops_routes"] = f"""
+{_WITH_PARSED}
+SELECT conv_id, turn_idx FROM parsed WHERE log_type = 'log_type1'
+EXCEPT
+SELECT conv_id, turn_idx FROM parsed WHERE level = 'ERROR'
+"""
+
+ORACLES["semi_anti_error_convs"] = f"""
+{_WITH_PARSED}
+SELECT conv_id,
+  cast(CASE WHEN conv_id IN (SELECT conv_id FROM parsed WHERE level = 'ERROR')
+       THEN 1 ELSE 0 END AS BIGINT) AS has_error
+FROM parsed GROUP BY conv_id
+"""
+
+ORACLES["join_sort_merge_revenue"] = """
+SELECT o.o_orderpriority,
+  count(*) AS n_items,
+  cast(sum(cast(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
 # ---------------------------------------------------------------------------
 # Training-data ops over documents / embeddings
 # ---------------------------------------------------------------------------

@@ -62,6 +62,17 @@ def default_config() -> PipelineConfig:
     return PipelineConfig(routes=routes, sinks=sinks)
 
 
+def config_from_yaml(path: str) -> PipelineConfig:
+    """Load a pipeline config from a YAML file (the reference's config
+    surface, server/config.go:9-28). PyYAML is optional in this container."""
+    try:
+        import yaml
+    except ImportError as ex:  # pragma: no cover
+        raise RuntimeError("pyyaml not installed; use config_from_dict") from ex
+    with open(path) as f:
+        return config_from_dict(yaml.safe_load(f))
+
+
 def config_from_dict(d: dict) -> PipelineConfig:
     """Build a config from a YAML-shaped dict (the reference's config.yml
     surface, server/config.go:9-28). Validates what the reference silently
@@ -116,33 +127,56 @@ def run_batch(
     cfg: PipelineConfig | None = None,
     out_dir: str | None = None,
     write_mode: str = "overwrite",
+    concurrency: int = 4,
 ) -> dict[str, dict]:
     """Execute the full pipeline; returns {sink: {rows, aggregates...}}.
 
     When ``out_dir`` is set, every sink writes its files and its aggregate
-    tables under ``{out_dir}/{sink}/`` — the batch equivalent of the
-    reference's five concurrently-draining sink goroutines.
+    tables under ``{out_dir}/{sink}/``. Sinks are driven by ``concurrency``
+    submission threads — the batch equivalent of the reference's
+    concurrently-draining per-sink goroutines (server/server.go:140-144).
+    Concurrent jobs fill the task slots a sequential job's stage barrier
+    would leave idle; correctness is unaffected (branches share only the
+    immutable persisted upstream).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     cfg = cfg or default_config()
     upstream, branches = build(spark, turns, cfg)
-    results: dict[str, dict] = {}
-    try:
-        for sink_name, branch in branches.items():
-            spec = cfg.sinks[sink_name]
-            info: dict = {}
-            if out_dir is not None:
-                path = f"{out_dir}/{sink_name}"
-                if spec.kind == "redis":
-                    sk.write_redis(branch, path, spec.options["copy_queues"], mode=write_mode)
-                else:
-                    sk.WRITERS[spec.kind](branch, path, mode=write_mode)
-                # per-sink aggregate tables (counts by role/tool/conv + bucket)
-                for key in cfg.agg_keys:
-                    agg.window_counts(branch, key, cfg.bucket_seconds).write.mode(
-                        write_mode
-                    ).parquet(f"{out_dir}/aggregates/{sink_name}/by_{key}")
+
+    def drain(item: tuple[str, DataFrame]) -> tuple[str, dict]:
+        sink_name, branch = item
+        spec = cfg.sinks[sink_name]
+        info: dict = {}
+        if out_dir is not None:
+            path = f"{out_dir}/{sink_name}"
+            sk.WRITERS[spec.kind](branch, path, mode=write_mode, **spec.options)
+            # per-sink aggregate tables (counts by role/tool/conv + bucket)
+            # — one GROUPING SETS shuffle for all keys, not one per key
+            combined, aggs = agg.window_counts_multi(
+                branch, list(cfg.agg_keys), cfg.bucket_seconds
+            )
+            try:
+                for key, adf in aggs.items():
+                    adf.write.mode(write_mode).parquet(
+                        f"{out_dir}/aggregates/{sink_name}/by_{key}"
+                    )
+                info["rows"] = branch.count()
+            finally:
+                combined.unpersist()
+        else:
             info["rows"] = branch.count()
-            results[sink_name] = info
+        return sink_name, info
+
+    try:
+        # materialize the shared cache once before fanning out, so
+        # concurrent branches don't race to build it
+        upstream.count()
+        if concurrency > 1:
+            with ThreadPoolExecutor(max_workers=concurrency) as pool:
+                results = dict(pool.map(drain, branches.items()))
+        else:
+            results = dict(map(drain, branches.items()))
     finally:
         upstream.unpersist()
     return results

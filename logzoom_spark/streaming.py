@@ -1,0 +1,108 @@
+"""Structured Streaming mode: the same pipeline builder under readStream.
+
+The reference is stream-native (goroutine channels); the rebuild's batch
+DAG reruns unchanged inside ``foreachBatch``: one cached micro-batch fans
+out to every sink — the exact analog of Buffer.Publish delivering each
+event to every subscriber (buffer/buffer.go:62-68), with Structured
+Streaming's checkpoint WAL standing in for the lumberjack ACK
+(parser.go:44-54) / redismq MultiAck (input/redis/redis.go:66-73)
+at-least-once contract.
+
+Flush-interval parity: the reference's 10 s ES flush / 5 s Redis flush /
+10 s S3 roll (SURVEY.md §6) map to ``trigger(processingTime=...)``; tests
+use ``availableNow`` to drain deterministically.
+
+The stateful operator (#12, distinct sources with 600 s TTL) becomes a
+watermarked max-aggregate: state is evicted by the watermark exactly like
+the reference's ticker-based eviction (websocket.go:119-138).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import sinks as sk
+from .pipeline import PipelineConfig, build, default_config
+
+TURNS_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def read_turns_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-based streaming source over transcript parquet (stands in for
+    the Kafka/Filebeat wire; swap format for production)."""
+    return (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def foreach_batch_writer(cfg: PipelineConfig, out_dir: str):
+    """One micro-batch → all sinks, from a single cached upstream."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        upstream, branches = build(spark, batch_df, cfg)
+        try:
+            for sink_name, branch in branches.items():
+                spec = cfg.sinks[sink_name]
+                path = f"{out_dir}/{sink_name}"
+                sk.WRITERS[spec.kind](branch, path, mode="append", **spec.options)
+        finally:
+            upstream.unpersist()
+
+    return process
+
+
+def run_streaming(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+    available_now: bool = True,
+    processing_time: str = "10 seconds",  # ES flush-interval parity
+):
+    """Start the streaming pipeline; returns the StreamingQuery."""
+    cfg = cfg or default_config()
+    stream = read_turns_stream(spark, input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(foreach_batch_writer(cfg, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def streaming_distinct_sources(
+    turns_stream: DataFrame, ttl: str = "10 minutes", bucket: str = "10 minutes"
+) -> DataFrame:
+    """Stateful distinct-source aggregate with watermark eviction —
+    the streaming twin of aggregate.distinct_sources_ttl (reference
+    websocket.go:111-138: map[source]→last_seen, 600 s TTL)."""
+    return (
+        turns_stream.withColumn("source", F.concat(F.lit("conv://"), F.col("conv_id")))
+        .withWatermark("ts", ttl)
+        .groupBy(F.window("ts", bucket), "source")
+        .agg(F.max("ts").alias("last_seen_ts"))
+    )
+
+
+def streaming_rate_counts(
+    turns_stream: DataFrame, bucket: str = "1 second", watermark: str = "30 seconds"
+) -> DataFrame:
+    """Events/sec per sink-key — the ratecounter analog
+    (elasticsearch.go:180-183) as a watermarked tumbling count."""
+    return (
+        turns_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", bucket), "role")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1,0 +1,145 @@
+"""Resumability (per-partition lineage) and streaming-mode tests
+(SURVEY.md §5.2-4 and M5)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from logzoom_spark.lineage import (
+    InjectedFailure,
+    read_manifest,
+    run_resumable,
+)
+from logzoom_spark.pipeline import default_config, run_batch
+from logzoom_spark.streaming import (
+    run_streaming,
+    streaming_distinct_sources,
+    streaming_rate_counts,
+)
+from logzoom_spark.transcripts import load_turns
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_resume_skips_completed_groups(spark, turns, tmp_path):
+    out = str(tmp_path / "resume")
+    # first run crashes after 3 of 8 groups
+    with pytest.raises(InjectedFailure):
+        run_resumable(spark, turns, out_dir=out, n_groups=8, fail_after_groups=3)
+    mf = read_manifest(spark, out)
+    done_first = {r.group_id for r in mf.select("group_id").distinct().collect()}
+    assert len(done_first) == 3
+
+    # resume: must process exactly the remaining 5, skipping the 3
+    res = run_resumable(spark, turns, out_dir=out, n_groups=8)
+    assert sorted(res["skipped"]) == sorted(done_first)
+    assert len(res["processed"]) == 5
+    assert set(res["processed"]) | done_first == set(range(8))
+
+    # no group processed twice
+    mf2 = read_manifest(spark, out)
+    per_group = (
+        mf2.groupBy("group_id", "sink").count().filter(F.col("count") > 1).count()
+    )
+    assert per_group == 0
+
+
+def test_resumable_output_equals_single_batch(spark, turns, tmp_path):
+    out_r = str(tmp_path / "r")
+    out_b = str(tmp_path / "b")
+    run_resumable(spark, turns, out_dir=out_r, n_groups=4)
+    run_batch(spark, turns, out_dir=out_b)
+
+    def read_sink_rows(base, sink):
+        files = glob.glob(f"{base}/{sink}/**/*.json*", recursive=True)
+        rows = set()
+        import gzip, json
+
+        for fn in files:
+            op = gzip.open if fn.endswith(".gz") else open
+            with op(fn, "rt") as f:
+                for line in f:
+                    d = json.loads(line)
+                    rows.add((d.get("conv_id"), d.get("turn_idx"), d.get("text")))
+        return rows
+
+    for sink in ["sink_es", "sink_s3"]:
+        assert read_sink_rows(out_r, sink) == read_sink_rows(out_b, sink), sink
+
+
+def test_streaming_foreachbatch_equals_batch(spark, turns, tmp_path):
+    src = str(tmp_path / "src")
+    out_s = str(tmp_path / "souts")
+    ckpt = str(tmp_path / "ckpt")
+    # multiple files so the stream sees >1 micro-batch with maxFilesPerTrigger
+    turns.repartition(8).write.parquet(src)
+
+    q = run_streaming(spark, src, out_s, ckpt)
+    q.awaitTermination(300)
+
+    import json
+
+    got = set()
+    for fn in glob.glob(f"{out_s}/sink_es/index_day=*/*.json"):
+        with open(fn) as f:
+            for line in f:
+                d = json.loads(line)
+                got.add((d["conv_id"], d["turn_idx"], d["text"]))
+    want = {(r.conv_id, r.turn_idx, r.text) for r in turns.collect()}
+    assert got == want
+
+
+def test_streaming_checkpoint_no_reprocessing(spark, turns, tmp_path):
+    """Restarting with the same checkpoint must not duplicate rows —
+    the MultiAck/ACK at-least-once + idempotent-commit contract."""
+    src = str(tmp_path / "src2")
+    out_s = str(tmp_path / "souts2")
+    ckpt = str(tmp_path / "ckpt2")
+    turns.repartition(4).write.parquet(src)
+
+    q = run_streaming(spark, src, out_s, ckpt)
+    q.awaitTermination(300)
+    n1 = len(glob.glob(f"{out_s}/sink_es/index_day=*/*.json"))
+
+    # restart with same checkpoint, no new input → no new work
+    q2 = run_streaming(spark, src, out_s, ckpt)
+    q2.awaitTermination(300)
+    n2 = len(glob.glob(f"{out_s}/sink_es/index_day=*/*.json"))
+    assert n1 == n2
+
+
+def test_streaming_stateful_aggregates(spark, turns, tmp_path):
+    src = str(tmp_path / "src3")
+    turns.limit(200).repartition(2).write.parquet(src)
+    from logzoom_spark.streaming import read_turns_stream
+
+    stream = read_turns_stream(spark, src)
+    agg_q = (
+        streaming_distinct_sources(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dsrc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    agg_q.awaitTermination(300)
+    # append mode only emits windows past the watermark; state plumbing is
+    # what we assert here (query runs, schema correct)
+    df = spark.sql("select * from dsrc")
+    assert {c for c in df.columns} == {"window", "source", "last_seen_ts"}
+
+    rate_q = (
+        streaming_rate_counts(stream, bucket="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rates")
+        .trigger(availableNow=True)
+        .start()
+    )
+    rate_q.awaitTermination(300)
+    assert {c for c in spark.sql("select * from rates").columns} == {
+        "window", "role", "cnt",
+    }

@@ -1,0 +1,42 @@
+"""Dump formatted physical plans for the core operators (docs/SCALE.md
+evidence). Usage: python tools/explain_plans.py [sf_dir] > /tmp/plans.txt"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from logzoom_spark import aggregate as agg
+    from logzoom_spark import transcripts as tr
+    from logzoom_spark.enrich import enrich
+    from logzoom_spark.parse import parse_turns
+    from logzoom_spark.route import Route, apply_route
+    from logzoom_spark.session import get_spark
+
+    spark = get_spark("explain", cpus=4)
+    turns = tr.load_turns(spark, sf)
+    parsed = parse_turns(turns, with_attrs=False)
+    enriched = enrich(parsed, tr.role_meta(spark), tr.tool_meta(spark))
+    routed = apply_route(enriched, Route("r", "s", {"log_type": "log_type1"}))
+
+    print("=" * 30, "enrich (broadcast joins, no fact shuffle)")
+    enriched.explain("formatted")
+    print("=" * 30, "grouping-sets aggregate (single Exchange)")
+    combined, _ = agg.window_counts_multi(routed, ["role", "tool", "conv_id"], 300)
+    combined.explain("formatted")
+    combined.unpersist()
+
+    print("=" * 30, "column pruning + filter pushdown on stored columns")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    pruned = ev.filter(ev.event_type == "error").select("event_id", "ts")
+    pruned.explain("formatted")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
