@@ -278,6 +278,16 @@ def q_events_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ws_source_filter(spark: SparkSession, sf: str) -> DataFrame:
+    # per-connection ?source= equality filter (websocket.go:74-78)
+    out = sk.websocket_project(_parsed(spark, sf), source="conv://conv-000007")
+    return out.select("source", "conv_id", "turn_idx", "text")
+
+
+def q_rate_counts_minute(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.window_counts(_turns(spark, sf), "role", 60)
+
+
 def q_sessionize_gaps(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization (>30 min between turns starts a new
     session) — lag + running sum over the per-conversation window."""
@@ -463,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_conv_counts": q_agg_conv_counts,
         "distinct_sources_ttl": q_distinct_sources_ttl,
         "tcp_line_format": q_tcp_line_format,
+        "ws_source_filter": q_ws_source_filter,
+        "rate_counts_minute": q_rate_counts_minute,
         "redis_copy_fanout": q_redis_copy_fanout,
         "s3_timeslice_counts": q_s3_timeslice_counts,
         "es_daily_counts": q_es_daily_counts,

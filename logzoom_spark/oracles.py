@@ -244,6 +244,23 @@ SELECT event_type, cast(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start,
 FROM events GROUP BY 1, 2
 """
 
+# WebSocket per-connection ?source= filter (websocket.go:74-78): exact
+# equality on the provenance column
+ORACLES["ws_source_filter"] = f"""
+{_WITH_PARSED}
+SELECT source, conv_id, turn_idx, text
+FROM parsed WHERE source = 'conv://conv-000007'
+"""
+
+# ratecounter analog at fine grain: events/minute per role (SURVEY #13;
+# the reference's 1 s sliding window generalized to event-time buckets)
+ORACLES["rate_counts_minute"] = f"""
+WITH {TURNS_CTE}
+SELECT role, cast(floor(epoch(ts)/60)*60 AS BIGINT) AS window_start,
+       count(*) AS cnt
+FROM turns GROUP BY 1, 2
+"""
+
 ORACLES["sessionize_gaps"] = f"""
 WITH {TURNS_CTE},
 gaps AS (
