@@ -186,10 +186,14 @@ def main() -> None:
     routing_e2e()  # warmup (JIT/codegen)
     e2e = min(routing_e2e() for _ in range(3))
 
-    # secondary: the same pipeline with real sink files (measures sink I/O)
-    t0 = time.time()
-    run_batch(spark, turns, default_config(), out_dir=f"{work}/out")
-    timings["e2e_with_sink_files"] = round(time.time() - t0, 3)
+    # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
+    # real sink files — measures sink I/O, which on this shared host is
+    # dominated by neighbor disk load (see BENCH/BASELINE.md for a recorded
+    # run: ~205 s at local[32] for 6 sinks × 800k rows)
+    if os.environ.get("SPARK_GRAFT_SINK_BENCH") == "1":
+        t0 = time.time()
+        run_batch(spark, turns, default_config(), out_dir=f"{work}/out")
+        timings["e2e_with_sink_files"] = round(time.time() - t0, 3)
 
     result = {
         "metric": "end-to-end routing seconds (scan→parse→enrich→route[6 sinks]→aggregate; min of 3)",
