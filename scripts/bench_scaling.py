@@ -138,6 +138,7 @@ def main() -> None:
     ap.add_argument("--n4", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--out", default="BENCH/BASELINE.md")
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="lz_scale_")
@@ -196,7 +197,7 @@ All rep times (seconds):
 {json.dumps({f"local[{c}]": [round(x, 2) for x in v] for c, v in all_reps.items()})}
 ```
 """
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    path = os.path.join(REPO, args.out)
     with open(path, "w") as f:
         f.write(md)
     print(f"efficiency={eff:.3f} written to {path}")
