@@ -192,6 +192,49 @@ def q_es_daily_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_grok_apache_commonlog(spark: SparkSession, sf: str) -> DataFrame:
+    """COMMONAPACHELOG composite grok (recursive %{NAME} expansion): build a
+    deterministic apache access line per turn, parse it back with the grok
+    library, and surface every subfield. The oracle reconstructs the same
+    values directly from the inputs — if the grok regex drifts, any field
+    mismatches."""
+    from logzoom_spark.grok import apply_grok
+
+    t = _turns(spark, sf)
+    clientip = F.concat(
+        F.lit("10."), (F.col("turn_idx") % 200).cast("string"), F.lit(".0.1")
+    )
+    apache_ts = F.concat(
+        F.date_format(F.col("ts").cast("timestamp"), "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit(" +0000"),
+    )
+    request = F.concat(
+        F.lit("/conv/"), F.col("conv_id"), F.lit("/turn/"), F.col("turn_idx").cast("string")
+    )
+    status = (F.lit(200) + (F.col("turn_idx") % 4) * 100).cast("string")
+    nbytes = F.length("text").cast("string")
+    line = F.format_string(
+        '%s - %s [%s] "GET %s HTTP/1.1" %s %s',
+        clientip, F.col("role"), apache_ts, request, status, nbytes,
+    )
+    parsed = apply_grok(
+        t.select("conv_id", "turn_idx", line.alias("text")), "%{COMMONAPACHELOG}"
+    )
+    return parsed.select(
+        "conv_id",
+        "turn_idx",
+        "clientip",
+        "ident",
+        "auth",
+        F.col("timestamp").alias("apache_ts"),
+        "verb",
+        "request",
+        "httpversion",
+        F.col("response").cast("bigint").alias("response"),
+        F.col("bytes").cast("bigint").alias("bytes"),
+    )
+
+
 def q_stable_turn_order(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as W
 
@@ -430,28 +473,46 @@ def q_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
 
 
-# --- rows-only (non-SQL-expressible: xxhash64 / pandas UDF internals) --------
+# --- hash-dependent ops, oracle-verified via the portable md5 hash -----------
+# (hashing.py: identical BIGINT in Spark and DuckDB; the xxhash64 fast path
+# is pytest-verified to find the same planted near-dups — tests/test_ops.py)
 
 
 def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.minhash_signatures(_read(spark, sf, "documents"), num_hashes=16)
+    return dedup.minhash_signatures(
+        _read(spark, sf, "documents"), num_hashes=16, hasher="md5"
+    )
 
 
 def q_lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.lsh_candidate_pairs(_read(spark, sf, "documents"))
+    return dedup.lsh_candidate_pairs(_read(spark, sf, "documents"), hasher="md5")
 
 
 def q_simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.simhash(_read(spark, sf, "documents"), bits=16)
+    return dedup.simhash(_read(spark, sf, "documents"), bits=16, hasher="md5")
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_read(spark, sf, "documents"), threshold=0.3)
+    return dedup.ngram_jaccard_pairs(
+        _read(spark, sf, "documents"), threshold=0.3, hasher="md5"
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched feature extraction; the raw feat array<double> is
+    projected to per-element quantized ints as JSON (`feat_q`) so results
+    are hashable/engine-comparable — the library API keeps the raw array."""
     media = multimodal.attach_fake_media(_read(spark, sf, "documents"))
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "checksum",
+        F.to_json(
+            F.transform("feat", lambda x: F.round(x * 997).cast("int"))
+        ).alias("feat_q"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -479,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_timeslice_counts": q_s3_timeslice_counts,
         "es_daily_counts": q_es_daily_counts,
         "stable_turn_order": q_stable_turn_order,
+        "grok_apache_commonlog": q_grok_apache_commonlog,
         # relational breadth
         "tpch_q1": q_tpch_q1,
         "join_broadcast_dims": q_join_broadcast_dims,
@@ -501,7 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_norms_by_label": q_embedding_norms_by_label,
         "frame_sample_plan": q_frame_sample_plan,
-        # rows-only (xxhash64 / pandas-UDF internals not in DuckDB)
+        # hash-dependent ops (portable md5 hash -> full DuckDB oracles)
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_docs": q_simhash_docs,

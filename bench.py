@@ -89,13 +89,12 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def bench(name: str, fn, runs: int = 2) -> None:
-        best = None
+        last = 0.0
         for _ in range(runs):
             t0 = time.time()
             fn()
-            dt = time.time() - t0
-            best = dt  # report last (steady-state) run
-        timings[name] = round(best, 3)
+            last = time.time() - t0  # report last (steady-state) run
+        timings[name] = round(last, 3)
 
     # ---- materialize the input table (timed once; includes the one
     # unavoidable shuffle of the synthetic derivation) ----------------------
@@ -148,6 +147,7 @@ def main() -> None:
     )
     bench("dedup_exact", lambda: _noop(dedup.dedup_exact(docs)))
     bench("minhash_lsh_pairs", lambda: _noop(dedup.lsh_candidate_pairs(docs)))
+    bench("simhash64", lambda: _noop(dedup.simhash(docs, bits=64)))
     bench("text_quality", lambda: _noop(tx.quality_features(docs)))
     bench("ann_brute_topk", lambda: similarity.brute_force_topk(emb, 0, 10).collect())
 

@@ -9,9 +9,21 @@ logstash, README.md:1-9) without any per-row Python:
 
 Two execution strategies, chosen by `apply_grok`:
 - builtin: one `regexp_extract(text, full_pattern, group_i)` per field —
-  JVM-side, whole-stage codegen.
+  JVM-side, whole-stage codegen. Uses the NUMBERED-group regex.
 - pandas:  a single Arrow-vectorized `Series.str.extract` with named groups
-  (one C regex pass for ALL fields) via mapInPandas.
+  (one C regex pass for ALL fields) via mapInPandas. Uses the NAMED-group
+  regex compiled with `re.ASCII` so `\\w`/`\\b` agree with Java regex (the
+  builtin engine) and RE2 (the DuckDB oracle) — both ASCII by default.
+
+Both regexes are emitted by ONE compile pass over the same token stream, so
+field↔group alignment cannot drift (the previous post-hoc "rename bare '('"
+rewrite mis-fired on escaped literal parens in the pattern text).
+
+Library entries may reference other entries (`%{IPORHOST}` →
+`%{IP}|%{HOSTNAME}`) and may carry their own captures — composites like
+`%{COMMONAPACHELOG}` expand recursively and surface every subfield, exactly
+like logstash. Literal text in the USER pattern is escaped (parentheses
+etc. match literally); text inside library entries is raw regex.
 """
 
 from __future__ import annotations
@@ -28,6 +40,9 @@ if TYPE_CHECKING:
     import pandas as pd
 
 # Core grok pattern library (public logstash pattern names/semantics).
+# Invariant: entries contain NO bare capturing groups — only (?:...) — so
+# group numbering is fully determined by %{NAME:field} tokens. Entries may
+# reference other entries with %{NAME} / %{NAME:field}.
 GROK_PATTERNS: dict[str, str] = {
     "WORD": r"\w+",
     "NOTSPACE": r"\S+",
@@ -36,10 +51,40 @@ GROK_PATTERNS: dict[str, str] = {
     "INT": r"[+-]?\d+",
     "NUMBER": r"[+-]?(?:\d+\.\d+|\d+)",
     "QUOTEDSTRING": r'"[^"]*"',
+    "QS": r"%{QUOTEDSTRING}",
     "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
     "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:[.,]\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
     "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|CRIT(?:ICAL)?|FATAL|SEVERE)",
     "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    # --- host / user / path --------------------------------------------------
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "HOSTNAME": r"(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "UNIXPATH": r"(?:/[\w_%!$@:.,+~-]*)+",
+    "PATH": r"%{UNIXPATH}",
+    # --- date / time ---------------------------------------------------------
+    "MONTH": r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b",
+    "MONTHDAY": r"(?:0[1-9]|[12][0-9]|3[01]|[1-9])",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:[0-5][0-9])",
+    "TIME": r"%{HOUR}:%{MINUTE}:%{SECOND}",
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    # --- composite log-line formats (carry their own captures) ---------------
+    "COMMONAPACHELOG": (
+        r'%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \[%{HTTPDATE:timestamp}\]'
+        r' "(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?'
+        r'|%{DATA:rawrequest})" %{NUMBER:response} (?:%{NUMBER:bytes}|-)'
+    ),
+    "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
+    "PROG": r"[\w._/%-]+",
+    "SYSLOGBASE": (
+        r"%{SYSLOGTIMESTAMP:syslog_timestamp} %{IPORHOST:syslog_host}"
+        r" %{PROG:syslog_program}(?:\[%{INT:syslog_pid}\])?:"
+    ),
 }
 
 # grok type hints: %{INT:port:int}
@@ -47,41 +92,86 @@ _GROK_TOKEN = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
 
 _TYPE_MAP = {"int": "bigint", "long": "bigint", "float": "double", "double": "double"}
 
+_MAX_DEPTH = 16
+
 
 @dataclass(frozen=True)
 class CompiledGrok:
-    regex: str  # full regex with one capture group per field
+    regex: str  # numbered-group regex (JVM engine); group i+1 = fields[i]
+    regex_named: str  # named-group regex (pandas engine), same traversal order
     fields: tuple[str, ...]  # field names in group order
     types: dict[str, str]  # field -> spark type (default string)
 
 
 def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> CompiledGrok:
-    """Expand %{NAME:field[:type]} tokens into capture groups; everything
-    between tokens is escaped literally."""
+    """Expand %{NAME:field[:type]} tokens (recursively through the library)
+    into capture groups; literal text in the user pattern is escaped."""
     lib = dict(GROK_PATTERNS)
     if extra_patterns:
         lib.update(extra_patterns)
-    out: list[str] = []
     fields: list[str] = []
     types: dict[str, str] = {}
-    pos = 0
-    for m in _GROK_TOKEN.finditer(pattern):
-        out.append(re.escape(pattern[pos : m.start()]))
-        name, field, typ = m.group(1), m.group(2), m.group(3)
-        if name not in lib:
-            raise ValueError(f"unknown grok pattern %{{{name}}}")
-        if field:
-            fields.append(field)
-            out.append(f"({lib[name]})")
-            if typ:
-                if typ not in _TYPE_MAP:
-                    raise ValueError(f"unknown grok type {typ!r} for field {field!r}")
-                types[field] = _TYPE_MAP[typ]
-        else:
-            out.append(f"(?:{lib[name]})")
-        pos = m.end()
-    out.append(re.escape(pattern[pos:]))
-    return CompiledGrok(regex="".join(out), fields=tuple(fields), types=types)
+
+    def add_field(field: str, typ: str | None) -> None:
+        if field in fields:
+            raise ValueError(f"duplicate grok field {field!r}")
+        fields.append(field)
+        if typ:
+            if typ not in _TYPE_MAP:
+                raise ValueError(f"unknown grok type {typ!r} for field {field!r}")
+            types[field] = _TYPE_MAP[typ]
+
+    def expand(pat: str, escape_literals: bool, stack: tuple[str, ...]) -> tuple[str, str]:
+        if len(stack) > _MAX_DEPTH:
+            raise ValueError(f"grok expansion too deep (cycle?): {' -> '.join(stack)}")
+        num: list[str] = []
+        named: list[str] = []
+        pos = 0
+        for m in _GROK_TOKEN.finditer(pat):
+            lit = pat[pos : m.start()]
+            if escape_literals:
+                lit = re.escape(lit)
+            num.append(lit)
+            named.append(lit)
+            name, field, typ = m.group(1), m.group(2), m.group(3)
+            if name not in lib:
+                raise ValueError(f"unknown grok pattern %{{{name}}}")
+            if name in stack:
+                raise ValueError(f"grok pattern cycle: {' -> '.join(stack + (name,))}")
+            if field:
+                # outer group opens before any subgroups inside the body,
+                # so register the field before recursing
+                add_field(field, typ)
+            body = lib[name]
+            if "%{" in body:
+                sub_num, sub_named = expand(body, False, stack + (name,))
+            else:
+                sub_num = sub_named = body
+            if field:
+                num.append(f"({sub_num})")
+                named.append(f"(?P<{field}>{sub_named})")
+            else:
+                num.append(f"(?:{sub_num})")
+                named.append(f"(?:{sub_named})")
+            pos = m.end()
+        lit = pat[pos:]
+        if escape_literals:
+            lit = re.escape(lit)
+        num.append(lit)
+        named.append(lit)
+        return "".join(num), "".join(named)
+
+    regex, regex_named = expand(pattern, True, ())
+    # invariant: every capture group in the numbered regex is one field
+    n_groups = re.compile(regex).groups
+    if n_groups != len(fields):
+        raise AssertionError(
+            f"grok compile drift: {n_groups} groups vs {len(fields)} fields "
+            f"(a library entry contains a bare capturing group?)"
+        )
+    return CompiledGrok(
+        regex=regex, regex_named=regex_named, fields=tuple(fields), types=types
+    )
 
 
 def apply_grok(
@@ -110,31 +200,18 @@ def _extract_sql(text_col: str, regex: str, group: int) -> str:
 
 
 def _apply_grok_pandas(df: DataFrame, cg: CompiledGrok, text_col: str) -> DataFrame:
-    # single named-group regex: one vectorized extract for all fields
-    idx = 0
-
-    def _name_group(m: re.Match) -> str:
-        nonlocal idx
-        g = m.group(0)
-        if g == "(" and idx < len(cg.fields):
-            name = cg.fields[idx]
-            idx += 1
-            return f"(?P<{name}>"
-        return g
-
-    # only bare "(" that start capture groups (compile_grok emits "(?:" for
-    # non-capturing) get names
-    named = re.sub(r"\((?!\?)", _name_group, cg.regex)
-
     out_schema = ", ".join(f"{c} {t}" for c, t in df.dtypes) + ", " + ", ".join(
         f"{f} {cg.types.get(f, 'string')}" for f in cg.fields
     )
+    named = cg.regex_named
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        # re.ASCII: match Java-regex (builtin engine) / RE2 (oracle) \w, \b
+        pat = re.compile(named, re.ASCII)
         for pdf in it:
-            extracted = pdf[text_col].astype("string").str.extract(named)
+            extracted = pdf[text_col].astype("string").str.extract(pat)
             for f_name in cg.fields:
                 col = extracted[f_name]
                 if cg.types.get(f_name) == "bigint":

@@ -5,12 +5,43 @@ this is the canonical "shuffle on a high-cardinality key" job, and the
 group key is a fixed-width digest rather than the document body, so shuffle
 bytes stay tiny). Near-dup (MinHash/LSH, SimHash) builds on the same
 shingle → hash → band primitives.
+
+Hash primitives are pluggable (``hasher=``):
+
+- ``"xx"``   — ``xxhash64``: the fast production default (one JVM intrinsic
+  per shingle, no intermediate strings).
+- ``"md5"``  — a *portable* hash: ``conv(substr(md5(s || '#' || seed),1,15),
+  16,10)`` → the same positive 60-bit BIGINT in Spark and in DuckDB
+  (``cast('0x' || substr(md5(...),1,15) AS BIGINT)``). This is what the
+  oracle queries use, so the full minhash→band→pair pipeline is
+  value-verified against an independent engine; a pytest asserts both
+  hashers find the same planted near-duplicates.
+
+Scale guards: ``lsh_candidate_pairs`` caps bucket width before the
+self-join (a degenerate band shared by k docs would otherwise emit k²/2
+pairs in one task — the "stop words of dedup"; true exact duplicates are
+caught upstream by ``dedup_exact`` anyway, so dropping an over-wide LSH
+bucket loses nothing but redundant candidates).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..hashing import portable_hash
+
+#: widest LSH bucket allowed into the candidate self-join (pairs per bucket
+#: are then ≤ cap²/2 regardless of input skew)
+DEFAULT_MAX_BUCKET = 200
+
+
+def _hash_fn(hasher: str):
+    if hasher == "md5":
+        return portable_hash
+    if hasher == "xx":
+        return lambda col, seed=0: F.xxhash64(col, F.lit(seed))
+    raise ValueError(f"unknown hasher {hasher!r} (expected 'xx' or 'md5')")
 
 
 def fingerprint(col: str = "text") -> "F.Column":
@@ -53,42 +84,75 @@ def shingles(docs: DataFrame, n: int = 3, col: str = "text") -> DataFrame:
     return docs.select("doc_id", sh.alias("shingles"))
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, n: int = 3, hasher: str = "xx"
+) -> DataFrame:
     """MinHash signature per doc: for seed k, min over shingles of
-    xxhash64(shingle, k). One explode-free pass: aggregate over the shingle
-    array with transform+array_min per seed — all JVM-side."""
+    hash(shingle, k). One explode-free pass: array_min over a transform of
+    the shingle array per seed — all JVM-side, whole-stage codegen."""
+    h = _hash_fn(hasher)
     sh = shingles(docs, n=n)
+
+    def seeded(k: int):
+        # one-arg lambda: a two-arg lambda would make transform() pass the
+        # array index as the second argument
+        return lambda s: h(s, k)
+
     sig_cols = [
-        F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(k)))
-        ).alias(f"mh_{k}")
+        F.array_min(F.transform(F.col("shingles"), seeded(k))).alias(f"mh_{k}")
         for k in range(num_hashes)
     ]
     return sh.select("doc_id", *sig_cols)
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    hasher: str = "xx",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Band the signature, bucket-join docs sharing a band hash → candidate
     near-dup pairs (doc_a < doc_b). The self-join shuffles only
-    (band_id, band_hash, doc_id) triples."""
+    (band_id, band_hash, doc_id) triples.
+
+    ``max_bucket_size`` bounds the worst case: buckets wider than the cap
+    (boilerplate / empty docs sharing one signature) are dropped before the
+    self-join, so no single key can produce O(k²) pairs — the dedup analog
+    of stop-word removal. Exact duplicates inside such a bucket are still
+    caught by ``dedup_exact``. Pass ``None`` to disable (small data only).
+    """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes=num_hashes, n=n)
+    h = _hash_fn(hasher)
+    sigs = minhash_signatures(docs, num_hashes=num_hashes, n=n, hasher=hasher)
+
+    def band_hash(b: int) -> Column:
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hasher == "md5":
+            # portable: md5 over the '|'-joined decimal strings (dual-dialect)
+            return portable_hash(F.concat_ws("|", *[c.cast("string") for c in cols]))
+        return F.xxhash64(*cols)
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("band_hash"),
-            )
+            F.struct(F.lit(b).alias("band_id"), band_hash(b).alias("band_hash"))
             for b in range(bands)
         ]
     )
     banded = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
         "doc_id", "band.band_id", "band.band_hash"
     )
+    if max_bucket_size is not None:
+        # one extra shuffle on the same key the self-join uses; AQE reuses
+        # the exchange. Over-wide buckets never reach the join.
+        ok = (
+            banded.groupBy("band_id", "band_hash")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        banded = banded.join(ok, ["band_id", "band_hash"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -103,42 +167,74 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word tokens: per bit, sign of the sum of token
-    hash bits. Pure built-ins: explode-free via aggregate over the token
-    array."""
+def simhash(docs: DataFrame, bits: int = 64, hasher: str = "xx") -> DataFrame:
+    """SimHash over distinct word tokens, single pass: ONE ``aggregate``
+    traversal of the token array accumulates all ``bits`` signed counters
+    via ``zip_with`` (the per-bit-traversal formulation is O(bits×tokens)
+    passes; this is O(tokens) with a bits-wide accumulator row)."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in 1..64")
+    h = _hash_fn(hasher)
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-    bit_cols = []
-    for i in range(bits):
-        # +1 when token hash has bit i set, else -1; sum sign = simhash bit
-        contrib = F.aggregate(
-            toks,
-            F.lit(0).cast("long"),
-            lambda acc, t: acc
-            + F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+
+    def contrib(t: Column) -> Column:
+        hv = h(t)
+        # call_function: the F.shiftright wrapper only takes a Python int
+        # for numBits, but the SQL function accepts a column (the lambda's
+        # bit index)
+        return F.transform(
+            bit_idx,
+            lambda i: F.when(
+                F.call_function("shiftright", hv, i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)).cast("long"),
         )
-        bit_cols.append(F.when(contrib > 0, F.lit(1).cast("long")).otherwise(0).alias(f"b{i}"))
-    with_bits = docs.select("doc_id", *bit_cols)
-    sig = None
-    for i in range(bits):
-        term = F.col(f"b{i}") * F.lit(2**i if i < 63 else -(2**63))
-        sig = term if sig is None else sig + term
-    return with_bits.select("doc_id", sig.alias("simhash"))
+
+    counters = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(acc, contrib(t), lambda a, c: a + c),
+    )
+    # pack sign bits into one BIGINT (bit 63 is the sign bit)
+    powers = F.array(
+        *[F.lit(2**i if i < 63 else -(2**63)).cast("long") for i in range(bits)]
+    )
+    sig = F.aggregate(
+        F.zip_with(counters, powers, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return docs.select("doc_id", sig.alias("simhash"))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    hasher: str = "xx",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates (two-stage: cheap LSH cut,
     exact verify on survivors only — the scale path; brute-force all-pairs
-    is O(N²) and never runs at 100 TB)."""
-    cand = lsh_candidate_pairs(docs, n=n)
+    is O(N²) and never runs at 100 TB).
+
+    Jaccard is reported as ``jaccard10k`` = floor(|∩|·10000 / |∪|) — exact
+    integer division, identical in any engine and hashable by the driver.
+    """
+    cand = lsh_candidate_pairs(docs, n=n, hasher=hasher, max_bucket_size=max_bucket_size)
     sh = shingles(docs, n=n)
     j = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+        cand.join(
+            sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"),
+            "doc_a",
         )
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"),
+            "doc_b",
+        )
+        .withColumn("jaccard10k", F.expr("(size(array_intersect(sh_a, sh_b)) * 10000L) div size(array_union(sh_a, sh_b))"))
     )
-    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    return j.filter(F.col("jaccard10k") >= int(threshold * 10000)).select(
+        "doc_a", "doc_b", "jaccard10k"
+    )

@@ -15,6 +15,7 @@ Conventions that keep value-hashes stable across engines:
 
 from __future__ import annotations
 
+from .hashing import portable_hash_sql
 from .ops.text import STOPWORDS
 from .transcripts import (
     role_meta_values_duckdb,
@@ -49,11 +50,10 @@ _WITH_PARSED = f"WITH {TURNS_CTE}, {PARSED_CTE}"
 
 
 def _arith_gate(pct: float, seed: int = 0, bound: str = "lt") -> str:
+    # mirror of route.gate_arith: portable hash of 'conv_id|turn_idx' mod 100
     op = "<=" if bound == "le" else "<"
-    return (
-        f"((cast(substr(conv_id, 6) AS BIGINT) * 131 + turn_idx + {seed * 7919}) % 100) "
-        f"{op} {pct}"
-    )
+    key = "concat(conv_id, '|', cast(turn_idx AS VARCHAR))"
+    return f"({portable_hash_sql(key, seed)} % 100) {op} {pct}"
 
 
 # ---------------------------------------------------------------------------
@@ -188,6 +188,24 @@ ORACLES["es_daily_counts"] = f"""
 {_WITH_PARSED}
 SELECT strftime(ts, '%Y.%m.%d') AS index_day, count(*) AS cnt
 FROM parsed GROUP BY 1
+"""
+
+# COMMONAPACHELOG grok round-trip: the Spark side constructs a deterministic
+# apache line per turn and grok-parses it back; the oracle reconstructs each
+# field directly from the same inputs, so any regex/field drift mismatches.
+ORACLES["grok_apache_commonlog"] = f"""
+WITH {TURNS_CTE}
+SELECT conv_id, turn_idx,
+  concat('10.', cast(turn_idx % 200 AS VARCHAR), '.0.1') AS clientip,
+  '-' AS ident,
+  role AS auth,
+  concat(strftime(ts, '%d/%b/%Y:%H:%M:%S'), ' +0000') AS apache_ts,
+  'GET' AS verb,
+  concat('/conv/', conv_id, '/turn/', cast(turn_idx AS VARCHAR)) AS request,
+  '1.1' AS httpversion,
+  cast(200 + (turn_idx % 4) * 100 AS BIGINT) AS response,
+  cast(length(text) AS BIGINT) AS bytes
+FROM turns
 """
 
 ORACLES["stable_turn_order"] = f"""
@@ -433,4 +451,143 @@ SELECT doc_id,
        cast(unnest(generate_series(0, (doc_id * 977) % 60000, 1000)) AS BIGINT)
          AS frame_ts_ms
 FROM documents WHERE doc_id % 3 = 2
+"""
+
+# ---------------------------------------------------------------------------
+# Hash-dependent dedup ops — full oracles via the portable md5 hash
+# (hashing.py): the identical minhash → band → bucket-cap → pair pipeline
+# re-expressed in DuckDB list/lambda SQL.
+# ---------------------------------------------------------------------------
+
+# mirror of ops.dedup.shingles (n=3): split on \s+, sliding 3-gram joins,
+# distinct; docs shorter than n collapse to one whole-text shingle
+_SHINGLE_CTES = r"""tk AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+      THEN list_distinct(list_transform(range(0, len(toks) - 2),
+             i -> array_to_string(toks[i + 1 : i + 3], ' ')))
+      ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM tk
+)"""
+
+_NUM_HASHES = 16
+_BANDS = 4
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+_MAX_BUCKET = 200  # ops.dedup.DEFAULT_MAX_BUCKET
+
+_MH_COLS = ", ".join(
+    f"list_min(list_transform(sh, s -> {portable_hash_sql('s', k)})) AS mh_{k}"
+    for k in range(_NUM_HASHES)
+)
+
+_SIGS_CTE = f"sigs AS (SELECT doc_id, {_MH_COLS} FROM sh)"
+
+ORACLES["minhash_signatures"] = f"""
+WITH {_SHINGLE_CTES}, {_SIGS_CTE}
+SELECT * FROM sigs
+"""
+
+
+def _band_hash_sql(b: int) -> str:
+    # mirror of ops.dedup band_hash (md5 hasher): portable hash of the
+    # '|'-joined decimal strings of the band's minhash values, seed 0
+    joined = ", '|', ".join(
+        f"cast(mh_{b * _ROWS_PER_BAND + r} AS VARCHAR)" for r in range(_ROWS_PER_BAND)
+    )
+    return portable_hash_sql(f"concat({joined})", 0)
+
+
+_BANDED_CTE = "banded AS (\n" + "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_id, {_band_hash_sql(b)} AS band_hash FROM sigs"
+    for b in range(_BANDS)
+) + "\n)"
+
+# bucket-width cap before the self-join (ops.dedup.DEFAULT_MAX_BUCKET)
+_CAPPED_CTE = f"""capped AS (
+  SELECT doc_id, band_id, band_hash FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS bw FROM banded
+  ) WHERE bw <= {_MAX_BUCKET}
+)"""
+
+_PAIRS_SQL = """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM capped a JOIN capped b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
+
+ORACLES["lsh_candidate_pairs"] = f"""
+WITH {_SHINGLE_CTES}, {_SIGS_CTE}, {_BANDED_CTE}, {_CAPPED_CTE}
+{_PAIRS_SQL}
+"""
+
+# exact n-gram Jaccard on LSH survivors; integer-exact jaccard10k
+ORACLES["ngram_jaccard_pairs"] = f"""
+WITH {_SHINGLE_CTES}, {_SIGS_CTE}, {_BANDED_CTE}, {_CAPPED_CTE},
+pairs AS ({_PAIRS_SQL})
+SELECT doc_a, doc_b, jaccard10k FROM (
+  SELECT p.doc_a, p.doc_b,
+    cast((len(list_intersect(a.sh, b.sh)) * 10000)
+         // len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS jaccard10k
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b
+)
+WHERE jaccard10k >= 3000
+"""
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    """mirror of ops.dedup.simhash (md5 hasher): per distinct token t,
+    bit i of portable_hash(t) votes +1/-1; sign of the vote sum is bit i
+    of the signature."""
+    tok_hash = portable_hash_sql("t", 0)
+    terms = []
+    for i in range(bits):
+        weight = 2**i if i < 63 else -(2**63)
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(hv, h -> "
+            f"CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {weight} ELSE 0 END)"
+        )
+    packed = " + ".join(terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk
+  FROM documents
+),
+hs AS (SELECT doc_id, list_transform(tk, t -> {tok_hash}) AS hv FROM toks)
+SELECT doc_id, cast({packed} AS BIGINT) AS simhash FROM hs
+"""
+
+
+ORACLES["simhash_docs"] = _simhash_oracle(16)
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: the fake decode is deterministic arithmetic over the
+# payload bytes, so even the mapInPandas path gets a full value oracle
+# (byte sum via hex-pair parsing of the UTF-8 blob).
+# ---------------------------------------------------------------------------
+
+ORACLES["multimodal_features"] = """
+WITH m AS (
+  SELECT doc_id,
+         (['image', 'audio', 'video'])[cast(doc_id % 3 AS INT) + 1] AS media_type,
+         encode(text) AS payload
+  FROM documents
+),
+f AS (
+  SELECT doc_id, media_type,
+         cast(coalesce(octet_length(payload), 0) AS BIGINT) AS n_bytes,
+         cast(coalesce(list_sum(list_transform(range(0, octet_length(payload)),
+              i -> cast(concat('0x', substr(hex(payload), 2 * i + 1, 2)) AS INT))), 0)
+           AS BIGINT) AS checksum
+  FROM m
+)
+SELECT doc_id, media_type, n_bytes, checksum,
+       to_json(list_transform(range(1, 9),
+               k -> cast((k * (checksum + 1)) % 997 AS INT))) AS feat_q
+FROM f
 """

@@ -129,28 +129,40 @@ def _parse_pandas(df: DataFrame) -> DataFrame:
     )
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import json
-
         import pandas as pd
+
+        # re.ASCII: the builtin engine is Java regex and the oracle is RE2,
+        # both ASCII \w — Python's Unicode \w would silently diverge on
+        # non-ASCII field values (e.g. 'level=ÉRROR')
+        pat_log_type = re.compile(r"log_type=(\w+)", re.ASCII)
+        pat_level = re.compile(r"level=(\w+)", re.ASCII)
+        pat_latency = re.compile(r"latency_ms=(-?\d+)", re.ASCII)
+        pat_msg = re.compile(r'msg="([^"]*)"', re.ASCII)
 
         for pdf in it:
             text = pdf["text"].astype("string")
             is_json = text.str.startswith("{").fillna(False)
             # vectorized KV extraction: one C-level pass per field
             out = pdf.copy()
-            out["log_type"] = text.str.extract(r"log_type=(\w+)", expand=False)
-            out["level"] = text.str.extract(r"level=(\w+)", expand=False)
+            out["log_type"] = text.str.extract(pat_log_type, expand=False)
+            out["level"] = text.str.extract(pat_level, expand=False)
             out["latency_ms"] = pd.to_numeric(
-                text.str.extract(r"latency_ms=(-?\d+)", expand=False), errors="coerce"
+                text.str.extract(pat_latency, expand=False), errors="coerce"
             ).astype("Int64")
-            out["msg"] = text.str.extract(r'msg="([^"]*)"', expand=False)
+            out["msg"] = text.str.extract(pat_msg, expand=False)
             if is_json.any():
                 # JSON rows are a small slice; parse them batch-wise
                 js = text[is_json].map(_safe_json_fields)
                 out.loc[is_json, "log_type"] = js.map(lambda d: d.get("log_type"))
                 out.loc[is_json, "level"] = js.map(lambda d: d.get("level"))
-                out.loc[is_json, "latency_ms"] = pd.array(
-                    [d.get("latency_ms") for d in js], dtype="Int64"
+                # to_numeric+integral-mask mirrors builtin try_cast-to-BIGINT
+                # (a JSON latency of 12.5 must yield null, not crash the job)
+                lat = pd.to_numeric(
+                    pd.Series([d.get("latency_ms") for d in js], index=js.index),
+                    errors="coerce",
+                )
+                out.loc[is_json, "latency_ms"] = lat.where(lat.mod(1) == 0).astype(
+                    "Int64"
                 )
                 out.loc[is_json, "msg"] = js.map(lambda d: d.get("message"))
             yield out[list(pdf.columns) + PARSED_FIELDS]

@@ -78,6 +78,14 @@ def config_from_dict(d: dict) -> PipelineConfig:
     surface, server/config.go:9-28). Validates what the reference silently
     mishandles: duplicate sink names and >1 route per sink
     (server.go:124-132 binds only the first match)."""
+    sink_types = {name: s.get("type") for name, s in d.get("sinks", {}).items()}
+
+    def default_bound(sink: str) -> str:
+        # the reference's S3 output samples with '<=' where every other
+        # sink uses '<' (s3.go:308 vs tcp.go:65) — a YAML author gets the
+        # quirk without having to know it exists
+        return "le" if sink_types.get(sink) == "s3" else "lt"
+
     routes = [
         Route(
             name=r.get("name", f"route{i}"),
@@ -85,7 +93,7 @@ def config_from_dict(d: dict) -> PipelineConfig:
             rules=dict(r.get("rules", {})),
             sample_pct=float(r.get("sample_size", 100)),
             enforce_rules=bool(r.get("enforce_rules", True)),
-            sample_bound=r.get("sample_bound", "lt"),
+            sample_bound=r.get("sample_bound", default_bound(r["output"])),
         )
         for i, r in enumerate(d.get("routes", []))
     ]
@@ -110,9 +118,13 @@ def build(
     """turns → (parsed+enriched upstream, {sink_name: routed branch})."""
     parsed = parse_turns(turns, engine=cfg.parse_engine)
     if cfg.ingest_sample_pct < 100:
-        from .route import sample
+        from .route import INGEST_SEED, sample
 
-        parsed = sample(parsed, cfg.ingest_sample_pct, mode=cfg.sample_mode)
+        # fixed ingest seed, independent of every per-route seed — stacked
+        # ingest+sink gates compound like the reference's per-event RandInt
+        parsed = sample(
+            parsed, cfg.ingest_sample_pct, mode=cfg.sample_mode, seed=INGEST_SEED
+        )
     enriched = enrich(parsed, tr.role_meta(spark), tr.tool_meta(spark))
     enriched = observe_parse_metrics(enriched)
     if persist:
@@ -131,8 +143,10 @@ def run_batch(
 ) -> dict[str, dict]:
     """Execute the full pipeline; returns {sink: {rows, aggregates...}}.
 
-    When ``out_dir`` is set, every sink writes its files and its aggregate
-    tables under ``{out_dir}/{sink}/``. Sinks are driven by ``concurrency``
+    When ``out_dir`` is set, every sink writes its event files under
+    ``{out_dir}/{sink}/`` and its aggregate tables under
+    ``{out_dir}/aggregates/{sink}/by_{key}`` (the same layout
+    lineage.run_resumable uses). Sinks are driven by ``concurrency``
     submission threads — the batch equivalent of the reference's
     concurrently-draining per-sink goroutines (server/server.go:140-144).
     Concurrent jobs fill the task slots a sequential job's stage barrier

@@ -24,11 +24,14 @@ Reference semantics re-expressed columnar (SURVEY.md §2.1 #6-#11):
 
 from __future__ import annotations
 
+import zlib
 from dataclasses import dataclass, field
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .hashing import portable_hash
 
 
 @dataclass(frozen=True)
@@ -72,16 +75,13 @@ def rule_predicate(df: DataFrame, rules: dict[str, str]) -> Column:
 
 def gate_arith(pct: float, bound: str = "lt", seed: int = 0) -> Column:
     """Deterministic, cross-engine-reproducible gate used for oracle tests:
-    a fixed mix of the numeric lineage key (conv number, turn_idx) mod 100.
-    Expressible identically in ANSI SQL (DuckDB oracle). Different `seed`s
-    give independent gates so input+sink double-sampling genuinely
-    compounds (SURVEY.md §2.1 quirk: sampling applied twice)."""
-    mix = (
-        F.substring(F.col("conv_id"), 6, 10).try_cast("bigint") * F.lit(131)
-        + F.col("turn_idx")
-        + F.lit(seed * 7919)
-    )
-    bucket = F.pmod(mix, F.lit(100))
+    portable md5 hash of the full lineage key (conv_id, turn_idx) mod 100 —
+    shape-agnostic (no assumption about the conv_id format), uniform, and
+    expressible identically in ANSI SQL (DuckDB oracle, hashing.py).
+    Different `seed`s give independent gates so input+sink double-sampling
+    genuinely compounds (SURVEY.md §2.1 quirk: sampling applied twice)."""
+    key = F.concat_ws("|", F.col("conv_id"), F.col("turn_idx").cast("string"))
+    bucket = F.pmod(portable_hash(key, seed), F.lit(100))
     return bucket <= F.lit(pct) if bound == "le" else bucket < F.lit(pct)
 
 
@@ -100,24 +100,49 @@ def gate_rand(pct: float, seed: int = 42, bound: str = "lt") -> Column:
     return r <= F.lit(pct) if bound == "le" else r < F.lit(pct)
 
 
+#: fixed seed for the ingest-side gate (parser.go:142,176 analog)
+INGEST_SEED = 1
+
 _GATES = {"arith": gate_arith, "rand": gate_rand}
 
 
-def sample(df: DataFrame, pct: float, mode: str = "hash", bound: str = "lt") -> DataFrame:
+def route_seed(name: str) -> int:
+    """Stable per-route sampling seed. The reference draws an independent
+    RandInt per sink per event (server/rand.go:8-11), so ingest sampling and
+    every sink's sampling are mutually independent and stacked gates
+    compound (50% ingest × 50% sink ≈ 25%). Deriving the seed from the
+    route name keeps that independence while staying deterministic across
+    runs and cluster sizes."""
+    return zlib.crc32(name.encode("utf-8")) & 0x7FFFFFFF
+
+
+def sample(
+    df: DataFrame, pct: float, mode: str = "hash", bound: str = "lt", seed: int = 42
+) -> DataFrame:
     if pct >= 100 and bound == "lt":
         return df  # default config: pass-through, no predicate at all
     if mode == "hash":
-        return df.filter(gate_hash(pct, bound=bound))
-    return df.filter(_GATES[mode](pct, bound=bound))
+        return df.filter(gate_hash(pct, bound=bound, seed=seed))
+    if mode == "rand":
+        return df.filter(gate_rand(pct, bound=bound, seed=seed))
+    return df.filter(gate_arith(pct, bound=bound, seed=seed))
 
 
 def apply_route(df: DataFrame, route: Route, sample_mode: str = "hash") -> DataFrame:
-    """rules filter (if enforced) + per-sink sample."""
+    """rules filter (if enforced) + per-sink sample (independent seed per
+    route, so sinks with pct<100 select independent subsets and stacking on
+    the ingest gate compounds — reference parity, see route_seed)."""
     out = df
     if route.enforce_rules and route.rules:
         out = out.filter(rule_predicate(df, route.rules))
     if route.sample_pct < 100 or route.sample_bound == "le":
-        out = sample(out, route.sample_pct, mode=sample_mode, bound=route.sample_bound)
+        out = sample(
+            out,
+            route.sample_pct,
+            mode=sample_mode,
+            bound=route.sample_bound,
+            seed=route_seed(route.name),
+        )
     return out
 
 

@@ -187,3 +187,64 @@ WRITERS = {
     "tcp": write_tcp,
     "websocket": write_websocket,
 }
+
+
+# ---------------------------------------------------------------------------
+# Schema DDL artifact — the ES index-template analog
+# ---------------------------------------------------------------------------
+
+#: per-kind Iceberg partition transforms, mirroring each sink's layout:
+#: ES = daily index (elasticsearch.go:80-86), S3 = time slice (s3.go:115),
+#: redis = one queue per partition (redis.go:196-198)
+_PARTITION_SPECS: dict[str, list[str]] = {
+    "es": ["days(ts)"],
+    "s3": ["hours(ts)"],
+    "redis": ["queue"],
+    "tcp": [],
+    "websocket": [],
+}
+
+_PROJECTIONS = {
+    "es": lambda df, opts: es_project(df),
+    "s3": lambda df, opts: s3_project(df, opts.get("slice_fmt", "yyyy-MM-dd-HH")),
+    "redis": lambda df, opts: redis_project(df, opts.get("copy_queues", ["q1"])),
+    "tcp": lambda df, opts: tcp_project(df),
+    "websocket": lambda df, opts: websocket_project(df),
+}
+
+
+def sink_ddl(
+    spec: SinkSpec, df: DataFrame, catalog_table: str | None = None
+) -> str:
+    """Emit the `CREATE TABLE` DDL for a sink's output schema — the analog
+    of the reference's Elasticsearch index-template install
+    (output/elasticsearch/index-template.go:3-99: it declares field types +
+    layout before any data flows; here the DataFrame schema IS the source
+    of truth and this renders it as an Iceberg table spec).
+
+    The DDL is what a deployment against a real catalog would run once at
+    pipeline start; in this sandbox it is a generated artifact (tested by
+    round-trip in tests/test_pipeline.py). `ts` is injected for the
+    time-partitioned kinds whose projection carries the event time only in
+    derived form."""
+    proj = _PROJECTIONS[spec.kind](df, spec.options)
+    cols = dict(proj.dtypes)
+    if spec.kind in ("es", "s3") and "ts" not in cols:
+        # partition source column: days(ts)/hours(ts) need the raw event time
+        cols["ts"] = "timestamp"
+    table = catalog_table or f"logzoom.sinks.{spec.name}"
+    col_lines = ",\n  ".join(f"{c} {t.upper()}" for c, t in cols.items())
+    parts = _PARTITION_SPECS[spec.kind]
+    partition_clause = (
+        f"\nPARTITIONED BY ({', '.join(parts)})" if parts else ""
+    )
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} (\n  {col_lines}\n)\n"
+        f"USING iceberg{partition_clause}\n"
+        f"TBLPROPERTIES ('write.format.default' = 'parquet')"
+    )
+
+
+def all_sink_ddls(sinks: dict[str, SinkSpec], df: DataFrame) -> dict[str, str]:
+    """One DDL statement per configured sink (pipeline-start artifact)."""
+    return {name: sink_ddl(spec, df) for name, spec in sinks.items()}

@@ -82,6 +82,50 @@ def run_streaming(
     return writer.start()
 
 
+def read_queue_stream(
+    spark: SparkSession, input_dir: str, batch_files: int = 1
+) -> DataFrame:
+    """Queue-shaped source: one text line per queued message, consumed in
+    bounded batches — the redismq MultiGet contract (input/redis/redis.go:
+    49-66: poll up to 10,000 messages, process, MultiAck). Here a file is a
+    queue segment; ``batch_files`` bounds how many segments one micro-batch
+    consumes (the MultiGet batch bound), and the checkpoint WAL is the ack:
+    a message is never re-delivered after its batch commits, and always
+    re-delivered if the job dies before the commit (at-least-once)."""
+    return (
+        spark.readStream.option("maxFilesPerTrigger", batch_files)
+        .text(input_dir)
+        .withColumnRenamed("value", "payload")
+    )
+
+
+def decode_queue_messages(msgs: DataFrame, json_decode: bool = True) -> DataFrame:
+    """`json_decode` toggle parity (input/redis/redis.go:75-93):
+
+    - ``json_decode=True``: each payload must be a JSON event; undecodable
+      payloads are DROPPED — but counted via an observe metric where the
+      reference drops them silently (redis.go:85-88 `continue`s without
+      even a log line). The event's text rides in `$.text`.
+    - ``json_decode=False``: the raw payload IS the event text; nothing is
+      dropped.
+
+    Works on both batch and streaming DataFrames (observe is supported on
+    streams; counts surface per micro-batch in QueryProgress)."""
+    if not json_decode:
+        return msgs.select(F.col("payload").alias("text"))
+    decoded = msgs.select(
+        F.get_json_object("payload", "$.text").alias("text"),
+        F.get_json_object("payload", "$.conv_id").alias("conv_id"),
+        F.get_json_object("payload", "$.turn_idx").try_cast("int").alias("turn_idx"),
+    )
+    observed = decoded.observe(
+        "queue_decode",
+        F.count(F.lit(1)).alias("msgs_in"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("msgs_dropped"),
+    )
+    return observed.filter(F.col("text").isNotNull())
+
+
 def streaming_distinct_sources(
     turns_stream: DataFrame, ttl: str = "10 minutes", bucket: str = "10 minutes"
 ) -> DataFrame:

@@ -56,6 +56,85 @@ def test_engines_identical_on_fixture(spark, tiny_turns):
     )
 
 
+def test_literal_parens_align_named_groups():
+    """Regression (ADVICE r1): escaped literal '(' in the pattern text must
+    NOT shift named-group assignment in the pandas regex."""
+    cg = compile_grok("pid(%{INT:pid:int}) level=%{WORD:level}")
+    line = "pid(42) level=WARN"
+    m_num = re.search(cg.regex, line)
+    assert m_num and m_num.groups() == ("42", "WARN")
+    m_named = re.search(cg.regex_named, line)
+    assert m_named and m_named.group("pid") == "42" and m_named.group("level") == "WARN"
+
+
+@pytest.mark.parametrize("engine", ["builtin", "pandas"])
+def test_literal_parens_engines_agree(spark, engine):
+    df = spark.createDataFrame([("pid(42) level=WARN",), ("nope",)], "text string")
+    out = apply_grok(df, "pid(%{INT:pid:int}) level=%{WORD:level}", engine=engine)
+    rows = sorted(out.collect(), key=lambda r: r.text)
+    assert (rows[1].pid, rows[1].level) == (42, "WARN")
+    assert rows[0].pid is None and rows[0].level is None
+
+
+def test_recursive_library_expansion():
+    # IPORHOST references IP and HOSTNAME; TIME references HOUR/MINUTE/SECOND
+    cg = compile_grok("%{IPORHOST:host} %{TIME:t}")
+    m = re.search(cg.regex, "web-01.example.com 12:34:56")
+    assert m and m.group(1) == "web-01.example.com" and m.group(2) == "12:34:56"
+    m2 = re.search(cg.regex, "10.1.2.3 23:59:01")
+    assert m2 and m2.group(1) == "10.1.2.3"
+
+
+def test_composite_commonapachelog_subfields():
+    cg = compile_grok("%{COMMONAPACHELOG}")
+    line = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326'
+    m = re.search(cg.regex, line)
+    assert m is not None
+    by_field = dict(zip(cg.fields, m.groups()))
+    assert by_field["clientip"] == "127.0.0.1"
+    assert by_field["auth"] == "frank"
+    assert by_field["timestamp"] == "10/Oct/2000:13:55:36 -0700"
+    assert by_field["verb"] == "GET"
+    assert by_field["request"] == "/apache_pb.gif"
+    assert by_field["response"] == "200"
+    assert by_field["bytes"] == "2326"
+    # named regex agrees field-by-field
+    mn = re.search(cg.regex_named, line)
+    assert mn.group("clientip") == "127.0.0.1" and mn.group("bytes") == "2326"
+
+
+def test_combined_and_syslog_composites():
+    cg = compile_grok("%{COMBINEDAPACHELOG}")
+    line = (
+        '10.0.0.5 - - [16/Aug/2026:01:02:03 +0000] "POST /submit HTTP/1.1" 302 512 '
+        '"http://ref.example/" "curl/8.0"'
+    )
+    m = re.search(cg.regex_named, line)
+    assert m and m.group("referrer") == '"http://ref.example/"' and m.group("agent") == '"curl/8.0"'
+    cg2 = compile_grok("%{SYSLOGBASE} %{GREEDYDATA:msg}")
+    m2 = re.search(cg2.regex_named, "Aug  6 09:01:02 host-1 sshd[1234]: accepted")
+    assert m2 and m2.group("syslog_program") == "sshd" and m2.group("syslog_pid") == "1234"
+    assert m2.group("msg") == "accepted"
+
+
+def test_cycle_and_duplicate_field_rejected():
+    with pytest.raises(ValueError, match="cycle"):
+        compile_grok("%{A:x}", extra_patterns={"A": "%{B}", "B": "%{A}"})
+    with pytest.raises(ValueError, match="duplicate"):
+        compile_grok("%{INT:x} %{INT:x}")
+
+
+def test_pandas_ascii_word_semantics(spark):
+    """\\w must be ASCII in the pandas engine (Java/RE2 parity): a non-ASCII
+    level value fails to parse identically in both engines."""
+    df = spark.createDataFrame([("level=ÉRROR",), ("level=OK7",)], "text string")
+    a = {r.text: r.lvl for r in apply_grok(df, "level=%{WORD:lvl}", engine="builtin").collect()}
+    b = {r.text: r.lvl for r in apply_grok(df, "level=%{WORD:lvl}", engine="pandas").collect()}
+    assert a == b
+    assert a["level=OK7"] == "OK7"
+    assert a["level=ÉRROR"] is None
+
+
 def test_ip_and_timestamp_patterns():
     cg = compile_grok("%{IP:ip} at %{TIMESTAMP_ISO8601:when}")
     m = re.search(cg.regex, "10.1.2.3 at 2024-01-02T03:04:05.123Z boom")

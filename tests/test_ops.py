@@ -42,8 +42,65 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(df, n=2).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
-    j = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard_pairs(df, n=2, threshold=0.3).collect()}
-    assert j.get((1, 2), 0) > 0.5
+    j = {(r.doc_a, r.doc_b): r.jaccard10k for r in dedup.ngram_jaccard_pairs(df, n=2, threshold=0.3).collect()}
+    assert j.get((1, 2), 0) > 5000
+
+
+def test_minhash_hashers_agree_on_near_dups(spark):
+    """The portable md5 hasher (oracle path) and the xxhash64 fast path must
+    find the same planted near-duplicate set."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base.replace("today", "tonight")),
+        (3, "completely unrelated text about spark parquet shuffles and joins"),
+        (4, base.replace("quick", "slow")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    xx = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(df, n=2, hasher="xx").collect()}
+    md = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(df, n=2, hasher="md5").collect()}
+    for pairs in (xx, md):
+        # the strong near-dup always collides; the unrelated doc never does
+        # ((1,4) is borderline-similarity and legitimately hasher-dependent)
+        assert (1, 2) in pairs
+        assert not any(3 in p for p in pairs)
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """1,000 identical docs share every band signature: without a cap the
+    self-join would emit ~500k pairs from one bucket (the O(k²) task the
+    cap exists to prevent); with the cap the bucket is dropped entirely
+    while a normal near-dup pair elsewhere still surfaces. Exact dups are
+    dedup_exact's job, so dropping the degenerate bucket loses nothing."""
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, boiler) for i in range(1000)]
+    rows += [(2001, base), (2002, base.replace("today", "tonight"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.lsh_candidate_pairs(df, n=2, max_bucket_size=100).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in capped}
+    assert (2001, 2002) in pairs
+    assert len(pairs) == 1  # no pair from the 1000-wide bucket
+    # and the exact-dup path still catches the boilerplate group
+    exact = {r.dup_cnt for r in dedup.dedup_exact(df).collect()}
+    assert 1000 in exact
+
+
+@pytest.mark.parametrize("hasher", ["xx", "md5"])
+def test_simhash_single_pass_64_bits(spark, hasher):
+    """64-bit single-pass simhash: similar docs land closer in hamming
+    distance than dissimilar ones, for both hash engines."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(df, bits=64, hasher=hasher).collect()}
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+    with pytest.raises(ValueError):
+        dedup.simhash(df, bits=0)
 
 
 def test_simhash_similar_docs_close(spark):

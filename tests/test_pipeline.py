@@ -114,6 +114,74 @@ def test_config_from_dict_roundtrip(spark, turns, tmp_path):
     assert 0 < res["s_a"]["rows"] < turns.count()
 
 
+def test_example_yaml_roundtrip(spark, turns, tmp_path):
+    """examples/pipeline.yml loads and runs; the s3 sink inherits the '<='
+    sample bound by default (s3.go:308 quirk) without the author asking."""
+    from pathlib import Path
+
+    from logzoom_spark.pipeline import config_from_yaml
+
+    cfg = config_from_yaml(str(Path(__file__).parent.parent / "examples/pipeline.yml"))
+    assert set(cfg.sinks) == {
+        "type1_redis", "type2_redis", "errors_s3", "all_es", "tail_tcp", "live_ws",
+    }
+    by_sink = {r.sink: r for r in cfg.routes}
+    assert by_sink["errors_s3"].sample_bound == "le"  # derived from sink type
+    assert by_sink["type1_redis"].sample_bound == "lt"
+    assert by_sink["all_es"].enforce_rules is False
+    res = run_batch(spark, turns, cfg, out_dir=str(tmp_path / "oyml"))
+    assert res["all_es"]["rows"] == turns.count()
+    assert 0 < res["errors_s3"]["rows"] <= res["type1_redis"]["rows"]
+
+
+def test_stacked_sampling_compounds(spark, turns):
+    """Ingest gate × sink gate must compound like the reference's
+    independent per-event RandInt (server/rand.go:8-11): 50% × 50% ≈ 25%,
+    not min(50,50)=50. Regression for the shared-seed bug (ADVICE r1)."""
+    from logzoom_spark.pipeline import PipelineConfig, build
+    from logzoom_spark.route import Route
+    from logzoom_spark import sinks as sk
+
+    cfg = PipelineConfig(
+        routes=[
+            Route("rA", "sA", {}, sample_pct=50.0),
+            Route("rB", "sB", {}, sample_pct=50.0),
+        ],
+        sinks={"sA": sk.SinkSpec("sA", "tcp"), "sB": sk.SinkSpec("sB", "tcp")},
+        ingest_sample_pct=50.0,
+    )
+    _, branches = build(spark, turns, cfg, persist=False)
+    n = turns.count()
+    n_a, n_b = branches["sA"].count(), branches["sB"].count()
+    assert 0.15 * n < n_a < 0.35 * n  # compounded ≈ 25%, not 50%
+    assert 0.15 * n < n_b < 0.35 * n
+    # distinct seeds ⇒ the two sinks pick different (overlapping) subsets
+    a_ids = {(r.conv_id, r.turn_idx) for r in branches["sA"].select("conv_id", "turn_idx").collect()}
+    b_ids = {(r.conv_id, r.turn_idx) for r in branches["sB"].select("conv_id", "turn_idx").collect()}
+    assert a_ids != b_ids and a_ids & b_ids
+
+
+def test_sink_ddl_artifact(spark, turns):
+    """sink_ddl: the index-template analog — every sink's schema renders as
+    an Iceberg CREATE TABLE with the kind's partition transform."""
+    from logzoom_spark import sinks as sk
+    from logzoom_spark.parse import parse_turns
+
+    parsed = parse_turns(turns)
+    cfg = default_config()
+    ddls = sk.all_sink_ddls(cfg.sinks, parsed)
+    assert set(ddls) == set(cfg.sinks)
+    es = ddls["sink_es"]
+    assert "CREATE TABLE IF NOT EXISTS logzoom.sinks.sink_es" in es
+    assert "PARTITIONED BY (days(ts))" in es and "USING iceberg" in es
+    assert "index_day STRING" in es and "ts TIMESTAMP" in es
+    assert "PARTITIONED BY (hours(ts))" in ddls["sink_s3"]
+    assert "PARTITIONED BY (queue)" in ddls["sink_redis_a"]
+    assert "PARTITIONED BY" not in ddls["sink_tcp"]
+    # line format column present for tcp
+    assert "line STRING" in ddls["sink_tcp"]
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         config_from_dict(

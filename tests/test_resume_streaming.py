@@ -143,3 +143,81 @@ def test_streaming_stateful_aggregates(spark, turns, tmp_path):
     assert {c for c in spark.sql("select * from rates").columns} == {
         "window", "role", "cnt",
     }
+
+
+# ---------------------------------------------------------------------------
+# Queue-shaped source semantics (SURVEY.md §2.1 #4, input/redis/redis.go)
+# ---------------------------------------------------------------------------
+
+
+def _write_queue_segments(tmp_path, n_files=6, msgs_per_file=10):
+    """Queue segments: each file is one MultiGet batch of JSON payloads,
+    with one undecodable message planted per file (redis.go:85-88)."""
+    qdir = tmp_path / "queue"
+    qdir.mkdir()
+    good = 0
+    for i in range(n_files):
+        lines = []
+        for j in range(msgs_per_file):
+            if j == 3:
+                lines.append("not json at all {")
+            else:
+                lines.append(
+                    '{"text": "level=INFO log_type=log_type1 msg=\\"m\\"", '
+                    f'"conv_id": "c{i}", "turn_idx": {j}}}'
+                )
+                good += 1
+        (qdir / f"segment-{i:04d}.txt").write_text("\n".join(lines) + "\n")
+    return str(qdir), good, n_files * msgs_per_file
+
+
+def test_queue_json_decode_drops_and_counts(spark, tmp_path):
+    """json_decode=true: undecodable payloads are dropped (reference parity)
+    but COUNTED via the observe metric — never silently lost here."""
+    from logzoom_spark.streaming import decode_queue_messages
+
+    qdir, good, total = _write_queue_segments(tmp_path)
+    msgs = spark.read.text(qdir).withColumnRenamed("value", "payload")
+    decoded = decode_queue_messages(msgs, json_decode=True)
+    assert decoded.count() == good  # bad payloads dropped, good ones typed
+    assert {"text", "conv_id", "turn_idx"} <= set(decoded.columns)
+    # json_decode=false: raw payloads pass through, nothing dropped
+    raw = decode_queue_messages(msgs, json_decode=False)
+    assert raw.count() == total
+    assert raw.columns == ["text"]
+
+
+def test_queue_stream_batch_consume_and_drop_metrics(spark, tmp_path):
+    """Streaming path: maxFilesPerTrigger bounds each micro-batch (MultiGet
+    batch-of-N contract) and the per-batch observe metrics surface the
+    silent-drop count in QueryProgress."""
+    from logzoom_spark.streaming import decode_queue_messages, read_queue_stream
+
+    qdir, good, total = _write_queue_segments(tmp_path, n_files=6)
+    stream = read_queue_stream(spark, qdir, batch_files=2)
+    decoded = decode_queue_messages(stream, json_decode=True)
+    q = (
+        decoded.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("queue_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql("select * from queue_out")
+    assert out.count() == good  # bad payloads dropped
+    # 6 segments / 2 per trigger = 3 data micro-batches; each reported its
+    # decode metrics (msgs_in, msgs_dropped)
+    import json as _json
+
+    progress = []
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        if d.get("numInputRows", 0) > 0:
+            progress.append(d)
+    assert len(progress) == 3
+    dropped = sum(
+        p["observedMetrics"]["queue_decode"]["msgs_dropped"] for p in progress
+    )
+    ins = sum(p["observedMetrics"]["queue_decode"]["msgs_in"] for p in progress)
+    assert (ins, dropped) == (total, total - good)
