@@ -189,3 +189,27 @@ def test_config_validation():
         )
     with pytest.raises(ValueError):
         config_from_dict({"routes": [{"output": "ghost"}], "sinks": {}})
+
+
+def test_lineage_columns_from_file_metadata(spark, tmp_path):
+    """iceberg.with_lineage_columns: `_file`/`_pos` provenance via the
+    file-source _metadata struct — real row positions on plain parquet
+    (SURVEY §1.2 row 3; the row-level refinement of the group manifest)."""
+    from logzoom_spark import iceberg
+
+    p = str(tmp_path / "t")
+    spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(2).write.parquet(p)
+    df = iceberg.with_lineage_columns(spark.read.parquet(p))
+    rows = df.collect()
+    assert len(rows) == 100
+    assert all(r._file.endswith(".parquet") for r in rows)
+    # row_index restarts at 0 within each file and is dense
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r._file, []).append(r._pos)
+    for poss in by_file.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # DDL artifact renders the bucketed/day-partitioned spec
+    ddl = iceberg.create_table_ddl("cat.db.turns", buckets=32)
+    assert "PARTITIONED BY (days(ts), bucket(32, conv_id))" in ddl
+    assert "USING iceberg" in ddl
