@@ -177,7 +177,9 @@ def main() -> None:
                 )
                 _noop(combined)
 
-            with ThreadPoolExecutor(max_workers=4) as pool:
+            # one worker per branch: a smaller pool serializes branch tails
+            # and the serial fraction is what caps N->4N scaling (Amdahl)
+            with ThreadPoolExecutor(max_workers=len(branches)) as pool:
                 list(pool.map(drain, branches.values()))
         finally:
             upstream.unpersist()

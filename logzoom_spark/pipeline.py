@@ -139,7 +139,7 @@ def run_batch(
     cfg: PipelineConfig | None = None,
     out_dir: str | None = None,
     write_mode: str = "overwrite",
-    concurrency: int = 4,
+    concurrency: int = 6,
 ) -> dict[str, dict]:
     """Execute the full pipeline; returns {sink: {rows, aggregates...}}.
 

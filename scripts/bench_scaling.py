@@ -79,7 +79,7 @@ def routing_e2e():
             combined, _ = agg.window_counts_multi(
                 br, list(cfg.agg_keys), 300, persist=False)
             noop(combined)
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=len(branches)) as pool:
             list(pool.map(drain, branches.values()))
     finally:
         upstream.unpersist()
