@@ -467,6 +467,17 @@ def q_embedding_norms_by_label(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.norms_by_label(_read(spark, sf, "embeddings"))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ivf_topk(_read(spark, sf, "embeddings"), 0, 10)
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # threshold 0.3: the synthetic embeddings are near-orthogonal random
+    # vectors (max pair cos ≈ 0.4), so a production-style 0.9 threshold
+    # would make the oracle trivially empty; 0.3 exercises the verify math
+    return similarity.cosine_dup_pairs(_read(spark, sf, "embeddings"), threshold=0.3)
+
+
 def q_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.attach_fake_media(_read(spark, sf, "documents"))
     out = multimodal.frame_sample_plan(media)
@@ -561,7 +572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_norms_by_label": q_embedding_norms_by_label,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "frame_sample_plan": q_frame_sample_plan,
         # hash-dependent ops (portable md5 hash -> full DuckDB oracles)
         "minhash_signatures": q_minhash_signatures,

@@ -59,6 +59,132 @@ def norms_by_label(emb: DataFrame, scale: int = 1000) -> DataFrame:
     )
 
 
+def _hyperplane(p: int, dims: int = 64) -> Column:
+    """Deterministic pseudo-random hyperplane p (integer pattern, exactly
+    reproducible in SQL — see lsh_bucket_topk docstring)."""
+    return F.array(
+        *[
+            F.lit(((p * 1315423911 + j * 2654435761) % 2001) - 1000).cast("bigint")
+            for j in range(dims)
+        ]
+    )
+
+
+def _bucket_expr(v: Column, planes: int) -> Column:
+    bucket = None
+    for p in range(planes):
+        bit = F.when(dot(v, _hyperplane(p)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket * 2 + bit
+    return bucket.cast("bigint")
+
+
+def cosine_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 8,
+    scale: int = 1000,
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space analog of
+    MinHash near-dup: hyperplane-LSH buckets bound the candidate set, exact
+    (quantized-integer) cosine verifies survivors. No all-pairs join ever
+    runs; shuffle carries (bucket, vec_id, quantized vector) only, and
+    over-wide buckets are dropped before the self-join (same "stop words"
+    cap as ops.dedup.lsh_candidate_pairs).
+
+    Exactness without sqrt: cos(a,b) >= t  <=>  dot >= 0 and
+    dot^2 * 100 >= t^2*100 * |a|^2 * |b|^2 — all BIGINT arithmetic
+    (quantized entries ≤ ~1000, 64 dims → dot^2·100 < 2^63), identical in
+    any engine. Reported as ``cos2_pct`` = dot²·100 div (|a|²·|b|²).
+    """
+    v = quantize(F.col("embedding"), scale)
+    withb = emb.select(
+        "vec_id",
+        v.alias("v"),
+        dot(v, v).alias("norm2"),
+        _bucket_expr(v, planes).alias("bucket"),
+    )
+    if max_bucket_size is not None:
+        ok = (
+            withb.groupBy("bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("bucket")
+        )
+        withb = withb.join(ok, "bucket", "left_semi")
+    a, b = withb.alias("a"), withb.alias("b")
+    d = dot(F.col("a.v"), F.col("b.v"))
+    t2_100 = int(round(threshold * threshold * 100))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            d.alias("dot"),
+            (F.col("a.norm2") * F.col("b.norm2")).alias("nn"),
+        )
+        .withColumn("cos2_pct", F.expr("(dot * dot * 100) div nn"))
+        .filter((F.col("dot") >= 0) & (F.col("cos2_pct") >= t2_100))
+    )
+    return pairs.select("vec_a", "vec_b", "cos2_pct").distinct()
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer assigns every vector to its
+    nearest of `n_cells` centroids; a query probes only its `n_probe`
+    nearest cells. Centroids are the first `n_cells` stored vectors (a
+    deterministic, SQL-expressible stand-in for k-means — a real deployment
+    plugs trained centroids into the same plan).
+
+    Plan shape at scale: centroid table broadcast (KBs) against the scan —
+    the fact side never shuffles for assignment; at write time the cell id
+    becomes a partition column so a probe scans n_probe/n_cells of the
+    data. Tie-free argmax: order = dot·n_cells − cell is unique per
+    (dot, cell), so assignment is deterministic in every engine."""
+    v = quantize(F.col("embedding"), scale)
+    base = emb.select("vec_id", v.alias("v"))
+    cents = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    scored_cells = base.join(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cell",
+        (dot(F.col("v"), F.col("cv")) * n_cells - F.col("cell")).alias("ord"),
+    )
+    # group by (vec_id, v): v is functionally dependent on vec_id, carrying
+    # it through the grouping avoids a second join to re-attach the vector
+    assigned = scored_cells.groupBy("vec_id", "v").agg(
+        F.max_by("cell", "ord").alias("cell")
+    )
+    qrow = base.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    probe = (
+        cents.join(F.broadcast(qrow))
+        .select("cell", (dot(F.col("cv"), F.col("qv")) * n_cells - F.col("cell")).alias("qord"))
+        .orderBy(F.desc("qord"))
+        .limit(n_probe)
+        .select("cell")
+    )
+    cand = assigned.join(F.broadcast(probe), "cell", "left_semi").filter(
+        F.col("vec_id") != query_vec_id
+    )
+    out = cand.join(F.broadcast(qrow)).select(
+        "vec_id", dot(F.col("v"), F.col("qv")).alias("dot")
+    )
+    return out.orderBy(F.desc("dot"), F.asc("vec_id")).limit(k)
+
+
 def lsh_bucket_topk(
     emb: DataFrame, query_vec_id: int = 0, k: int = 10, planes: int = 8, scale: int = 1000
 ) -> DataFrame:

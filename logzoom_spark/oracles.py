@@ -446,6 +446,76 @@ LIMIT 10
 
 ORACLES["ann_lsh_topk"] = _lsh_oracle()
 
+
+def _bucket_sql(planes: int = 8, dims: int = 64, q: str = "q") -> str:
+    """Hyperplane-bucket expression over quantized list `q` (mirror of
+    ops.similarity._bucket_expr with the same deterministic planes)."""
+    terms = []
+    for p in range(planes):
+        vals = [((p * 1315423911 + j * 2654435761) % 2001) - 1000 for j in range(dims)]
+        lit = "[" + ", ".join(str(v) for v in vals) + "]"
+        weight = 2 ** (planes - 1 - p)
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dims + 1}), "
+            f"i -> {q}[i] * ({lit})[i])) >= 0 THEN {weight} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+# embedding-cosine near-dup (ops.similarity.cosine_dup_pairs): hyperplane
+# buckets (capped) -> exact integer cosine-squared verify, threshold 0.3
+# (cos2_pct >= 9; synthetic embeddings are near-orthogonal, see entry)
+ORACLES["embedding_dup_pairs"] = f"""
+WITH qv AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
+wb AS (
+  SELECT vec_id, q,
+         cast(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS BIGINT) AS norm2,
+         ({_bucket_sql()}) AS bucket
+  FROM qv
+),
+capped AS (
+  SELECT vec_id, q, norm2, bucket FROM (
+    SELECT *, count(*) OVER (PARTITION BY bucket) AS bw FROM wb
+  ) WHERE bw <= 500
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.norm2 AS na, b.norm2 AS nb,
+         cast(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT) AS d
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT DISTINCT vec_a, vec_b, cos2_pct FROM (
+  SELECT vec_a, vec_b, d, cast((d * d * 100) // (na * nb) AS BIGINT) AS cos2_pct
+  FROM pairs
+) WHERE d >= 0 AND cos2_pct >= 9
+"""
+
+# IVF ANN (ops.similarity.ivf_topk): first-16-vectors coarse quantizer,
+# tie-free argmax assignment (ord = dot*n_cells - cell), probe top-4 cells
+ORACLES["ann_ivf_topk"] = f"""
+WITH qv AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
+cents AS (SELECT vec_id AS cell, q AS cv FROM qv WHERE vec_id < 16),
+scored AS (
+  SELECT v.vec_id, v.q, c.cell,
+         cast(list_sum(list_transform(range(1, 65), i -> v.q[i] * c.cv[i])) AS BIGINT)
+           * 16 - c.cell AS ord
+  FROM qv v CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, q, arg_max(cell, ord) AS cell FROM scored GROUP BY vec_id, q),
+qrow AS (SELECT q AS qq FROM qv WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM cents, qrow
+  ORDER BY cast(list_sum(list_transform(range(1, 65), i -> cv[i] * qq[i])) AS BIGINT)
+           * 16 - cell DESC
+  LIMIT 4
+)
+SELECT a.vec_id,
+       cast(list_sum(list_transform(range(1, 65), i -> a.q[i] * qrow.qq[i])) AS BIGINT) AS dot
+FROM assigned a, qrow
+WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0
+ORDER BY dot DESC, a.vec_id
+LIMIT 10
+"""
+
 ORACLES["frame_sample_plan"] = """
 SELECT doc_id,
        cast(unnest(generate_series(0, (doc_id * 977) % 60000, 1000)) AS BIGINT)

@@ -181,3 +181,34 @@ def test_frame_sample_plan(spark, docs):
     one = plan.groupBy("doc_id").count().first()
     meta = {r.doc_id: r.duration_ms for r in media.filter(F.col("media_type") == "video").collect()}
     assert one["count"] == meta[one["doc_id"]] // 1000 + 1
+
+
+def test_ivf_topk_results_are_exact_dots(spark, emb):
+    """IVF probes a subset of cells; every returned (vec_id, dot) must
+    equal the exact brute-force dot for that vector (recall may be <1 —
+    that's the IVF tradeoff — but returned scores are never wrong)."""
+    got = similarity.ivf_topk(emb, 0, 10).collect()
+    assert len(got) >= 1
+    brute = {r.vec_id: r.dot for r in similarity.brute_force_topk(emb, 0, 500).collect()}
+    for r in got:
+        assert brute[r.vec_id] == r.dot
+
+
+def test_cosine_dup_pairs_planted(spark):
+    """A vector and its tiny perturbation must pair (cos ~ 1); orthogonal
+    vectors must not."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=64).astype("float32")
+    b = a + rng.normal(scale=0.01, size=64).astype("float32")  # near-dup of a
+    c = rng.normal(size=64).astype("float32")  # unrelated
+    rows = [
+        (0, [float(x) for x in a], 0),
+        (1, [float(x) for x in b], 0),
+        (2, [float(x) for x in c], 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r.vec_a, r.vec_b): r.cos2_pct for r in similarity.cosine_dup_pairs(df, 0.9).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 95
+    assert (0, 2) not in pairs and (1, 2) not in pairs
