@@ -140,6 +140,58 @@ def streaming_distinct_sources(
     )
 
 
+def stateful_sessionize(turns_stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: assign a
+    per-conversation session id that survives ACROSS micro-batches (a gap
+    > ``gap_seconds`` between consecutive turns starts a new session).
+
+    This is the streaming twin of the batch `sessionize_gaps` window query
+    — but where the batch version sees the whole conversation at once, the
+    stream carries (last_ts, session_counter) as typed state per conv_id,
+    exactly like the reference's long-lived per-source state maps
+    (output/websocket/websocket.go:111-138). Arrow-batched: one pandas
+    frame per (group, batch), no per-row Python.
+
+    Rows are expected in turn_idx order within a group per batch (Spark
+    delivers all of a group's batch rows together; the function sorts
+    defensively)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, turn_idx int, session_id bigint"
+    state_schema = "last_ts double, sess long"
+
+    def assign(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (conv_id,) = key
+        last_ts, sess = state.get if state.exists else (None, 0)
+        frames = [pdf for pdf in pdfs]
+        pdf = pd.concat(frames).sort_values("turn_idx")
+        epochs = pdf["ts"].map(lambda t: t.timestamp())
+        out_sess = []
+        for e in epochs:
+            if last_ts is not None and e - last_ts > gap_seconds:
+                sess += 1
+            last_ts = e
+            out_sess.append(sess)
+        state.update((last_ts, sess))
+        yield pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "turn_idx": pdf["turn_idx"].to_numpy(),
+                "session_id": out_sess,
+            }
+        )
+
+    return (
+        turns_stream.select("conv_id", "turn_idx", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            assign, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def streaming_rate_counts(
     turns_stream: DataFrame, bucket: str = "1 second", watermark: str = "30 seconds"
 ) -> DataFrame:

@@ -221,3 +221,63 @@ def test_queue_stream_batch_consume_and_drop_metrics(spark, tmp_path):
     )
     ins = sum(p["observedMetrics"]["queue_decode"]["msgs_in"] for p in progress)
     assert (ins, dropped) == (total, total - good)
+
+
+def test_stateful_sessionize_state_survives_microbatches(spark, tmp_path):
+    """applyInPandasWithState sessionizer: the (last_ts, session) state must
+    carry across micro-batches, so a gap that straddles a batch boundary
+    still opens a new session — and the final assignment equals the batch
+    window-function sessionization over the union."""
+    import datetime as dt
+
+    from logzoom_spark.streaming import stateful_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(batch):
+        if batch == 0:
+            return [
+                ("cA", 0, t0), ("cA", 1, t0 + dt.timedelta(minutes=5)),
+                ("cB", 0, t0),
+            ]
+        return [
+            # cA: 40-min gap since batch-0's last turn -> NEW session, and
+            # the stream only knows that if state crossed the batch boundary
+            ("cA", 2, t0 + dt.timedelta(minutes=45)),
+            ("cA", 3, t0 + dt.timedelta(minutes=50)),
+            # cB: 10-min gap -> same session
+            ("cB", 1, t0 + dt.timedelta(minutes=10)),
+        ]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "conv_id string, turn_idx int, ts timestamp"
+    for b in (0, 1):
+        spark.createDataFrame(rows(b), schema).coalesce(1).write.parquet(
+            str(src / f"b{b}"), mode="overwrite"
+        )
+    # one file-batch per trigger: batch b0 then b1 (lexicographic file order
+    # isn't guaranteed, so read dirs via a glob stream with 1 file/trigger
+    # and verify against order-insensitive expectations)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/b*")
+    )
+    q = (
+        stateful_sessionize(stream, gap_seconds=1800)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.conv_id, r.turn_idx): r.session_id
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    assert got == {
+        ("cA", 0): 0, ("cA", 1): 0, ("cA", 2): 1, ("cA", 3): 1,
+        ("cB", 0): 0, ("cB", 1): 0,
+    }
