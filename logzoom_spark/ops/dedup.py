@@ -26,7 +26,7 @@ bucket loses nothing but redundant candidates).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..hashing import portable_hash
@@ -144,15 +144,15 @@ def lsh_candidate_pairs(
         "doc_id", "band.band_id", "band.band_hash"
     )
     if max_bucket_size is not None:
-        # one extra shuffle on the same key the self-join uses; AQE reuses
-        # the exchange. Over-wide buckets never reach the join.
-        ok = (
-            banded.groupBy("band_id", "band_hash")
-            .count()
-            .filter(F.col("count") <= max_bucket_size)
-            .select("band_id", "band_hash")
+        # window count over the SAME key the self-join shuffles on — the
+        # exchange is shared, so the cap costs no extra shuffle. Over-wide
+        # buckets never reach the join.
+        w = Window.partitionBy("band_id", "band_hash")
+        banded = (
+            banded.withColumn("bw", F.count(F.lit(1)).over(w))
+            .filter(F.col("bw") <= max_bucket_size)
+            .drop("bw")
         )
-        banded = banded.join(ok, ["band_id", "band_hash"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
