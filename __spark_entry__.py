@@ -478,6 +478,26 @@ def q_embedding_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_dup_pairs(_read(spark, sf, "embeddings"), threshold=0.3)
 
 
+def q_kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct sketch (deterministic alternative to HLL): estimated
+    distinct user_id per event_type. Small groups report exact counts,
+    large groups the (k-1)·M/kth_min estimate — bit-identical across
+    engines because the sketch is a pure function of the portable hash."""
+    from logzoom_spark.ops.sketch import kmv_distinct
+
+    ev = _read(spark, sf, "events")
+    return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
+def q_latency_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact discrete p50/p95 of parse latency per log_type via rank
+    positions (no interpolation — engine-exact)."""
+    from logzoom_spark.ops.sketch import exact_percentiles_disc
+
+    p = _parsed(spark, sf).filter(F.col("log_type").isNotNull())
+    return exact_percentiles_disc(p, "log_type", "latency_ms", (0.5, 0.95))
+
+
 def q_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
     media = multimodal.attach_fake_media(_read(spark, sf, "documents"))
     out = multimodal.frame_sample_plan(media)
@@ -575,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_norms_by_label": q_embedding_norms_by_label,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "kmv_distinct_users": q_kmv_distinct_users,
+        "latency_percentiles": q_latency_percentiles,
         "frame_sample_plan": q_frame_sample_plan,
         # hash-dependent ops (portable md5 hash -> full DuckDB oracles)
         "minhash_signatures": q_minhash_signatures,

@@ -516,6 +516,46 @@ ORDER BY dot DESC, a.vec_id
 LIMIT 10
 """
 
+# KMV distinct sketch (ops.sketch.kmv_distinct, k=64): kth-min of the
+# portable hash per group; estimate (k-1)*2^60 // kth_min via HUGEINT
+# (the product overflows BIGINT; Spark uses decimal(38,0) div)
+ORACLES["kmv_distinct_users"] = f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS grp,
+         {portable_hash_sql("cast(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),
+t AS (SELECT grp, max(h) AS kth_min_hash, count(*) AS exact_k
+      FROM r WHERE rn <= 64 GROUP BY grp)
+SELECT grp AS event_type, kth_min_hash,
+  CASE WHEN exact_k < 64 THEN exact_k
+       ELSE cast(63 * cast({1 << 60} AS HUGEINT) // kth_min_hash AS BIGINT)
+  END AS est_distinct,
+  exact_k
+FROM t
+"""
+
+# exact discrete percentiles via rank positions (ops.sketch
+# .exact_percentiles_disc): value at 1-based rank ceil(p*n)
+ORACLES["latency_percentiles"] = f"""
+{_WITH_PARSED},
+base AS (
+  SELECT log_type AS grp, latency_ms AS val FROM parsed
+  WHERE log_type IS NOT NULL AND latency_ms IS NOT NULL
+),
+r AS (
+  SELECT grp, val,
+         row_number() OVER (PARTITION BY grp ORDER BY val) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM base
+)
+SELECT grp AS log_type,
+       max(CASE WHEN rn = ceil(0.5 * n) THEN val END) AS p50,
+       max(CASE WHEN rn = ceil(0.95 * n) THEN val END) AS p95
+FROM r GROUP BY grp
+"""
+
 ORACLES["frame_sample_plan"] = """
 SELECT doc_id,
        cast(unnest(generate_series(0, (doc_id * 977) % 60000, 1000)) AS BIGINT)

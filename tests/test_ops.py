@@ -212,3 +212,35 @@ def test_cosine_dup_pairs_planted(spark):
     pairs = {(r.vec_a, r.vec_b): r.cos2_pct for r in similarity.cosine_dup_pairs(df, 0.9).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] >= 95
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_kmv_distinct_estimates_within_error(spark):
+    """KMV sketch: groups under k are exact; larger groups estimate within
+    the standard ~1/sqrt(k) relative error (k=64 -> ~12.5%, assert 3x)."""
+    from logzoom_spark.ops.sketch import kmv_distinct
+
+    rows = [("small", f"u{i}") for i in range(40)]
+    rows += [("big", f"v{i % 5000}") for i in range(20000)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    out = {r.grp: r for r in kmv_distinct(df, "grp", "uid", k=64).collect()}
+    assert out["small"].est_distinct == 40 and out["small"].exact_k == 40
+    est = out["big"].est_distinct
+    assert abs(est - 5000) / 5000 < 0.375, est
+
+
+def test_exact_percentiles_disc_vs_numpy(spark):
+    """Rank-position percentiles equal numpy's 'inverted_cdf' (the
+    percentile_disc definition)."""
+    import numpy as np
+
+    from logzoom_spark.ops.sketch import exact_percentiles_disc
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1000, size=999).tolist()
+    df = spark.createDataFrame([("g", int(v)) for v in vals], "grp string, val long")
+    row = exact_percentiles_disc(df, "grp", "val", (0.5, 0.95)).first()
+    svals = sorted(vals)
+    import math
+
+    assert row.p50 == svals[math.ceil(0.5 * len(vals)) - 1]
+    assert row.p95 == svals[math.ceil(0.95 * len(vals)) - 1]
