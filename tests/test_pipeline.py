@@ -213,3 +213,42 @@ def test_lineage_columns_from_file_metadata(spark, tmp_path):
     ddl = iceberg.create_table_ddl("cat.db.turns", buckets=32)
     assert "PARTITIONED BY (days(ts), bucket(32, conv_id))" in ddl
     assert "USING iceberg" in ddl
+
+
+def test_turns_format_roundtrip(spark, turns, tmp_path):
+    """sources.read_turns: jsonl and csv land byte-identical turns (incl.
+    hostile text) back into the canonical schema; malformed lines are
+    counted via source_ok, not dropped."""
+    from logzoom_spark import sources
+
+    base = turns.limit(300)
+    want = {(r.conv_id, r.turn_idx): r.text for r in base.collect()}
+
+    jdir = str(tmp_path / "j")
+    base.coalesce(1).write.json(jdir)
+    jback = sources.read_turns(spark, jdir, "jsonl")
+    got_j = {(r.conv_id, r.turn_idx): r.text for r in jback.collect()}
+    assert got_j == want
+    assert jback.filter("NOT source_ok").count() == 0
+
+    cdir = str(tmp_path / "c")
+    base.coalesce(1).write.option("header", True).option("escape", '"').csv(cdir)
+    cback = sources.read_turns(spark, cdir, "csv")
+    got_c = {(r.conv_id, r.turn_idx): r.text for r in cback.collect()}
+    # CSV representational limits: embedded newlines need multiLine, and
+    # empty string vs null is ambiguous — jsonl is the faithful format;
+    # assert byte-equality on the unambiguous subset + row accounting
+    safe = {k: v for k, v in want.items() if v and "\n" not in v}
+    for k, v in safe.items():
+        assert got_c[k] == v
+    assert cback.count() >= len(safe)
+
+    bad = tmp_path / "badj"
+    bad.mkdir()
+    (bad / "part-000.json").write_text(
+        '{"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "ok", "tool": null, "ts": "2024-01-01T00:00:00"}\n'
+        "this is not json\n"
+    )
+    b = sources.read_turns(spark, str(bad), "jsonl")
+    assert b.count() == 2
+    assert b.filter("NOT source_ok").count() == 1
