@@ -168,8 +168,8 @@ def main() -> None:
         t0 = time.time()
         upstream, branches = build(spark, turns, cfg)
         try:
-            upstream.count()
-
+            # no pre-count barrier: branches co-build the cache under the
+            # per-block compute lock (measured faster at every level)
             def drain(br):
                 _noop(br)
                 combined, _ = agg.window_counts_multi(

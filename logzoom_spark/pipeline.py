@@ -183,9 +183,11 @@ def run_batch(
         return sink_name, info
 
     try:
-        # materialize the shared cache once before fanning out, so
-        # concurrent branches don't race to build it
-        upstream.count()
+        # NO materialization barrier before the fan-out: concurrent branch
+        # jobs co-build the shared cache (BlockManager's per-block compute
+        # lock means each cached partition is computed exactly once, later
+        # touchers wait on the lock) — the first wave of tasks fills every
+        # slot immediately instead of idling behind a serial count() pass
         if concurrency > 1:
             with ThreadPoolExecutor(max_workers=concurrency) as pool:
                 results = dict(pool.map(drain, branches.items()))

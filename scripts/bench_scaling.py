@@ -73,7 +73,6 @@ def routing_e2e():
     t0 = time.time()
     upstream, branches = build(spark, turns, cfg)
     try:
-        upstream.count()
         def drain(br):
             noop(br)
             combined, _ = agg.window_counts_multi(
