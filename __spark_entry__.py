@@ -546,6 +546,87 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components (iterative
+    hash-to-min) over the LSH candidate pairs; cluster id = min doc_id in
+    component, `is_canonical` marks the row a curation pipeline keeps."""
+    from logzoom_spark.ops.cluster import dedup_cluster_assign
+
+    docs = _read(spark, sf, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, hasher="md5")
+    return dedup_cluster_assign(docs, pairs)
+
+
+def q_heavy_hitter_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    return tx.heavy_hitter_tokens(_read(spark, sf, "documents"), k=50)
+
+
+def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return tx.gopher_quality_filter(_read(spark, sf, "documents"))
+
+
+def q_conv_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.conv_rollup(_turns(spark, sf))
+
+
+def _events_es(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _read(spark, sf, "events")
+    return ev.select(
+        "event_id", "user_id", "event_type", _epoch().alias("es")
+    )
+
+
+def q_asof_last_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each event matched to the most recent purchase (≤ its
+    ts) by the same user — union-tag-window plan, one shuffle on user_id.
+    The oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, an entirely independent
+    formulation."""
+    from logzoom_spark.ops.relational import asof_join
+
+    ev = _events_es(spark, sf)
+    left = ev.select("event_id", "user_id", "es")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("es").alias("pes"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = asof_join(left, right, "user_id", "es", "pes", ["purchase_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "es",
+        F.col("matched_ts").alias("last_purchase_es"),
+        F.col("matched_purchase_id").alias("last_purchase_id"),
+    )
+
+
+def q_range_prior_hour(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded range join: per event, how many events the same user fired
+    in the strictly-preceding hour — bucketed equi-join + residual (the
+    scale path), vs the oracle's plain inequality self-join."""
+    from logzoom_spark.ops.relational import range_join_count
+
+    ev = _events_es(spark, sf).select("event_id", "user_id", "es")
+    return range_join_count(
+        ev,
+        ev,
+        key="user_id",
+        left_epoch="es",
+        right_epoch="es",
+        lookback=3600,
+        agg_exprs={"n_prior_1h": F.count(F.col("_re"))},
+    )
+
+
+def q_media_header_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column processing with built-ins only: frame each payload
+    with a PNG-style header (magic + BE width/height), then parse the
+    fields back out of the bytes. The oracle recomputes the expected values
+    arithmetically — any framing/decode drift mismatches."""
+    media = multimodal.attach_fake_media(_read(spark, sf, "documents"))
+    return multimodal.parse_media_header(multimodal.frame_payload(media))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # transcript pipeline (SURVEY.md §2.1)
@@ -604,6 +685,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "multimodal_features": q_multimodal_features,
+        # round 2: cluster assignment, temporal joins, corpus stats
+        "dedup_clusters": q_dedup_clusters,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "gopher_quality": q_gopher_quality,
+        "conv_rollup": q_conv_rollup,
+        "asof_last_purchase": q_asof_last_purchase,
+        "range_prior_hour": q_range_prior_hour,
+        "media_header_parse": q_media_header_parse,
     }
 
 

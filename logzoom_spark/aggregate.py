@@ -117,3 +117,29 @@ def sink_partition_metrics(df: DataFrame, sink: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("rows_out"))
         .withColumn("sink", F.lit(sink))
     )
+
+
+def conv_rollup(turns: DataFrame) -> DataFrame:
+    """Two-level rollup: per-conversation stats (level 1) re-aggregated into
+    a per-size distribution (level 2) — the hypertable-rollup shape (raw →
+    hourly → daily) on the conversation axis. At scale level 1 is the only
+    shuffle that sees per-turn rows; level 2 runs over one row per
+    conversation (100 TB of turns → ~10^8 conv rows → trivially cheap)."""
+    conv = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("role").alias("n_roles"),
+        F.countDistinct("tool").alias("n_tools"),
+        (
+            F.unix_timestamp(F.max(F.col("ts").cast("timestamp")))
+            - F.unix_timestamp(F.min(F.col("ts").cast("timestamp")))
+        ).cast("bigint").alias("span_sec"),
+    )
+    return (
+        conv.groupBy("n_turns")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum("n_roles").alias("sum_roles"),
+            F.sum("n_tools").alias("sum_tools"),
+            F.max("span_sec").alias("max_span_sec"),
+        )
+    )

@@ -97,6 +97,43 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+#: 4-byte magic prefixing every framed payload (PNG-style)
+MEDIA_MAGIC_HEX = "89504E47"
+
+
+def frame_payload(media: DataFrame) -> DataFrame:
+    """Prepend a PNG-style binary header to each payload: 4-byte magic +
+    4-byte big-endian width + 4-byte big-endian height. Pure JVM built-ins
+    (`to_binary(hex)`), so framing costs no Python even at full scale."""
+    hdr_hex = F.concat(
+        F.lit(MEDIA_MAGIC_HEX),
+        F.lpad(F.hex(F.col("width")), 8, "0"),
+        F.lpad(F.hex(F.col("height")), 8, "0"),
+    )
+    framed = F.concat(F.to_binary(hdr_hex, F.lit("hex")), F.col("payload"))
+    return media.withColumn("payload", framed)
+
+
+def parse_media_header(media: DataFrame) -> DataFrame:
+    """Parse the binary header back out of the payload bytes — real
+    binary-column processing with built-ins only: `substring` on binary +
+    `conv(hex)` big-endian field decode. A metadata-only read never touches
+    the body bytes thanks to Parquet column pruning; header parsing reads
+    the column but stays fully inside whole-stage codegen."""
+    p = F.col("payload")
+    magic_ok = (F.hex(F.substring(p, 1, 4)) == MEDIA_MAGIC_HEX).cast("int")
+    width = F.conv(F.hex(F.substring(p, 5, 4)), 16, 10).cast("bigint")
+    height = F.conv(F.hex(F.substring(p, 9, 4)), 16, 10).cast("bigint")
+    return media.select(
+        "doc_id",
+        "media_type",
+        magic_ok.alias("magic_ok"),
+        width.alias("hdr_width"),
+        height.alias("hdr_height"),
+        (F.length(p) - 12).cast("bigint").alias("body_bytes"),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame timestamp
     (explode of a sequence — demonstrates fan-out of media rows into

@@ -87,3 +87,77 @@ def doc_fingerprint(docs: DataFrame, col: str = "text") -> DataFrame:
     """Whitespace/case-normalized md5 content fingerprint per doc."""
     normalized = F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
     return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+def heavy_hitter_tokens(docs: DataFrame, k: int = 50, col: str = "text") -> DataFrame:
+    """Top-k most frequent whitespace tokens corpus-wide (the vocabulary /
+    boilerplate-detection primitive). Deterministic tie-break: (count desc,
+    token asc).
+
+    Plan at scale: explode → hash-agg with map-side partial counting (the
+    per-partition combine collapses each partition's token stream to its
+    distinct tokens before the shuffle), then TakeOrdered(k) — no global
+    sort of the full vocabulary."""
+    toks = F.explode(F.split(F.lower(F.trim(F.col(col))), r"\s+")).alias("token")
+    return (
+        docs.select(toks)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+    )
+
+
+#: Gopher-style rule thresholds (Rae et al. 2021 §A1.1 shapes, simplified to
+#: integer-exact arithmetic): each failure sets a bit in `flags`
+GOPHER_MIN_TOKENS = 5
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MEAN_WORD_LEN_MIN10K = 20_000  # mean token length in [2.0, 12.0]
+GOPHER_MEAN_WORD_LEN_MAX10K = 120_000
+GOPHER_MAX_SYMBOL_RATIO10K = 1_000  # >10% #/… symbols ⇒ reject
+GOPHER_MIN_STOPWORD_HITS = 1
+
+
+def gopher_quality_filter(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Rule-based pre-training quality verdict per document, Gopher-style:
+    token-count bounds, mean-word-length band, symbol ratio, stopword
+    presence. Emits a `flags` bitmask (bit set = rule failed) and
+    `keep` = all rules passed — integer-exact so any engine agrees.
+
+    bit 0: token count out of [GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS]
+    bit 1: mean word length (×10k) out of [2.0, 12.0]
+    bit 2: symbol ratio (×10k) over threshold ('#' and ellipsis)
+    bit 3: fewer than GOPHER_MIN_STOPWORD_HITS distinct stopword hits
+    """
+    t = F.col(col)
+    n_tokens = token_count(t)
+    n_chars = F.length(t)
+    # mean word length ×10k = total non-space chars / tokens
+    non_space = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_wl10k = F.when(n_tokens == 0, F.lit(0)).otherwise(
+        (non_space.cast("bigint") * 10000) / n_tokens
+    ).cast("bigint")
+    symbols = F.length(t) - F.length(F.regexp_replace(t, r"[#…]", ""))
+    symbol_ratio10k = _ratio10k(symbols, n_chars)
+    lower_t = F.lower(t)
+    stop_hits = None
+    for w in STOPWORDS:
+        hit = F.when(lower_t.like(f"% {w} %"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    f0 = ((n_tokens < GOPHER_MIN_TOKENS) | (n_tokens > GOPHER_MAX_TOKENS)).cast("bigint")
+    f1 = (
+        (mean_wl10k < GOPHER_MEAN_WORD_LEN_MIN10K)
+        | (mean_wl10k > GOPHER_MEAN_WORD_LEN_MAX10K)
+    ).cast("bigint")
+    f2 = (symbol_ratio10k > GOPHER_MAX_SYMBOL_RATIO10K).cast("bigint")
+    f3 = (stop_hits < GOPHER_MIN_STOPWORD_HITS).cast("bigint")
+    flags = f0 + f1 * 2 + f2 * 4 + f3 * 8
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        mean_wl10k.alias("mean_word_len10k"),
+        symbol_ratio10k.alias("symbol_ratio10k"),
+        flags.alias("flags"),
+        (flags == 0).cast("int").alias("keep"),
+    )

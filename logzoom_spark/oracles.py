@@ -701,3 +701,135 @@ SELECT doc_id, media_type, n_bytes, checksum,
                k -> cast((k * (checksum + 1)) % 997 AS INT))) AS feat_q
 FROM f
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 2: cluster assignment, temporal joins, corpus stats
+# ---------------------------------------------------------------------------
+
+# connected components of the LSH pair graph via recursive CTE: min label
+# reachable = cluster id (independent formulation vs Spark's iterative
+# hash-to-min label propagation)
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLE_CTES}, {_SIGS_CTE}, {_BANDED_CTE}, {_CAPPED_CTE},
+pairs AS ({_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id,
+       CASE WHEN node = min(label) THEN 1 ELSE 0 END AS is_canonical
+FROM reach GROUP BY node
+"""
+
+ORACLES["heavy_hitter_tokens"] = r"""
+SELECT token, cnt FROM (
+  SELECT token, count(*) AS cnt
+  FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+  GROUP BY token
+)
+ORDER BY cnt DESC, token ASC
+LIMIT 50
+"""
+
+ORACLES["gopher_quality"] = f"""
+WITH q AS (
+  SELECT doc_id,
+    cast(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+    cast(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS non_space,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS symbols,
+    cast({_STOP_HITS} AS BIGINT) AS stop_hits
+  FROM documents
+), m AS (
+  SELECT doc_id, n_tokens,
+    cast(CASE WHEN n_tokens = 0 THEN 0
+         ELSE floor((non_space * 10000) / n_tokens) END AS BIGINT) AS mean_word_len10k,
+    cast(CASE WHEN n_chars = 0 THEN 0
+         ELSE floor(symbols * 1.0 / n_chars * 10000) END AS BIGINT) AS symbol_ratio10k,
+    stop_hits
+  FROM q
+)
+SELECT doc_id, n_tokens, mean_word_len10k, symbol_ratio10k,
+  cast((CASE WHEN n_tokens < 5 OR n_tokens > 100000 THEN 1 ELSE 0 END)
+     + 2 * (CASE WHEN mean_word_len10k < 20000 OR mean_word_len10k > 120000 THEN 1 ELSE 0 END)
+     + 4 * (CASE WHEN symbol_ratio10k > 1000 THEN 1 ELSE 0 END)
+     + 8 * (CASE WHEN stop_hits < 1 THEN 1 ELSE 0 END) AS BIGINT) AS flags,
+  CASE WHEN (CASE WHEN n_tokens < 5 OR n_tokens > 100000 THEN 1 ELSE 0 END)
+          + (CASE WHEN mean_word_len10k < 20000 OR mean_word_len10k > 120000 THEN 1 ELSE 0 END)
+          + (CASE WHEN symbol_ratio10k > 1000 THEN 1 ELSE 0 END)
+          + (CASE WHEN stop_hits < 1 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS keep
+FROM m
+"""
+
+ORACLES["conv_rollup"] = f"""
+WITH {TURNS_CTE},
+conv AS (
+  SELECT conv_id,
+    count(*) AS n_turns,
+    count(DISTINCT role) AS n_roles,
+    count(DISTINCT tool) AS n_tools,
+    cast(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS span_sec
+  FROM turns GROUP BY conv_id
+)
+SELECT n_turns,
+  count(*) AS n_convs,
+  cast(sum(n_roles) AS BIGINT) AS sum_roles,
+  cast(sum(n_tools) AS BIGINT) AS sum_tools,
+  max(span_sec) AS max_span_sec
+FROM conv GROUP BY n_turns
+"""
+
+# DuckDB's native ASOF LEFT JOIN — an independent engine-level formulation
+# of the same semantics as relational.asof_join's union-tag-window plan
+ORACLES["asof_last_purchase"] = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         cast(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+p AS (
+  SELECT user_id, es AS pes, max(event_id) AS purchase_id
+  FROM e WHERE event_type = 'purchase' GROUP BY user_id, es
+)
+SELECT e.event_id, e.user_id, e.es,
+       p.pes AS last_purchase_es,
+       p.purchase_id AS last_purchase_id
+FROM e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND p.pes <= e.es
+"""
+
+# plain inequality self-join (DuckDB IEJoin) vs Spark's bucketed equi-join
+ORACLES["range_prior_hour"] = """
+WITH e AS (
+  SELECT event_id, user_id, cast(floor(epoch(ts)) AS BIGINT) AS es FROM events
+)
+SELECT a.event_id, a.user_id, a.es, count(b.event_id) AS n_prior_1h
+FROM e a LEFT JOIN e b
+  ON b.user_id = a.user_id AND b.es >= a.es - 3600 AND b.es < a.es
+GROUP BY a.event_id, a.user_id, a.es
+"""
+
+# expected header fields recomputed arithmetically — verifies the binary
+# frame/parse round-trip (ops.multimodal.frame_payload/parse_media_header)
+ORACLES["media_header_parse"] = """
+SELECT doc_id,
+  CASE cast(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS media_type,
+  cast(1 AS INT) AS magic_ok,
+  cast((doc_id * 37) % 1920 + 1 AS BIGINT) AS hdr_width,
+  cast((doc_id * 53) % 1080 + 1 AS BIGINT) AS hdr_height,
+  cast(octet_length(encode(text)) AS BIGINT) AS body_bytes
+FROM documents
+"""

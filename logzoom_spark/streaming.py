@@ -202,3 +202,18 @@ def streaming_rate_counts(
         .groupBy(F.window("ts", bucket), "role")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def streaming_dedup(
+    turns_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup on the event identity (conv_id, turn_idx):
+    at-least-once sources redeliver on recovery (redismq requeues unacked
+    batches, input/redis/redis.go:66-73); this collapses redeliveries to
+    exactly-once *results*. `dropDuplicatesWithinWatermark` bounds the
+    dedup state by event time — old keys age out with the watermark instead
+    of growing forever (the unbounded-state trap of plain dropDuplicates
+    on an infinite stream)."""
+    return turns_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )

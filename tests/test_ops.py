@@ -244,3 +244,126 @@ def test_exact_percentiles_disc_vs_numpy(spark):
 
     assert row.p50 == svals[math.ceil(0.5 * len(vals)) - 1]
     assert row.p95 == svals[math.ceil(0.95 * len(vals)) - 1]
+
+
+def test_connected_components_planted_graph(spark):
+    """Two planted components + singletons: labels converge to component
+    minima regardless of edge orientation or chain length."""
+    from logzoom_spark.ops.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)], "doc_a bigint, doc_b bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "doc_id bigint")
+    out = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_dedup_cluster_assign_canonical_flags(spark):
+    from logzoom_spark.ops.cluster import dedup_cluster_assign
+
+    docs = spark.createDataFrame([(i, "x") for i in range(6)], "doc_id bigint, text string")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "doc_a bigint, doc_b bigint")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in
+            dedup_cluster_assign(docs, pairs).collect()}
+    assert rows[0] == (0, 1) and rows[3] == (0, 0) and rows[5] == (0, 0)
+    assert rows[1] == (1, 1) and rows[2] == (2, 1) and rows[4] == (4, 1)
+
+
+def test_asof_join_matches_naive(spark):
+    """Union-tag-window as-of vs a naive per-row max-filter computation."""
+    import itertools
+
+    from logzoom_spark.ops.relational import asof_join
+
+    left_rows = [(i, i % 3, 10 * i) for i in range(30)]  # (id, key, ts)
+    right_rows = [(k, t, 100 * k + t) for k, t in
+                  itertools.product(range(3), [5, 95, 150, 215])]
+    left = spark.createDataFrame(left_rows, "id bigint, k bigint, ts bigint")
+    right = spark.createDataFrame(right_rows, "k bigint, rts bigint, val bigint")
+    got = {
+        r["id"]: (r["matched_ts"], r["matched_val"])
+        for r in asof_join(left, right, "k", "ts", "rts", ["val"]).collect()
+    }
+    for (i, k, ts) in left_rows:
+        preceding = [(rt, rv) for rk, rt, rv in right_rows if rk == k and rt <= ts]
+        exp = max(preceding) if preceding else (None, None)
+        assert got[i] == exp, f"row {i}: {got[i]} != {exp}"
+
+
+def test_asof_join_tie_at_equal_ts(spark):
+    from logzoom_spark.ops.relational import asof_join
+
+    left = spark.createDataFrame([(1, 1, 100)], "id bigint, k bigint, ts bigint")
+    right = spark.createDataFrame([(1, 100, 7)], "k bigint, rts bigint, val bigint")
+    row = asof_join(left, right, "k", "ts", "rts", ["val"]).collect()[0]
+    assert (row["matched_ts"], row["matched_val"]) == (100, 7)  # <=, not <
+
+
+def test_range_join_count_matches_window(spark):
+    """Bucketed range join vs an independent window-frame formulation."""
+    from pyspark.sql import Window as W
+
+    from logzoom_spark.ops.relational import range_join_count
+
+    rows = [(i, i % 4, (i * 37) % 500) for i in range(80)]
+    df = spark.createDataFrame(rows, "id bigint, k bigint, es bigint").cache()
+    got = {
+        r["id"]: r["n"]
+        for r in range_join_count(
+            df, df, "k", "es", "es", 100, {"n": F.count(F.col("_re"))}
+        ).collect()
+    }
+    w = W.partitionBy("k").orderBy("es").rangeBetween(-100, -1)
+    exp_df = df.select("id", F.count(F.lit(1)).over(w).alias("n"))
+    # window counts rows with es in [es-100, es-1]; the range join counts
+    # es in [es-100, es) — identical on integer epochs EXCEPT same-second
+    # rows: the window frame excludes them too (range < 0), but includes
+    # OTHER rows at the exact same es-100..es-1 values including duplicates
+    exp = {r["id"]: r["n"] for r in exp_df.collect()}
+    # same-es rows: window excludes (range -1), range join excludes (< es);
+    # duplicates at same (k, es) are excluded by both
+    assert got == exp
+
+
+def test_heavy_hitters_deterministic(spark):
+    from logzoom_spark.ops.text import heavy_hitter_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a b b c c c"), (2, "c a  a"), (3, "")], "doc_id bigint, text string"
+    )
+    out = [(r["token"], r["cnt"]) for r in heavy_hitter_tokens(docs, k=2).collect()]
+    assert out == [("c", 4), ("a", 3)]
+
+
+def test_gopher_quality_flags(spark):
+    from logzoom_spark.ops.text import gopher_quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is that fine today really"),  # keep
+            (2, "a b"),  # too few tokens + no ' the ' hit
+            (3, "#### ##### ###### " + "the it is that and of in to " * 2),  # symbols
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_filter(docs).collect()}
+    assert rows[1]["keep"] == 1 and rows[1]["flags"] == 0
+    assert rows[2]["keep"] == 0 and rows[2]["flags"] & 1
+    assert rows[3]["keep"] == 0 and rows[3]["flags"] & 4
+
+
+def test_media_header_roundtrip(spark):
+    from logzoom_spark.ops import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(7, "hello"), (8, ""), (9, "日本語テキスト")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           mm.parse_media_header(mm.frame_payload(mm.attach_fake_media(docs))).collect()}
+    for did, txt in [(7, "hello"), (8, ""), (9, "日本語テキスト")]:
+        r = out[did]
+        assert r["magic_ok"] == 1
+        assert r["hdr_width"] == (did * 37) % 1920 + 1
+        assert r["hdr_height"] == (did * 53) % 1080 + 1
+        assert r["body_bytes"] == len(txt.encode("utf-8"))

@@ -281,3 +281,40 @@ def test_stateful_sessionize_state_survives_microbatches(spark, tmp_path):
         ("cA", 0): 0, ("cA", 1): 0, ("cA", 2): 1, ("cA", 3): 1,
         ("cB", 0): 0, ("cB", 1): 0,
     }
+
+
+def test_streaming_dedup_collapses_redelivery(spark, tmp_path):
+    """At-least-once redelivery (the same turns file delivered twice, as a
+    crashed-before-ack queue batch would be) collapses to unique
+    (conv_id, turn_idx) results under dropDuplicatesWithinWatermark."""
+    import datetime as dt
+
+    from logzoom_spark.streaming import TURNS_SCHEMA, streaming_dedup
+
+    rows = [
+        ("c1", i, "user", f"msg {i}", None, dt.datetime(2024, 1, 1, 0, i))
+        for i in range(5)
+    ]
+    src = str(tmp_path / "src")
+    batch = spark.createDataFrame(rows, TURNS_SCHEMA)
+    # two identical files = redelivered queue segment
+    batch.coalesce(1).write.mode("overwrite").parquet(src + "/a")
+    batch.coalesce(1).write.mode("overwrite").parquet(src + "/b")
+    stream = (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 5
+    assert got.select("conv_id", "turn_idx").distinct().count() == 5
