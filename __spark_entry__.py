@@ -627,6 +627,65 @@ def q_media_header_parse(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.parse_media_header(multimodal.frame_payload(media))
 
 
+def q_merge_docs_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO semantics (anti-join + union, one shuffle): every
+    doc_id % 7 == 0 row is updated in place ('v2 ' prefix), every
+    doc_id % 13 == 0 row re-inserts under a shifted id; all other target
+    rows persist untouched."""
+    from logzoom_spark.ops.maintenance import merge_upsert
+
+    docs = _read(spark, sf, "documents")
+    updates = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "text", F.concat(F.lit("v2 "), F.col("text"))
+    )
+    inserts = docs.filter(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    merged = merge_upsert(docs, updates.unionByName(inserts), "doc_id")
+    return merged.select(
+        "doc_id", F.md5("text").alias("text_md5"), "lang", "source", "n_chars"
+    )
+
+
+def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planner (Iceberg rewrite_data_files/binPack
+    analog): per-(lang) partition, greedily bin (source)-grouped byte
+    totals into 4 KiB output bins via a window running sum."""
+    from logzoom_spark.ops.maintenance import compaction_plan
+
+    files = (
+        _read(spark, sf, "documents")
+        .groupBy("lang", "source")
+        .agg(F.sum(F.octet_length("text")).alias("bytes"))
+    )
+    return compaction_plan(files, "lang", "source", "bytes", 4096)
+
+
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with per-table filters — the classic
+    join-reordering/pushdown workload. Broadcast the filtered customer dim,
+    shuffle-join the two facts, aggregate, TakeOrdered(10)."""
+    c = _read(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _read(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _read(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # transcript pipeline (SURVEY.md §2.1)
@@ -693,6 +752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_purchase": q_asof_last_purchase,
         "range_prior_hour": q_range_prior_hour,
         "media_header_parse": q_media_header_parse,
+        "merge_docs_upsert": q_merge_docs_upsert,
+        "compaction_plan": q_compaction_plan,
+        "tpch_q3": q_tpch_q3,
     }
 
 

@@ -833,3 +833,53 @@ SELECT doc_id,
   cast(octet_length(encode(text)) AS BIGINT) AS body_bytes
 FROM documents
 """
+
+
+# MERGE semantics: anti-join + union-all, projected to hashable columns
+ORACLES["merge_docs_upsert"] = """
+WITH u AS (
+  SELECT doc_id, concat('v2 ', text) AS text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 13 = 0
+),
+m AS (
+  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.doc_id = d.doc_id)
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars FROM u
+)
+SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars FROM m
+"""
+
+# greedy cumulative-sum bin packing per (lang) partition
+ORACLES["compaction_plan"] = """
+WITH files AS (
+  SELECT lang, source, cast(sum(octet_length(encode(text))) AS BIGINT) AS bytes
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, bytes,
+  cast(floor((sum(bytes) OVER (
+      PARTITION BY lang ORDER BY bytes DESC, source ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) - bytes) / 4096.0) AS BIGINT) AS bin
+FROM files
+"""
+
+ORACLES["tpch_q3"] = """
+SELECT l_orderkey, o_orderpriority, revenue_cents FROM (
+  SELECT l.l_orderkey, o.o_orderpriority,
+    cast(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)) AS BIGINT)
+      AS revenue_cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND l.l_shipdate > TIMESTAMP '1996-06-30'
+  GROUP BY l.l_orderkey, o.o_orderpriority
+)
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT 10
+"""

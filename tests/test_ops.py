@@ -367,3 +367,39 @@ def test_media_header_roundtrip(spark):
         assert r["hdr_width"] == (did * 37) % 1920 + 1
         assert r["hdr_height"] == (did * 53) % 1080 + 1
         assert r["body_bytes"] == len(txt.encode("utf-8"))
+
+
+def test_merge_upsert_semantics(spark):
+    from logzoom_spark.ops.maintenance import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (9, "new")], "id bigint, v string"
+    )
+    got = {r["id"]: r["v"] for r in merge_upsert(target, updates, "id").collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 9: "new"}
+
+
+def test_compaction_plan_bins_bounded(spark):
+    """No bin except possibly a single-oversized-file bin exceeds target +
+    max unit size; bins are contiguous from 0 per partition."""
+    from logzoom_spark.ops.maintenance import compaction_plan
+
+    rows = [("p1", f"f{i}", 100 + 37 * (i % 7)) for i in range(20)]
+    rows += [("p2", "big", 10_000), ("p2", "tiny", 10)]
+    files = spark.createDataFrame(rows, "part string, name string, bytes bigint")
+    out = compaction_plan(files, "part", "name", "bytes", 500).collect()
+    by_part = {}
+    for r in out:
+        by_part.setdefault(r["part"], {}).setdefault(r["bin"], []).append(r["bytes"])
+    for part, bins in by_part.items():
+        assert min(bins) == 0
+        for units in bins.values():
+            # each bin stays under target once its largest unit is excluded
+            # (an oversized unit owns its bin — and skips ids to account for
+            # its width, so ids need not be contiguous)
+            assert sum(units) - max(units) < 500
+    # p2: the 10k file fills bins 0..19 worth of space; tiny lands alone after
+    assert by_part["p2"][max(by_part["p2"])] == [10] and max(by_part["p2"]) == 20
