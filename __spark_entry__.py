@@ -686,6 +686,14 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    return tx.redact_pii(_read(spark, sf, "documents"))
+
+
+def q_repetition_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    return tx.repetition_ratio(_read(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # transcript pipeline (SURVEY.md §2.1)
@@ -755,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_docs_upsert": q_merge_docs_upsert,
         "compaction_plan": q_compaction_plan,
         "tpch_q3": q_tpch_q3,
+        "redact_pii": q_redact_pii,
+        "repetition_ratio": q_repetition_ratio,
     }
 
 

@@ -151,6 +151,15 @@ def main() -> None:
     bench("text_quality", lambda: _noop(tx.quality_features(docs)))
     bench("ann_brute_topk", lambda: similarity.brute_force_topk(emb, 0, 10).collect())
 
+    # round-2 operators (reuse the exact driver-contract query bodies)
+    import __spark_entry__ as se
+
+    bench("asof_last_purchase", lambda: _noop(se.q_asof_last_purchase(spark, sf_dir)))
+    bench("range_prior_hour", lambda: _noop(se.q_range_prior_hour(spark, sf_dir)))
+    bench("heavy_hitter_tokens", lambda: se.q_heavy_hitter_tokens(spark, sf_dir).collect())
+    bench("merge_upsert", lambda: _noop(se.q_merge_docs_upsert(spark, sf_dir)))
+    bench("gopher_quality", lambda: _noop(se.q_gopher_quality(spark, sf_dir)))
+
     # ----- headline: end-to-end routing throughput -------------------------
     # The north-star metric is turns routed/sec through
     # parse → enrich → route → aggregate; every routed branch and every

@@ -109,6 +109,52 @@ def heavy_hitter_tokens(docs: DataFrame, k: int = 50, col: str = "text") -> Data
     )
 
 
+#: redaction patterns (applied in dict order): public PII-shaped tokens
+REDACTIONS: dict[str, str] = {
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}": "<EMAIL>",
+    r"https?://[^\s]+": "<URL>",
+    r"\b(?:\d{1,3}\.){3}\d{1,3}\b": "<IP>",
+    r"\b\d{3}-\d{2}-\d{4}\b": "<SSN>",
+    r"\b(?:\d[ -]?){13,16}\b": "<CARD>",
+}
+
+
+def redact_pii(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Training-data PII scrub: replace email/URL/IP/SSN/card-shaped spans
+    with typed placeholders, count replacements per doc. Chained
+    `regexp_replace` — all JVM regex, one codegen'd projection, no Python.
+    Patterns are deliberately simple/public (regex PII scrubbing is a
+    recall floor, not a guarantee — a production pass layers an NER model
+    behind the same column contract)."""
+    red = F.col(col)
+    for pat, tag in REDACTIONS.items():
+        red = F.regexp_replace(red, pat, tag)
+    n_redacted = None
+    for tag in REDACTIONS.values():
+        # count placeholder occurrences in the redacted text
+        cnt = (F.length(red) - F.length(F.regexp_replace(red, F.lit(tag), F.lit("")))) / len(tag)
+        n_redacted = cnt if n_redacted is None else n_redacted + cnt
+    return docs.select(
+        "doc_id",
+        red.alias("clean_text"),
+        n_redacted.cast("bigint").alias("n_redacted"),
+    )
+
+
+def repetition_ratio(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Duplicate-line fraction per document (boilerplate/repetition signal,
+    one of the Gopher repetition rules): 10k-scaled share of lines that are
+    repeats of an earlier line. Array ops only — split, distinct, sizes."""
+    lines = F.split(F.col(col), r"\n")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    return docs.select(
+        "doc_id",
+        n_lines.cast("bigint").alias("n_lines"),
+        _ratio10k(n_lines - n_distinct, n_lines).alias("dup_line_ratio10k"),
+    )
+
+
 #: Gopher-style rule thresholds (Rae et al. 2021 §A1.1 shapes, simplified to
 #: integer-exact arithmetic): each failure sets a bit in `flags`
 GOPHER_MIN_TOKENS = 5

@@ -883,3 +883,38 @@ SELECT l_orderkey, o_orderpriority, revenue_cents FROM (
 ORDER BY revenue_cents DESC, l_orderkey ASC
 LIMIT 10
 """
+
+
+# PII redaction: the SQL is GENERATED from ops.text.REDACTIONS, so the
+# pattern list and application order cannot drift between engines
+def _redact_sql() -> str:
+    from .ops.text import REDACTIONS
+
+    expr = "text"
+    for pat, tag in REDACTIONS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
+    counts = " + ".join(
+        f"(length(clean_text) - length(replace(clean_text, '{tag}', ''))) / {len(tag)}"
+        for tag in REDACTIONS.values()
+    )
+    return f"""
+WITH r AS (SELECT doc_id, {expr} AS clean_text FROM documents)
+SELECT doc_id, clean_text, cast({counts} AS BIGINT) AS n_redacted FROM r
+"""
+
+
+ORACLES["redact_pii"] = _redact_sql()
+
+ORACLES["repetition_ratio"] = r"""
+WITH l AS (
+  SELECT doc_id,
+    cast(len(regexp_split_to_array(text, '\n')) AS BIGINT) AS n_lines,
+    cast(len(list_distinct(regexp_split_to_array(text, '\n'))) AS BIGINT) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_lines,
+  cast(CASE WHEN n_lines = 0 THEN 0
+       ELSE floor((n_lines - n_distinct) * 1.0 / n_lines * 10000) END AS BIGINT)
+    AS dup_line_ratio10k
+FROM l
+"""

@@ -403,3 +403,35 @@ def test_compaction_plan_bins_bounded(spark):
             assert sum(units) - max(units) < 500
     # p2: the 10k file fills bins 0..19 worth of space; tiny lands alone after
     assert by_part["p2"][max(by_part["p2"])] == [10] and max(by_part["p2"]) == 20
+
+
+def test_redact_pii_patterns(spark):
+    from logzoom_spark.ops.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at bob@example.com or visit https://x.io/a?b=1 now"),
+            (2, "server 10.0.0.1 ssn 123-45-6789 card 4111 1111 1111 1111"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert "<EMAIL>" in out[1]["clean_text"] and "<URL>" in out[1]["clean_text"]
+    assert "bob@" not in out[1]["clean_text"] and out[1]["n_redacted"] == 2
+    assert "<IP>" in out[2]["clean_text"] and "<SSN>" in out[2]["clean_text"]
+    assert "<CARD>" in out[2]["clean_text"] and out[2]["n_redacted"] == 3
+    assert out[3]["clean_text"] == "nothing sensitive here" and out[3]["n_redacted"] == 0
+
+
+def test_repetition_ratio(spark):
+    from logzoom_spark.ops.text import repetition_ratio
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na\na"), (2, "x\ny"), (3, "")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: (r["n_lines"], r["dup_line_ratio10k"]) for r in
+           repetition_ratio(docs).collect()}
+    assert out[1] == (4, 5000)  # 2 of 4 lines are repeats
+    assert out[2] == (2, 0)
+    assert out[3] == (1, 0)
