@@ -686,6 +686,24 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_salted_role_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage salted aggregation (explicit skew path): identical result
+    to a direct groupBy, verified by a plain GROUP BY oracle."""
+    return agg.salted_counts(_turns(spark, sf), "role", salt=16)
+
+
+def q_kmv_rollup_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch mergeability: daily KMV sketches merged up to per-event-type
+    distinct-user estimates — bit-identical to sketching directly (the
+    map-side partial-aggregation safety argument, value-verified)."""
+    from logzoom_spark.ops.sketch import kmv_merge_rollup
+
+    ev = _read(spark, sf, "events").withColumn(
+        "day", (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400)).cast("bigint")
+    )
+    return kmv_merge_rollup(ev, "event_type", "day", "user_id", k=64)
+
+
 def q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
     return tx.redact_pii(_read(spark, sf, "documents"))
 
@@ -765,6 +783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
+        "salted_role_counts": q_salted_role_counts,
+        "kmv_rollup_users": q_kmv_rollup_users,
     }
 
 

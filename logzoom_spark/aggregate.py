@@ -143,3 +143,21 @@ def conv_rollup(turns: DataFrame) -> DataFrame:
             F.max("span_sec").alias("max_span_sec"),
         )
     )
+
+
+def salted_counts(
+    df: DataFrame, key: str, salt: int = 16, salt_src: str = "turn_idx"
+) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys (north rule: skew
+    handled explicitly). Stage 1 aggregates on (key, salt bucket) — a hot
+    key's rows spread over `salt` reducers instead of one straggler; stage
+    2 merges the per-salt partials (≤ salt rows per key — trivial).
+    Result is provably identical to the direct groupBy (oracle-verified);
+    use when a key's row count is orders of magnitude above the median and
+    AQE's skew handling isn't available (e.g. pre-3.0 clusters or
+    non-join aggregations over raw rows)."""
+    stage1 = (
+        df.groupBy(key, F.pmod(F.col(salt_src), F.lit(salt)).alias("_salt"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return stage1.groupBy(key).agg(F.sum("_cnt").alias("cnt"))

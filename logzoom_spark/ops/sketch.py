@@ -87,3 +87,53 @@ def exact_percentiles_disc(
         for p in percentiles
     ]
     return base.groupBy("grp").agg(*agg_cols).withColumnRenamed("grp", group_col)
+
+
+def kmv_merge_rollup(
+    df: DataFrame,
+    coarse_key: str,
+    fine_key: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Mergeability demo/path: build per-(coarse, fine) KMV sketches, then
+    MERGE them up to coarse groups — the two-level rollup every sketch
+    exists for (daily sketches → monthly distinct counts without re-reading
+    raw data). Merging k-minimum-value sets = union the hash sets, re-take
+    the k smallest; because the k-min of a union is a pure function of the
+    inputs' k-mins, the merged estimate is bit-identical to sketching the
+    coarse group directly — asserted by a pytest, and the reason partial
+    (map-side) sketch aggregation is safe at 100 TB."""
+    w_fine = Window.partitionBy(coarse_key, fine_key).orderBy("h")
+    fine_sketch = (
+        df.select(
+            coarse_key,
+            fine_key,
+            portable_hash(F.col(value_col).cast("string")).alias("h"),
+        )
+        .distinct()
+        .withColumn("rn", F.row_number().over(w_fine))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    # merge: union of per-fine k-min sets -> k smallest per coarse group
+    w_coarse = Window.partitionBy(coarse_key).orderBy("h")
+    merged = (
+        fine_sketch.select(coarse_key, "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w_coarse))
+        .filter(F.col("rn") <= k)
+    )
+    kth = merged.groupBy(coarse_key).agg(
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+        F.count(F.lit(1)).alias("n_seen"),
+    )
+    return kth.select(
+        coarse_key,
+        F.when(F.col("n_seen") < k, F.col("n_seen"))
+        .otherwise(
+            F.expr(f"({k} - 1) * cast({HASH_SPACE} as decimal(38,0)) div kth")
+        )
+        .cast("bigint")
+        .alias("est_distinct"),
+    )

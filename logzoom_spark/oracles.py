@@ -918,3 +918,42 @@ SELECT doc_id, n_lines,
     AS dup_line_ratio10k
 FROM l
 """
+
+
+# direct GROUP BY — proves the two-stage salted aggregation is equivalent
+ORACLES["salted_role_counts"] = f"""
+WITH {TURNS_CTE}
+SELECT role, count(*) AS cnt FROM turns GROUP BY role
+"""
+
+# daily KMV sketches merged to event_type — same k-min arithmetic in SQL
+ORACLES["kmv_rollup_users"] = f"""
+WITH base AS (
+  SELECT DISTINCT event_type,
+         cast(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         {portable_hash_sql("cast(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+fine_k AS (
+  SELECT event_type, day, h FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+    FROM base
+  ) WHERE rn <= 64
+),
+u AS (SELECT DISTINCT event_type, h FROM fine_k),
+m AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM u
+),
+kth AS (
+  SELECT event_type, max(CASE WHEN rn = 64 THEN h END) AS kth,
+         count(*) AS n_seen
+  FROM m WHERE rn <= 64 GROUP BY event_type
+)
+SELECT event_type,
+  cast(CASE WHEN n_seen < 64 THEN n_seen
+       ELSE cast(63 * cast({1 << 60} AS HUGEINT) // kth AS BIGINT)
+  END AS BIGINT) AS est_distinct
+FROM kth
+"""

@@ -435,3 +435,26 @@ def test_repetition_ratio(spark):
     assert out[1] == (4, 5000)  # 2 of 4 lines are repeats
     assert out[2] == (2, 0)
     assert out[3] == (1, 0)
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    """Merging per-fine-group KMV sketches must give the SAME estimate as
+    sketching the coarse group directly (the partial-aggregation safety
+    property)."""
+    from logzoom_spark.ops.sketch import kmv_distinct, kmv_merge_rollup
+
+    rows = [(f"t{j % 2}", j % 5, f"u{(i * 7 + j) % 400}") for j in range(10) for i in range(120)]
+    df = spark.createDataFrame(rows, "grp string, fine int, val string")
+    merged = {r["grp"]: r["est_distinct"] for r in
+              kmv_merge_rollup(df, "grp", "fine", "val", k=32).collect()}
+    direct = {r["grp"]: r["est_distinct"] for r in
+              kmv_distinct(df, "grp", "val", k=32).collect()}
+    assert merged == direct and len(merged) == 2
+
+
+def test_salted_counts_equal_direct(spark, turns):
+    from logzoom_spark.aggregate import salted_counts
+
+    got = {r["role"]: r["cnt"] for r in salted_counts(turns, "role").collect()}
+    want = {r["role"]: r["count"] for r in turns.groupBy("role").count().collect()}
+    assert got == want
