@@ -704,6 +704,17 @@ def q_kmv_rollup_users(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_merge_rollup(ev, "event_type", "day", "user_id", k=64)
 
 
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-data flagship: the full curation composition — quality
+    filter → PII redaction → exact dedup → LSH near-dup → connected
+    components → one canonical doc per cluster — verified end-to-end
+    against a single independent SQL re-derivation."""
+    from logzoom_spark.ops.curation import curate
+
+    out = curate(_read(spark, sf, "documents"), hasher="md5")
+    return out.select("doc_id", F.md5("text").alias("text_md5"), "n_redacted")
+
+
 def q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
     return tx.redact_pii(_read(spark, sf, "documents"))
 
@@ -785,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "salted_role_counts": q_salted_role_counts,
         "kmv_rollup_users": q_kmv_rollup_users,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 

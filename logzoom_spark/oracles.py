@@ -957,3 +957,82 @@ SELECT event_type,
   END AS BIGINT) AS est_distinct
 FROM kth
 """
+
+
+def _curation_sql() -> str:
+    """Independent SQL re-derivation of ops.curation.curate (md5 hasher):
+    gopher keep → redact → exact dedup → minhash/LSH/cap/pairs → recursive
+    connected components → canonical survivors."""
+    from .ops.text import REDACTIONS
+
+    red_expr = "text"
+    for pat, tag in REDACTIONS.items():
+        red_expr = f"regexp_replace({red_expr}, '{pat}', '{tag}', 'g')"
+    red_counts = " + ".join(
+        f"(length(text) - length(replace(text, '{tag}', ''))) / {len(tag)}"
+        for tag in REDACTIONS.values()
+    )
+    return f"""
+WITH RECURSIVE
+gq AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+      length(regexp_replace(text, '\\s', '', 'g')) AS non_space,
+      length(text) AS n_chars,
+      length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS symbols,
+      ({_STOP_HITS}) AS stop_hits
+    FROM documents
+  )
+  WHERE n_tokens BETWEEN 5 AND 100000
+    AND (CASE WHEN n_tokens = 0 THEN 0
+         ELSE floor((non_space * 10000) / n_tokens) END) BETWEEN 20000 AND 120000
+    AND (CASE WHEN n_chars = 0 THEN 0
+         ELSE floor(symbols * 1.0 / n_chars * 10000) END) <= 1000
+    AND stop_hits >= 1
+),
+red AS (
+  SELECT d.doc_id, {red_expr} AS text
+  FROM documents d JOIN gq USING (doc_id)
+),
+redc AS (SELECT doc_id, text, cast({red_counts} AS BIGINT) AS n_redacted FROM red),
+fp AS (
+  SELECT doc_id, text, n_redacted,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+  FROM redc
+),
+winners AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+clean AS (SELECT fp.doc_id, fp.text, fp.n_redacted FROM fp JOIN winners USING (doc_id)),
+tk AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM clean
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+      THEN list_distinct(list_transform(range(0, len(toks) - 2),
+             i -> array_to_string(toks[i + 1 : i + 3], ' ')))
+      ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM tk
+),
+{_SIGS_CTE},
+{_BANDED_CTE},
+{_CAPPED_CTE},
+pairs AS ({_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM clean
+  UNION
+  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.node
+),
+cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)
+SELECT c.doc_id, md5(c.text) AS text_md5, c.n_redacted
+FROM clean c JOIN cc ON cc.doc_id = c.doc_id AND cc.doc_id = cc.cluster_id
+"""
+
+
+ORACLES["curation_pipeline"] = _curation_sql()

@@ -67,10 +67,17 @@ def run_streaming(
     cfg: PipelineConfig | None = None,
     available_now: bool = True,
     processing_time: str = "10 seconds",  # ES flush-interval parity
+    dedup_watermark: str | None = None,
 ):
-    """Start the streaming pipeline; returns the StreamingQuery."""
+    """Start the streaming pipeline; returns the StreamingQuery.
+
+    ``dedup_watermark`` (e.g. "1 hour") inserts the streaming exact-dedup
+    stage before the pipeline, collapsing at-least-once redeliveries to
+    exactly-once results with state bounded by the watermark."""
     cfg = cfg or default_config()
     stream = read_turns_stream(spark, input_dir)
+    if dedup_watermark is not None:
+        stream = streaming_dedup(stream, watermark=dedup_watermark)
     writer = (
         stream.writeStream.foreachBatch(foreach_batch_writer(cfg, out_dir))
         .option("checkpointLocation", checkpoint_dir)
