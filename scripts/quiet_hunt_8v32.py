@@ -28,7 +28,7 @@ def main() -> None:
     ap.add_argument("--deadline-min", type=float, default=120)
     ap.add_argument("--load-gate", type=float, default=3.0)
     ap.add_argument("--replicate", type=int, default=128)
-    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--target", type=float, default=0.8)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--turns-path", default="/tmp/quiet_hunt_turns")
@@ -49,8 +49,12 @@ def main() -> None:
         attempt += 1
         print(f"attempt {attempt}: load {load1:.1f}, running pair", flush=True)
         try:
-            r8 = run_session(8, args.turns_path, args.reps)
+            # 32-level FIRST: it is the noise-fragile one, so it gets the
+            # freshest part of the quiet window (observed pattern: bursts
+            # arrive within ~5 min of a window opening, and an 8-thread
+            # session run first eats exactly that margin)
             r32 = run_session(32, args.turns_path, args.reps)
+            r8 = run_session(8, args.turns_path, args.reps)
         except RuntimeError as ex:
             print(f"session failed: {ex}", flush=True)
             time.sleep(120)
