@@ -704,6 +704,26 @@ def q_kmv_rollup_users(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_merge_rollup(ev, "event_type", "day", "user_id", k=64)
 
 
+def q_salted_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-salted fact-fact join, provably identical to the plain
+    sort-merge join (same oracle as join_sort_merge_revenue): lineitem
+    salted on (l_orderkey, l_linenumber), orders replicated 8×."""
+    from logzoom_spark.ops.relational import salted_join
+
+    li = _read(spark, sf, "lineitem")
+    o = _read(spark, sf, "orders")
+    j = salted_join(li, o, "l_orderkey", "o_orderkey", ["l_orderkey", "l_linenumber"])
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+        )
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Training-data flagship: the full curation composition — quality
     filter → PII redaction → exact dedup → LSH near-dup → connected
@@ -797,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_role_counts": q_salted_role_counts,
         "kmv_rollup_users": q_kmv_rollup_users,
         "curation_pipeline": q_curation_pipeline,
+        "salted_join_revenue": q_salted_join_revenue,
     }
 
 

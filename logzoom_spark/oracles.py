@@ -1036,3 +1036,8 @@ FROM clean c JOIN cc ON cc.doc_id = c.doc_id AND cc.doc_id = cc.cluster_id
 
 
 ORACLES["curation_pipeline"] = _curation_sql()
+
+
+# salted join must equal the plain join — same oracle text as the
+# sort-merge formulation (the equivalence IS the assertion)
+ORACLES["salted_join_revenue"] = ORACLES["join_sort_merge_revenue"]

@@ -458,3 +458,17 @@ def test_salted_counts_equal_direct(spark, turns):
     got = {r["role"]: r["cnt"] for r in salted_counts(turns, "role").collect()}
     want = {r["role"]: r["count"] for r in turns.groupBy("role").count().collect()}
     assert got == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    from logzoom_spark.ops.relational import salted_join
+
+    big = spark.createDataFrame(
+        [(i, 1 if i < 90 else i, i * 3) for i in range(100)], "rid bigint, k bigint, v bigint"
+    )  # key 1 is hot: 90 of 100 rows
+    small = spark.createDataFrame([(1, "hot"), (95, "cold")], "sk bigint, name string")
+    got = {(r["rid"], r["name"]) for r in
+           salted_join(big, small, "k", "sk", ["rid"]).collect()}
+    want = {(r["rid"], r["name"]) for r in
+            big.join(small, big.k == small.sk).collect()}
+    assert got == want and len(got) == 91
