@@ -704,6 +704,41 @@ def q_kmv_rollup_users(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_merge_rollup(ev, "event_type", "day", "user_id", k=64)
 
 
+def q_sliding_rate_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window rate: role counts per 5-minute window sliding every
+    minute (each event lands in 5 windows). Native `F.window(slide)` —
+    the oracle re-derives the same window set by exploding per-event
+    minute series in SQL."""
+    t = _turns(spark, sf)
+    w = F.window(F.col("ts").cast("timestamp"), "5 minutes", "1 minute")
+    return (
+        t.groupBy("role", w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "role",
+            F.unix_timestamp("w.start").cast("bigint").alias("window_start"),
+            "cnt",
+        )
+    )
+
+
+def q_session_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Native session windows (30-minute gap) per conversation — verified
+    against an independent lag/cumsum sessionization in SQL (same
+    formulation family as sessionize_gaps, aggregated per session)."""
+    t = _turns(spark, sf)
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        t.groupBy("conv_id", sw.alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.unix_timestamp("sw.start").cast("bigint").alias("session_start"),
+            "n_turns",
+        )
+    )
+
+
 def q_salted_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-salted fact-fact join, provably identical to the plain
     sort-merge join (same oracle as join_sort_merge_revenue): lineitem
@@ -818,6 +853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_rollup_users": q_kmv_rollup_users,
         "curation_pipeline": q_curation_pipeline,
         "salted_join_revenue": q_salted_join_revenue,
+        "sliding_rate_counts": q_sliding_rate_counts,
+        "session_window_counts": q_session_window_counts,
     }
 
 

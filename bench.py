@@ -159,6 +159,11 @@ def main() -> None:
     bench("heavy_hitter_tokens", lambda: se.q_heavy_hitter_tokens(spark, sf_dir).collect())
     bench("merge_upsert", lambda: _noop(se.q_merge_docs_upsert(spark, sf_dir)))
     bench("gopher_quality", lambda: _noop(se.q_gopher_quality(spark, sf_dir)))
+    from logzoom_spark.ops.curation import curate
+
+    # full curation composition (quality->redact->dedup->LSH->components);
+    # runs once — the CC convergence loop materializes internally
+    bench("curation_pipeline", lambda: curate(docs).count(), runs=1)
 
     # ----- headline: end-to-end routing throughput -------------------------
     # The north-star metric is turns routed/sec through

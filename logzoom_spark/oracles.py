@@ -1041,3 +1041,44 @@ ORACLES["curation_pipeline"] = _curation_sql()
 # salted join must equal the plain join — same oracle text as the
 # sort-merge formulation (the equivalence IS the assertion)
 ORACLES["salted_join_revenue"] = ORACLES["join_sort_merge_revenue"]
+
+
+# sliding windows: each event lands in exactly 5 one-minute-aligned
+# 5-minute windows — re-derived by exploding the per-event minute series
+ORACLES["sliding_rate_counts"] = f"""
+WITH {TURNS_CTE},
+ev AS (SELECT role, cast(floor(epoch(ts)) AS BIGINT) AS es FROM turns),
+wins AS (
+  SELECT role,
+         unnest(generate_series((es // 60) * 60 - 240, (es // 60) * 60, 60))
+           AS window_start
+  FROM ev
+)
+SELECT role, window_start, count(*) AS cnt
+FROM wins GROUP BY role, window_start
+"""
+
+# native session_window vs an independent lag/cumsum sessionization:
+# a session closes when the next turn is >= 30 min after the previous one
+# (Spark's [start, last+gap) interval semantics), full-precision timestamps
+ORACLES["session_window_counts"] = f"""
+WITH {TURNS_CTE},
+o AS (
+  SELECT conv_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN ts - lag(ts) OVER w >= INTERVAL 1800 SECOND THEN 1
+         ELSE 0 END AS newflag
+  FROM turns
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+s AS (
+  SELECT conv_id, ts,
+         sum(newflag) OVER (PARTITION BY conv_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT conv_id,
+       cast(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       count(*) AS n_turns
+FROM s GROUP BY conv_id, sess
+"""
