@@ -704,6 +704,30 @@ def q_kmv_rollup_users(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_merge_rollup(ev, "event_type", "day", "user_id", k=64)
 
 
+def q_scd2_order_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 history build: per customer, each order's status becomes
+    a validity interval [valid_from, valid_to) closed by the next order
+    (NULL = current) — the lead-window pattern every warehouse dimension
+    build uses."""
+    from pyspark.sql import Window as W
+
+    o = _read(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        _epoch("o_orderdate").alias("valid_from"),
+        F.unix_timestamp(F.lead("o_orderdate").over(w)).cast("bigint").alias("valid_to"),
+    )
+
+
+def q_sq8_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage scalar-quantized ANN: int8 coarse scores over the full
+    table, exact quantized rerank on the top-50 — the SQ-index pattern."""
+    return similarity.sq8_rerank_topk(_read(spark, sf, "embeddings"), 0, 10)
+
+
 def q_sliding_rate_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding-window rate: role counts per 5-minute window sliding every
     minute (each event lands in 5 windows). Native `F.window(slide)` —
@@ -854,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "salted_join_revenue": q_salted_join_revenue,
         "sliding_rate_counts": q_sliding_rate_counts,
+        "sq8_rerank_topk": q_sq8_rerank_topk,
+        "scd2_order_intervals": q_scd2_order_intervals,
         "session_window_counts": q_session_window_counts,
     }
 

@@ -1082,3 +1082,44 @@ SELECT conv_id,
        count(*) AS n_turns
 FROM s GROUP BY conv_id, sess
 """
+
+
+# SQ8 two-stage ANN: int8-grid coarse pass over everything, exact
+# quantized rerank on the top-50 coarse candidates
+_SQ8 = (
+    "list_transform(embedding, x -> cast(greatest(-127, least(127, "
+    "floor(cast(x AS DOUBLE) * 127))) AS BIGINT))"
+)
+
+ORACLES["sq8_rerank_topk"] = f"""
+WITH v AS (SELECT vec_id, {_SQ8} AS q8, {_QUANT} AS q FROM embeddings),
+b AS (SELECT q8, q FROM v WHERE vec_id = 0),
+coarse AS (
+  SELECT e.vec_id, e.q,
+         cast(list_sum(list_transform(range(1, 65), i -> e.q8[i] * b.q8[i]))
+              AS BIGINT) AS approx
+  FROM v e, b
+  WHERE e.vec_id <> 0
+  ORDER BY approx DESC, e.vec_id
+  LIMIT 50
+)
+SELECT vec_id, dot FROM (
+  SELECT c.vec_id,
+         cast(list_sum(list_transform(range(1, 65), i -> c.q[i] * b.q[i]))
+              AS BIGINT) AS dot
+  FROM coarse c, b
+)
+ORDER BY dot DESC, vec_id
+LIMIT 10
+"""
+
+
+# SCD2 validity intervals via lead over (customer, orderdate, orderkey)
+ORACLES["scd2_order_intervals"] = """
+SELECT o_custkey, o_orderkey, o_orderstatus,
+  cast(floor(epoch(o_orderdate)) AS BIGINT) AS valid_from,
+  cast(floor(epoch(lead(o_orderdate) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))) AS BIGINT)
+    AS valid_to
+FROM orders
+"""

@@ -224,3 +224,40 @@ def streaming_dedup(
     return turns_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["conv_id", "turn_idx"]
     )
+
+
+def streaming_response_join(turns_stream: DataFrame, max_delay: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream join: each user turn joined to its
+    assistant response (the next turn_idx in the conversation) arriving
+    within ``max_delay``. Both sides carry watermarks and the join has a
+    time-range condition, so state for unmatched turns is evicted once the
+    watermark passes — the bounded-state contract stream-stream joins
+    require. Emits per-pair response latency in seconds."""
+    u = (
+        turns_stream.filter(F.col("role") == "user")
+        .select("conv_id", "turn_idx", F.col("ts").alias("u_ts"))
+        .withWatermark("u_ts", max_delay)
+    )
+    a = (
+        turns_stream.filter(F.col("role") == "assistant")
+        .select(
+            F.col("conv_id").alias("a_conv_id"),
+            F.col("turn_idx").alias("a_turn_idx"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", max_delay)
+    )
+    joined = u.join(
+        a,
+        (F.col("conv_id") == F.col("a_conv_id"))
+        & (F.col("a_turn_idx") == F.col("turn_idx") + 1)
+        & (F.col("a_ts") >= F.col("u_ts"))
+        & (F.col("a_ts") <= F.col("u_ts") + F.expr(f"INTERVAL {max_delay}")),
+    )
+    return joined.select(
+        "conv_id",
+        "turn_idx",
+        (F.unix_timestamp("a_ts") - F.unix_timestamp("u_ts")).cast("bigint").alias(
+            "response_latency_s"
+        ),
+    )

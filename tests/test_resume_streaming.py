@@ -318,3 +318,39 @@ def test_streaming_dedup_collapses_redelivery(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 5
     assert got.select("conv_id", "turn_idx").distinct().count() == 5
+
+
+def test_streaming_response_join(spark, tmp_path):
+    """Stream-stream join with watermarks: user turns pair with their
+    assistant responses within the delay bound; late responses (beyond the
+    bound) never match."""
+    import datetime as dt
+
+    from logzoom_spark.streaming import TURNS_SCHEMA, streaming_response_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", "q1", None, t0),
+        ("c1", 1, "assistant", "a1", None, t0 + dt.timedelta(seconds=30)),
+        ("c1", 2, "user", "q2", None, t0 + dt.timedelta(minutes=5)),
+        ("c1", 3, "assistant", "a2", None, t0 + dt.timedelta(minutes=8)),
+        # response arrives 2h later -> outside the 1h bound, must not match
+        ("c2", 0, "user", "q", None, t0),
+        ("c2", 1, "assistant", "late", None, t0 + dt.timedelta(hours=2)),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, TURNS_SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(TURNS_SCHEMA).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        streaming_response_join(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["conv_id"], r["turn_idx"]): r["response_latency_s"]
+           for r in spark.read.parquet(out).collect()}
+    assert got == {("c1", 0): 30, ("c1", 2): 180}

@@ -35,6 +35,20 @@ def main() -> None:
     ev = spark.read.parquet(f"{sf}/events.parquet")
     pruned = ev.filter(ev.event_type == "error").select("event_id", "ts")
     pruned.explain("formatted")
+
+    import __spark_entry__ as se
+
+    for name, q in [
+        ("asof join (one shuffle, window carry)", se.q_asof_last_purchase),
+        ("bounded range join (bucketed equi-join)", se.q_range_prior_hour),
+        ("heavy hitters (partial agg + TakeOrdered)", se.q_heavy_hitter_tokens),
+        ("merge upsert (anti-join + union)", se.q_merge_docs_upsert),
+        ("salted join (key+salt equi-join)", se.q_salted_join_revenue),
+        ("gopher filter (zero-shuffle projection)", se.q_gopher_quality),
+        ("media header parse (zero-shuffle binary ops)", se.q_media_header_parse),
+    ]:
+        print("=" * 30, name)
+        q(spark, sf).explain("formatted")
     spark.stop()
 
 
