@@ -472,3 +472,29 @@ def test_salted_join_equals_plain_join(spark):
     want = {(r["rid"], r["name"]) for r in
             big.join(small, big.k == small.sk).collect()}
     assert got == want and len(got) == 91
+
+
+def test_new_ops_empty_and_degenerate_inputs(spark):
+    """Edge cases: empty right sides, no-pair graphs, empty corpora — the
+    operators must return structurally-correct results, not crash."""
+    from logzoom_spark.ops.cluster import connected_components
+    from logzoom_spark.ops.curation import curate
+    from logzoom_spark.ops.relational import asof_join, range_join_count
+
+    empty_pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    cc = {r["doc_id"]: r["cluster_id"] for r in
+          connected_components(empty_pairs, nodes).collect()}
+    assert cc == {1: 1, 2: 2}  # all singletons
+
+    left = spark.createDataFrame([(1, 1, 100)], "id bigint, k bigint, ts bigint")
+    empty_right = spark.createDataFrame([], "k bigint, rts bigint, val bigint")
+    row = asof_join(left, empty_right, "k", "ts", "rts", ["val"]).collect()[0]
+    assert row["matched_ts"] is None and row["matched_val"] is None
+
+    rj = range_join_count(left, empty_right.withColumnRenamed("rts", "es"),
+                          "k", "ts", "es", 100).collect()
+    assert rj[0]["n_in_range"] == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    assert curate(empty_docs).count() == 0
