@@ -728,6 +728,30 @@ def q_sq8_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.sq8_rerank_topk(_read(spark, sf, "embeddings"), 0, 10)
 
 
+def q_tpch_q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: five-way join (region→nation→customer→orders→
+    lineitem) with a region filter — the deep join-reordering workload.
+    Catalyst broadcasts the three dims and shuffle-joins the two facts."""
+    r = _read(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _read(spark, sf, "nation")
+    c = _read(spark, sf, "customer")
+    o = _read(spark, sf, "orders")
+    li = _read(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_sliding_rate_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding-window rate: role counts per 5-minute window sliding every
     minute (each event lands in 5 windows). Native `F.window(slide)` —
@@ -880,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_rate_counts": q_sliding_rate_counts,
         "sq8_rerank_topk": q_sq8_rerank_topk,
         "scd2_order_intervals": q_scd2_order_intervals,
+        "tpch_q5_region_revenue": q_tpch_q5_region_revenue,
         "session_window_counts": q_session_window_counts,
     }
 

@@ -1123,3 +1123,18 @@ SELECT o_custkey, o_orderkey, o_orderstatus,
     AS valid_to
 FROM orders
 """
+
+
+ORACLES["tpch_q5_region_revenue"] = """
+SELECT n.n_name,
+  cast(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)) AS BIGINT)
+    AS revenue_cents,
+  count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
