@@ -6,8 +6,9 @@ candidates, but what a 100 TB curation job needs is one canonical doc per
 Algorithm: iterative hash-to-min label propagation, the MapReduce-classic
 formulation (Rastogi et al., "Finding Connected Components in Map-Reduce in
 Logarithmic Rounds"). Each round every node adopts the minimum label in its
-closed neighborhood; convergence is detected by a scalar aggregate (sum of
-labels — strictly decreasing until fixpoint), NOT by collecting data to the
+closed neighborhood; convergence is detected by a scalar aggregate (count of
+labels that CHANGED this round — zero means fixpoint; works for any orderable
+id type, numeric or string), NOT by collecting data to the
 driver. Near-dup graphs are unions of near-cliques (every LSH bucket
 contributes a clique), so their diameter is tiny and rounds ≈ 2-3 in
 practice; `max_iter` bounds the worst case.
@@ -23,6 +24,8 @@ training-data operator set mandated by the build brief.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,7 +55,7 @@ def connected_components(
     if eager:
         edges = edges.localCheckpoint()
         labels = labels.localCheckpoint()
-    prev_sum = None
+    converged = not eager
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -70,13 +73,28 @@ def connected_components(
             labels = new_labels
             break
         new_labels = new_labels.localCheckpoint()  # truncate iterative lineage
-        # scalar convergence probe: sum(label) strictly decreases each round
-        # until fixpoint (labels only ever move down to the component min)
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        # scalar convergence probe: count labels that moved this round — a
+        # type-agnostic fixpoint test (a sum() probe would be NULL for
+        # string ids and falsely converge after one hop). The join rides the
+        # same (node) key as the propagation join; only one scalar reaches
+        # the driver.
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
         labels = new_labels
-        if cur_sum == prev_sum:
+        if n_changed == 0:
+            converged = True
             break
-        prev_sum = cur_sum
+    if not converged:
+        warnings.warn(
+            f"connected_components: max_iter={max_iter} exhausted before "
+            "fixpoint — returned labels may merge components incompletely",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -174,6 +174,11 @@ def simhash(docs: DataFrame, bits: int = 64, hasher: str = "xx") -> DataFrame:
     passes; this is O(tokens) with a bits-wide accumulator row)."""
     if not 1 <= bits <= 64:
         raise ValueError("bits must be in 1..64")
+    if hasher == "md5" and bits > 60:
+        # the portable hash is 15 hex digits = 60 bits; bits 60-63 would be
+        # constant 0 and every token would vote -1 there, silently skewing
+        # hamming distances vs the xxhash64 path
+        raise ValueError("hasher='md5' yields 60-bit hashes; bits must be <= 60")
     h = _hash_fn(hasher)
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
     bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
@@ -235,6 +240,8 @@ def ngram_jaccard_pairs(
         )
         .withColumn("jaccard10k", F.expr("(size(array_intersect(sh_a, sh_b)) * 10000L) div size(array_union(sh_a, sh_b))"))
     )
-    return j.filter(F.col("jaccard10k") >= int(threshold * 10000)).select(
+    # round before truncating: int(0.29 * 10000) is 2899 under binary
+    # floats, silently admitting pairs one notch below the requested cutoff
+    return j.filter(F.col("jaccard10k") >= int(round(threshold * 10000))).select(
         "doc_a", "doc_b", "jaccard10k"
     )

@@ -104,9 +104,12 @@ def range_join_count(
     """
     aggs = agg_exprs or {"n_in_range": F.count(F.col("_re"))}
     lb = F.lit(lookback)
-    probe = left.withColumn("_b", (F.col(left_epoch) / lb).cast("bigint")).withColumn(
-        "_pb", F.explode(F.array(F.col("_b") - 1, F.col("_b")))
-    )
+    # floor, not cast: cast truncates toward zero, so negative epochs
+    # (pre-1970) would land left/right rows in misaligned buckets and
+    # silently miss in-range matches
+    probe = left.withColumn(
+        "_b", F.floor(F.col(left_epoch) / lb).cast("bigint")
+    ).withColumn("_pb", F.explode(F.array(F.col("_b") - 1, F.col("_b"))))
     r = right.select(
         F.col(key).alias("_rk"),
         F.col(right_epoch).cast("bigint").alias("_re"),
@@ -115,7 +118,7 @@ def range_join_count(
             for c in right.columns
             if c not in (key, right_epoch)
         ],
-    ).withColumn("_rb", (F.col("_re") / lb).cast("bigint"))
+    ).withColumn("_rb", F.floor(F.col("_re") / lb).cast("bigint"))
     joined = probe.join(
         r,
         (probe[key] == r["_rk"])

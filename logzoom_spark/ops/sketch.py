@@ -83,7 +83,7 @@ def exact_percentiles_disc(
     agg_cols = [
         F.max(
             F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("val"))
-        ).alias(f"p{int(p * 100)}")
+        ).alias(f"p{int(round(p * 100))}")  # round: int(0.29*100) is 28
         for p in percentiles
     ]
     return base.groupBy("grp").agg(*agg_cols).withColumnRenamed("grp", group_col)

@@ -39,11 +39,15 @@ def read_turns_jsonl(spark: SparkSession, path: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .json(path)
     )
-    # reference a real column alongside _corrupt_record: Spark disallows
-    # queries whose referenced columns are ONLY the corrupt-record column
-    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and `F.col(_CORRUPT).isNull()`
-    # alone would prune the scan down to exactly that
-    ok = F.col(_CORRUPT).isNull() | F.col("conv_id").isNotNull()
+    # strictly `_corrupt_record IS NULL`: a partially-malformed row (bad
+    # turn_idx/ts but parseable conv_id) must still count as malformed under
+    # the counted-not-dropped policy. The tautological conv_id term only
+    # keeps a real column referenced — Spark rejects queries whose referenced
+    # columns are ONLY the corrupt-record column
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    ok = F.col(_CORRUPT).isNull() & (
+        F.col("conv_id").isNotNull() | F.col("conv_id").isNull()
+    )
     return df.withColumn("source_ok", ok).drop(_CORRUPT)
 
 
@@ -57,11 +61,15 @@ def read_turns_csv(spark: SparkSession, path: str, header: bool = True) -> DataF
         .option("escape", '"')
         .csv(path)
     )
-    # reference a real column alongside _corrupt_record: Spark disallows
-    # queries whose referenced columns are ONLY the corrupt-record column
-    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and `F.col(_CORRUPT).isNull()`
-    # alone would prune the scan down to exactly that
-    ok = F.col(_CORRUPT).isNull() | F.col("conv_id").isNotNull()
+    # strictly `_corrupt_record IS NULL`: a partially-malformed row (bad
+    # turn_idx/ts but parseable conv_id) must still count as malformed under
+    # the counted-not-dropped policy. The tautological conv_id term only
+    # keeps a real column referenced — Spark rejects queries whose referenced
+    # columns are ONLY the corrupt-record column
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    ok = F.col(_CORRUPT).isNull() & (
+        F.col("conv_id").isNotNull() | F.col("conv_id").isNull()
+    )
     return df.withColumn("source_ok", ok).drop(_CORRUPT)
 
 

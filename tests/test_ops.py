@@ -86,21 +86,26 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     assert 1000 in exact
 
 
-@pytest.mark.parametrize("hasher", ["xx", "md5"])
-def test_simhash_single_pass_64_bits(spark, hasher):
-    """64-bit single-pass simhash: similar docs land closer in hamming
-    distance than dissimilar ones, for both hash engines."""
+@pytest.mark.parametrize("hasher,bits", [("xx", 64), ("md5", 60)])
+def test_simhash_single_pass_full_width(spark, hasher, bits):
+    """Full-width single-pass simhash: similar docs land closer in hamming
+    distance than dissimilar ones, for both hash engines (md5 caps at 60
+    bits — the portable hash is 15 hex digits)."""
     rows = [
         (1, "alpha beta gamma delta epsilon zeta eta theta"),
         (2, "alpha beta gamma delta epsilon zeta eta iota"),
         (3, "one two three four five six seven eight"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    sigs = {r.doc_id: r.simhash for r in dedup.simhash(df, bits=64, hasher=hasher).collect()}
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(df, bits=bits, hasher=hasher).collect()}
     ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
     assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
     with pytest.raises(ValueError):
         dedup.simhash(df, bits=0)
+    with pytest.raises(ValueError):
+        # md5 hashes carry only 60 bits; a 64-bit signature would have 4
+        # dead (always-0) positions
+        dedup.simhash(df, bits=64, hasher="md5")
 
 
 def test_simhash_similar_docs_close(spark):
@@ -257,6 +262,46 @@ def test_connected_components_planted_graph(spark):
     nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "doc_id bigint")
     out = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs, nodes).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_connected_components_string_ids_long_chain(spark):
+    """String doc_ids over a diameter-4 chain: the changed-label convergence
+    probe must keep iterating past round 1 (a sum()-based probe is NULL for
+    strings and would falsely converge after one hop)."""
+    from logzoom_spark.ops.cluster import connected_components
+
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    pairs = spark.createDataFrame(chain, "doc_a string, doc_b string")
+    nodes = spark.createDataFrame(
+        [(x,) for x in ["a", "b", "c", "d", "e", "z"]], "doc_id string"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs, nodes).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "z": "z"}
+
+
+def test_connected_components_warns_on_max_iter(spark):
+    import warnings as w
+
+    from logzoom_spark.ops.cluster import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "doc_a bigint, doc_b bigint")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "doc_id bigint")
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        connected_components(pairs, nodes, max_iter=1).collect()
+    assert any("max_iter" in str(c.message) for c in caught)
+
+
+def test_range_join_negative_epochs(spark):
+    """Pre-1970 epochs: floor-bucketing must keep left/right rows aligned
+    (cast-truncation rounds toward zero and misaligns negative buckets)."""
+    from logzoom_spark.ops.relational import range_join_count
+
+    left = spark.createDataFrame([(1, 1, -50)], "id bigint, k bigint, es bigint")
+    right = spark.createDataFrame([(1, -80), (1, -120), (1, -49)], "k bigint, es bigint")
+    row = range_join_count(left, right, "k", "es", "es", 100).collect()[0]
+    # in [-150, -50): -80 and -120 match; -49 is not strictly before
+    assert row["n_in_range"] == 2
 
 
 def test_dedup_cluster_assign_canonical_flags(spark):
