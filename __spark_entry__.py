@@ -298,7 +298,10 @@ def q_topk_orders_per_segment(spark: SparkSession, sf: str) -> DataFrame:
 
     o = _read(spark, sf, "orders")
     c = _read(spark, sf, "customer")
-    jo = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    # no broadcast hint on customer: it grows with sf (billions of rows at
+    # the 100 TB target); AQE + autoBroadcastJoinThreshold pick broadcast
+    # at bench scale and sort-merge beyond it
+    jo = o.join(c, o.o_custkey == c.c_custkey).select(
         "c_mktsegment", "o_orderkey", _cents("o_totalprice").alias("total_cents")
     )
     w = W.partitionBy("c_mktsegment").orderBy(F.desc("total_cents"), F.asc("o_orderkey"))
@@ -663,8 +666,9 @@ def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join with per-table filters — the classic
-    join-reordering/pushdown workload. Broadcast the filtered customer dim,
-    shuffle-join the two facts, aggregate, TakeOrdered(10)."""
+    join-reordering/pushdown workload. Shuffle-join the two facts,
+    aggregate, TakeOrdered(10); AQE broadcasts the filtered customer side
+    when (and only when) its runtime size is under the threshold."""
     c = _read(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _read(spark, sf, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
@@ -674,7 +678,9 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with sf — let AQE decide instead of forcing a
+        # broadcast that would OOM the driver at the 100 TB target
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(
             F.sum(
@@ -731,7 +737,9 @@ def q_sq8_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
 def q_tpch_q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape: five-way join (region→nation→customer→orders→
     lineitem) with a region filter — the deep join-reordering workload.
-    Catalyst broadcasts the three dims and shuffle-joins the two facts."""
+    Fixed-size dims (nation/region) carry broadcast hints; customer and
+    the two facts shuffle-join, with AQE free to broadcast customer at
+    small scale."""
     r = _read(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     n = _read(spark, sf, "nation")
     c = _read(spark, sf, "customer")
@@ -739,7 +747,9 @@ def q_tpch_q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     li = _read(spark, sf, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with sf: no forced broadcast (nation/region are
+        # fixed-cardinality dims, their hints are safe at any scale)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

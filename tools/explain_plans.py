@@ -46,6 +46,9 @@ def main() -> None:
         ("salted join (key+salt equi-join)", se.q_salted_join_revenue),
         ("gopher filter (zero-shuffle projection)", se.q_gopher_quality),
         ("media header parse (zero-shuffle binary ops)", se.q_media_header_parse),
+        ("tpch_q3 (no forced customer broadcast)", se.q_tpch_q3),
+        ("tpch_q5 (no forced customer broadcast)", se.q_tpch_q5_region_revenue),
+        ("topk per segment (no forced customer broadcast)", se.q_topk_orders_per_segment),
     ]:
         print("=" * 30, name)
         q(spark, sf).explain("formatted")
