@@ -13,10 +13,16 @@ Estimator: with h uniform on [0, M) and t = kth smallest hash,
 E[distinct] ≈ (k-1) * M / t  (the classic KMV estimate), computed in
 integer arithmetic: ``(k-1) * M div t`` with M = 2^60.
 
-Scale shape: one shuffle on the group key; per group only k hashes are
-kept (window row_number ≤ k). The groupBy path carries (key, hash) pairs —
-never the values themselves — so shuffle bytes are fixed-width, exactly
-like the dedup digest shuffles.
+Scale shape: two-stage salted partial + merge. Stage 1 keeps the k
+smallest hashes per (group, salt) — every partition-sized task sorts only
+its salt shard, never a whole group. Stage 2 merges the ≤ n_salt·k
+survivors per group (k-min of a union is a pure function of the inputs'
+k-mins — the mergeability property `kmv_merge_rollup` proves by pytest).
+No stage ever routes an entire group through one task, unlike a plain
+``Window.partitionBy(grp)`` over the raw rows (for a 3-value group key at
+100 TB that is three tasks sorting the whole table). The shuffles carry
+(key, hash) pairs — never the values themselves — so bytes are
+fixed-width, exactly like the dedup digest shuffles.
 """
 
 from __future__ import annotations
@@ -29,22 +35,46 @@ from ..hashing import portable_hash
 #: hash space of portable_hash: 15 hex digits = 60 bits
 HASH_SPACE = 1 << 60
 
+#: salt width for the stage-1 partial sketches (shards per group)
+DEFAULT_N_SALT = 32
+
 
 def kmv_distinct(
-    df: DataFrame, group_col: str, value_col: Column | str, k: int = 64
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    k: int = 64,
+    n_salt: int = DEFAULT_N_SALT,
 ) -> DataFrame:
     """Per-group KMV distinct-count estimate of ``value_col``.
 
     Returns (group, kth_min_hash, est_distinct, exact_k) where exact_k is
     the number of sketch slots actually filled (= exact distinct count
     when the group has fewer than k distinct values — small groups are
-    exact, large groups are estimated, the standard KMV behavior)."""
+    exact, large groups are estimated, the standard KMV behavior).
+
+    Two-stage plan: per-(grp, salt) top-k partials (salt = hash mod
+    ``n_salt``, so shards are disjoint by construction and a duplicate
+    value always lands in the same shard), then a merge window over the
+    ≤ n_salt·k partial rows per group. Identical output to the direct
+    single-window formulation for any n_salt — asserted by pytest — but
+    no task ever sorts a whole group."""
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     hashed = df.select(
         F.col(group_col).alias("grp"), portable_hash(v.cast("string")).alias("h")
-    ).dropDuplicates(["grp", "h"])
-    w = Window.partitionBy("grp").orderBy("h")
-    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    ).withColumn("salt", F.pmod(F.col("h"), F.lit(n_salt)))
+    # stage 1: per-shard dedup + top-k (hash mod salt ⇒ dup hashes share a
+    # shard, so cross-shard duplicates cannot exist after this)
+    w1 = Window.partitionBy("grp", "salt").orderBy("h")
+    partial = (
+        hashed.dropDuplicates(["grp", "h"])
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    # stage 2: merge ≤ n_salt·k rows per group — bounded input per task
+    w2 = Window.partitionBy("grp").orderBy("h")
+    topk = partial.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)
     return (
         topk.groupBy("grp")
         .agg(F.max("h").alias("kth_min_hash"), F.count(F.lit(1)).alias("exact_k"))
@@ -64,29 +94,47 @@ def kmv_distinct(
 def exact_percentiles_disc(
     df: DataFrame, group_col: str, value_col: str, percentiles: tuple[float, ...] = (0.5, 0.95)
 ) -> DataFrame:
-    """Exact discrete percentiles via rank positions — no interpolation, so
-    the result is a value FROM the data and identical in every engine
-    (percentile_disc semantics: smallest value whose cumulative fraction
-    ≥ p, i.e. the element at 1-based rank ceil(p·n) in sort order).
+    """Exact discrete percentiles via a value histogram + cumulative rank —
+    no interpolation, so the result is a value FROM the data and identical
+    in every engine (percentile_disc semantics: smallest value whose
+    cumulative fraction ≥ p, i.e. the element at 1-based rank ceil(p·n)).
 
-    One shuffle (partition by group, sort by value) — the same plan shape
-    as any ranked top-k; no driver-side work. Ordering by value alone is
-    enough: ties occupy a contiguous rank range, so the value at any rank
-    is deterministic even though row_number among ties is not."""
-    w = Window.partitionBy("grp").orderBy(F.col("val").asc())
-    base = (
+    Scale shape: ``groupBy(grp, val).count()`` collapses the table to its
+    value HISTOGRAM with map-side partial aggregation — the shuffle and the
+    follow-up cumulative window carry one row per DISTINCT (group, value),
+    not per input row. For discretized measures (integer latencies, bucketed
+    sizes) that is orders of magnitude smaller than the data; the old
+    formulation (`Window.partitionBy(grp)` row_number over raw rows) routed
+    every row of a group through one task. The target rank ceil(p·n) falls
+    on the histogram row whose cumulative range [cum-cnt+1, cum] contains
+    it. For truly continuous values at extreme scale, use Spark's
+    `percentile_approx` instead (documented trade-off: approximate but
+    single-pass mergeable)."""
+    hist = (
         df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("val"))
         .filter(F.col("val").isNotNull())
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+        .groupBy("grp", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("grp"))
     )
     agg_cols = [
         F.max(
-            F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("val"))
+            F.when(
+                (F.ceil(F.lit(p) * F.col("n")) > F.col("cum") - F.col("cnt"))
+                & (F.ceil(F.lit(p) * F.col("n")) <= F.col("cum")),
+                F.col("val"),
+            )
         ).alias(f"p{int(round(p * 100))}")  # round: int(0.29*100) is 28
         for p in percentiles
     ]
-    return base.groupBy("grp").agg(*agg_cols).withColumnRenamed("grp", group_col)
+    return ranked.groupBy("grp").agg(*agg_cols).withColumnRenamed("grp", group_col)
 
 
 def kmv_merge_rollup(

@@ -233,6 +233,22 @@ def test_kmv_distinct_estimates_within_error(spark):
     assert abs(est - 5000) / 5000 < 0.375, est
 
 
+def test_kmv_two_stage_equals_direct(spark):
+    """The salted two-stage KMV must be bit-identical to the direct
+    single-window sketch for any salt width (n_salt=1 IS the direct
+    formulation — one shard per group)."""
+    from logzoom_spark.ops.sketch import kmv_distinct
+
+    rows = [(f"g{i % 3}", f"u{(i * 17) % 97}") for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    direct = sorted(map(tuple, kmv_distinct(df, "grp", "uid", k=16, n_salt=1).collect()))
+    for n_salt in (4, 32):
+        salted = sorted(
+            map(tuple, kmv_distinct(df, "grp", "uid", k=16, n_salt=n_salt).collect())
+        )
+        assert salted == direct
+
+
 def test_exact_percentiles_disc_vs_numpy(spark):
     """Rank-position percentiles equal numpy's 'inverted_cdf' (the
     percentile_disc definition)."""
