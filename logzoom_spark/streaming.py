@@ -6,7 +6,10 @@ out to every sink — the exact analog of Buffer.Publish delivering each
 event to every subscriber (buffer/buffer.go:62-68), with Structured
 Streaming's checkpoint WAL standing in for the lumberjack ACK
 (parser.go:44-54) / redismq MultiAck (input/redis/redis.go:66-73)
-at-least-once contract.
+at-least-once contract — upgraded to exactly-once file state by writing
+each sink's epoch to its own overwrite-mode `epoch=<id>` directory (a
+crash between two branch writes re-runs the epoch idempotently instead of
+double-appending the branches that already committed).
 
 Flush-interval parity: the reference's 10 s ES flush / 5 s Redis flush /
 10 s S3 roll (SURVEY.md §6) map to ``trigger(processingTime=...)``; tests
@@ -42,8 +45,22 @@ def read_turns_stream(
     )
 
 
-def foreach_batch_writer(cfg: PipelineConfig, out_dir: str):
-    """One micro-batch → all sinks, from a single cached upstream."""
+def foreach_batch_writer(cfg: PipelineConfig, out_dir: str, fault_hook=None):
+    """One micro-batch → all sinks, from a single cached upstream.
+
+    Each sink's write lands in its own ``epoch=<id>`` directory with
+    OVERWRITE mode — the group-commit pattern from lineage.py. foreachBatch
+    re-delivers an epoch after a mid-batch crash (the checkpoint WAL only
+    commits once `process` returns), so a blind append would double-write
+    every sink that succeeded before the crash; overwriting the epoch
+    directory makes the re-run idempotent per branch, upgrading the
+    at-least-once re-delivery to exactly-once *file state*. Readers see a
+    partitioned layout (`sink/epoch=N/...`) Spark's partition discovery
+    handles transparently.
+
+    ``fault_hook(sink_name, epoch_id)`` (tests only) runs after each
+    sink's write — raising from it simulates a crash between two branch
+    writes inside one epoch."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -51,8 +68,10 @@ def foreach_batch_writer(cfg: PipelineConfig, out_dir: str):
         try:
             for sink_name, branch in branches.items():
                 spec = cfg.sinks[sink_name]
-                path = f"{out_dir}/{sink_name}"
-                sk.WRITERS[spec.kind](branch, path, mode="append", **spec.options)
+                path = f"{out_dir}/{sink_name}/epoch={int(epoch_id)}"
+                sk.WRITERS[spec.kind](branch, path, mode="overwrite", **spec.options)
+                if fault_hook is not None:
+                    fault_hook(sink_name, int(epoch_id))
         finally:
             upstream.unpersist()
 
@@ -68,6 +87,7 @@ def run_streaming(
     available_now: bool = True,
     processing_time: str = "10 seconds",  # ES flush-interval parity
     dedup_watermark: str | None = None,
+    fault_hook=None,
 ):
     """Start the streaming pipeline; returns the StreamingQuery.
 
@@ -79,7 +99,7 @@ def run_streaming(
     if dedup_watermark is not None:
         stream = streaming_dedup(stream, watermark=dedup_watermark)
     writer = (
-        stream.writeStream.foreachBatch(foreach_batch_writer(cfg, out_dir))
+        stream.writeStream.foreachBatch(foreach_batch_writer(cfg, out_dir, fault_hook))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -83,7 +83,7 @@ def test_streaming_foreachbatch_equals_batch(spark, turns, tmp_path):
     import json
 
     got = set()
-    for fn in glob.glob(f"{out_s}/sink_es/index_day=*/*.json"):
+    for fn in glob.glob(f"{out_s}/sink_es/epoch=*/index_day=*/*.json"):
         with open(fn) as f:
             for line in f:
                 d = json.loads(line)
@@ -102,13 +102,51 @@ def test_streaming_checkpoint_no_reprocessing(spark, turns, tmp_path):
 
     q = run_streaming(spark, src, out_s, ckpt)
     q.awaitTermination(300)
-    n1 = len(glob.glob(f"{out_s}/sink_es/index_day=*/*.json"))
+    n1 = len(glob.glob(f"{out_s}/sink_es/epoch=*/index_day=*/*.json"))
 
     # restart with same checkpoint, no new input → no new work
     q2 = run_streaming(spark, src, out_s, ckpt)
     q2.awaitTermination(300)
-    n2 = len(glob.glob(f"{out_s}/sink_es/index_day=*/*.json"))
+    n2 = len(glob.glob(f"{out_s}/sink_es/epoch=*/index_day=*/*.json"))
     assert n1 == n2
+
+
+def test_streaming_midbatch_crash_no_duplicates(spark, turns, tmp_path):
+    """Crash injected BETWEEN two sink writes inside one epoch: the epoch
+    re-runs on restart, and the overwrite-mode epoch directories must leave
+    every sink with exactly one copy of each row (a blind append would
+    double-write the sinks that committed before the crash)."""
+    import json
+
+    src = str(tmp_path / "src_crash")
+    out_s = str(tmp_path / "souts_crash")
+    ckpt = str(tmp_path / "ckpt_crash")
+    turns.limit(400).repartition(2).write.parquet(src)
+
+    fired = {"n": 0}
+
+    def crash_after_second_sink(sink_name: str, epoch_id: int) -> None:
+        fired["n"] += 1
+        if fired["n"] == 2:  # after sink #2's files are on disk, before #3
+            raise RuntimeError("injected mid-batch crash")
+
+    q = run_streaming(spark, src, out_s, ckpt, fault_hook=crash_after_second_sink)
+    with pytest.raises(Exception, match="injected mid-batch crash"):
+        q.awaitTermination(300)
+    assert fired["n"] == 2  # at least one sink's epoch dir was committed
+
+    # restart WITHOUT the fault: the same epoch re-runs and overwrites
+    q2 = run_streaming(spark, src, out_s, ckpt)
+    q2.awaitTermination(300)
+
+    want = {(r.conv_id, r.turn_idx) for r in spark.read.parquet(src).collect()}
+    rows = []
+    for fn in glob.glob(f"{out_s}/sink_es/epoch=*/index_day=*/*.json"):
+        with open(fn) as f:
+            rows.extend(json.loads(line) for line in f)
+    got = [(d["conv_id"], d["turn_idx"]) for d in rows]
+    assert len(got) == len(set(got)), "duplicate rows after epoch re-run"
+    assert set(got) == want
 
 
 def test_streaming_stateful_aggregates(spark, turns, tmp_path):
