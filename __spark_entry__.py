@@ -630,6 +630,19 @@ def q_media_header_parse(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.parse_media_header(multimodal.frame_payload(media))
 
 
+def q_media_container_headers(spark: SparkSession, sf: str) -> DataFrame:
+    """Genuine container codecs with built-ins only: each document is
+    framed as a spec-correct PNG / GIF89a / BMP / RIFF-WAVE asset (real
+    magic bytes, endianness, and PNG CRC32), then the header fields are
+    decoded back out of the raw bytes. The oracle recomputes every field
+    arithmetically from doc_id — a drifted offset or endian swap in either
+    direction mismatches. A pytest additionally feeds files produced
+    independently via Python struct/zlib, so frame+parse cannot agree on a
+    shared mistake."""
+    media = multimodal.attach_container_media(_read(spark, sf, "documents"))
+    return multimodal.parse_container_header(media)
+
+
 def q_merge_docs_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """MERGE INTO semantics (anti-join + union, one shuffle): every
     doc_id % 7 == 0 row is updated in place ('v2 ' prefix), every
@@ -902,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_purchase": q_asof_last_purchase,
         "range_prior_hour": q_range_prior_hour,
         "media_header_parse": q_media_header_parse,
+        "media_container_headers": q_media_container_headers,
         "merge_docs_upsert": q_merge_docs_upsert,
         "compaction_plan": q_compaction_plan,
         "tpch_q3": q_tpch_q3,

@@ -134,6 +134,169 @@ def parse_media_header(media: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real container formats: genuine PNG / GIF / BMP / WAV byte layouts,
+# framed AND parsed entirely with JVM built-ins (to_binary/hex/substring/
+# conv/crc32). The byte layouts are the published container specs —
+# PNG signature + IHDR chunk (with a real CRC32), GIF89a logical screen
+# descriptor, BMP BITMAPINFOHEADER, RIFF/WAVE fmt chunk — so any external
+# tool reads the same dims/rates these parsers do. No codec libraries:
+# header codecs are pure byte arithmetic.
+# ---------------------------------------------------------------------------
+
+CONTAINER_FORMATS = ("png", "gif", "bmp", "wav")
+
+#: deterministic sample-rate table for the synthetic WAV assets
+WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def _be_hex(col, n: int):
+    """n-byte big-endian hex of a non-negative int column."""
+    return F.lpad(F.hex(col), 2 * n, "0")
+
+
+def _le_hex_write(col, n: int):
+    """n-byte little-endian hex of a non-negative int column (byte-swap)."""
+    be = _be_hex(col, n)
+    return F.concat(*[F.substring(be, 2 * i + 1, 2) for i in reversed(range(n))])
+
+
+def _le_int_read(p, pos: int, n: int):
+    """Read an n-byte little-endian unsigned int from binary col at pos."""
+    hx = F.hex(F.substring(p, pos, n))
+    le = F.concat(*[F.substring(hx, 2 * i + 1, 2) for i in reversed(range(n))])
+    return F.conv(le, 16, 10).cast("bigint")
+
+
+def _be_int_read(p, pos: int, n: int):
+    return F.conv(F.hex(F.substring(p, pos, n)), 16, 10).cast("bigint")
+
+
+def attach_container_media(docs: DataFrame) -> DataFrame:
+    """Wrap each document in a GENUINE media container chosen by
+    doc_id % 4: the text bytes ride as the (opaque) codec payload behind a
+    spec-correct header. All framing is JVM hex arithmetic — zero Python.
+
+    - png: 8-byte signature + IHDR chunk with length, type, 13-byte body
+      (BE u32 width/height, 8-bit RGB, no interlace) and a REAL CRC32 over
+      type+body (``F.crc32``), exactly as the PNG spec requires.
+    - gif: GIF89a magic + logical screen descriptor (LE u16 width/height).
+    - bmp: BM magic, LE u32 file size, pixel-data offset 54,
+      BITMAPINFOHEADER with LE i32 width/height, 1 plane, 24 bpp.
+    - wav: RIFF/WAVE with a 16-byte fmt chunk — PCM, LE u16 channels,
+      LE u32 sample rate, coherent byte-rate/block-align — and a data
+      chunk sized to the payload."""
+    width = (F.pmod(F.col("doc_id") * 37, F.lit(1920)) + 1).cast("bigint")
+    height = (F.pmod(F.col("doc_id") * 53, F.lit(1080)) + 1).cast("bigint")
+    channels = (F.pmod(F.col("doc_id"), F.lit(2)) + 1).cast("bigint")
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in WAV_RATES]),
+        (F.pmod(F.col("doc_id") * 7, F.lit(4)) + 1).cast("int"),
+    ).cast("bigint")
+    fmt = F.element_at(
+        F.array(*[F.lit(f) for f in CONTAINER_FORMATS]),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+    body = F.encode(F.col("text"), "UTF-8")
+    body_len = F.octet_length(body).cast("bigint")
+
+    ihdr_body = F.concat(  # "IHDR" + 13-byte data: the CRC32 input
+        F.lit("49484452"), _be_hex(width, 4), _be_hex(height, 4), F.lit("0802000000")
+    )
+    png_hdr = F.concat(
+        F.lit("89504E470D0A1A0A"),  # signature
+        F.lit("0000000D"),  # IHDR length
+        ihdr_body,
+        _be_hex(F.crc32(F.to_binary(ihdr_body, F.lit("hex"))), 4),
+    )
+    gif_hdr = F.concat(
+        F.lit("474946383961"),  # "GIF89a"
+        _le_hex_write(width, 2),
+        _le_hex_write(height, 2),
+        F.lit("000000"),  # no GCT, background 0, square pixels
+    )
+    bmp_hdr = F.concat(
+        F.lit("424D"),  # "BM"
+        _le_hex_write(F.lit(54) + body_len, 4),  # file size
+        F.lit("00000000"),  # reserved
+        F.lit("36000000"),  # pixel data offset = 54
+        F.lit("28000000"),  # BITMAPINFOHEADER size = 40
+        _le_hex_write(width, 4),
+        _le_hex_write(height, 4),
+        F.lit("0100"),  # planes = 1
+        F.lit("1800"),  # 24 bpp
+        F.lit("00" * 24),  # compression..important colors
+    )
+    wav_hdr = F.concat(
+        F.lit("52494646"),  # "RIFF"
+        _le_hex_write(F.lit(36) + body_len, 4),
+        F.lit("57415645"),  # "WAVE"
+        F.lit("666D7420"), F.lit("10000000"),  # "fmt ", length 16
+        F.lit("0100"),  # PCM
+        _le_hex_write(channels, 2),
+        _le_hex_write(rate, 4),
+        _le_hex_write(rate * channels * 2, 4),  # byte rate
+        _le_hex_write(channels * 2, 2),  # block align
+        F.lit("1000"),  # 16 bits/sample
+        F.lit("64617461"),  # "data"
+        _le_hex_write(body_len, 4),
+    )
+    hdr_hex = (
+        F.when(fmt == "png", png_hdr)
+        .when(fmt == "gif", gif_hdr)
+        .when(fmt == "bmp", bmp_hdr)
+        .otherwise(wav_hdr)
+    )
+    return docs.select(
+        "doc_id",
+        fmt.alias("container"),
+        F.concat(F.to_binary(hdr_hex, F.lit("hex")), body).alias("payload"),
+    )
+
+
+def parse_container_header(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Sniff the container by magic bytes and decode its header fields —
+    width/height for images, channels/sample rate for WAV — with binary
+    `substring` + endian-aware `conv(hex)` reads. Works on ANY payload in
+    one of the four formats, not just ones this module framed (pytest
+    feeds it files produced independently with Python struct/zlib).
+    Unknown magics yield container=NULL and null fields: counted, not
+    dropped, like every other malformed input in this engine."""
+    p = F.col(payload_col)
+    # magic sniffing via hex, not decode(): container bytes are not UTF-8
+    sniffed = (
+        F.when(F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A", F.lit("png"))
+        .when(F.hex(F.substring(p, 1, 4)) == "47494638", F.lit("gif"))  # "GIF8"
+        .when(F.hex(F.substring(p, 1, 2)) == "424D", F.lit("bmp"))  # "BM"
+        .when(
+            (F.hex(F.substring(p, 1, 4)) == "52494646")  # "RIFF"
+            & (F.hex(F.substring(p, 9, 4)) == "57415645"),  # "WAVE"
+            F.lit("wav"),
+        )
+    )
+    width = (
+        F.when(sniffed == "png", _be_int_read(p, 17, 4))  # IHDR data
+        .when(sniffed == "gif", _le_int_read(p, 7, 2))
+        .when(sniffed == "bmp", _le_int_read(p, 19, 4))
+    )
+    height = (
+        F.when(sniffed == "png", _be_int_read(p, 21, 4))
+        .when(sniffed == "gif", _le_int_read(p, 9, 2))
+        .when(sniffed == "bmp", _le_int_read(p, 23, 4))
+    )
+    channels = F.when(sniffed == "wav", _le_int_read(p, 23, 2))
+    sample_rate = F.when(sniffed == "wav", _le_int_read(p, 25, 4))
+    return media.select(
+        "doc_id",
+        sniffed.alias("container"),
+        width.alias("width"),
+        height.alias("height"),
+        channels.alias("channels"),
+        sample_rate.alias("sample_rate"),
+        F.length(p).cast("bigint").alias("total_bytes"),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame timestamp
     (explode of a sequence — demonstrates fan-out of media rows into

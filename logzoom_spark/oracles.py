@@ -835,6 +835,30 @@ FROM documents
 """
 
 
+# Real container codecs (ops.multimodal attach_container_media →
+# parse_container_header): every field recomputed arithmetically from
+# doc_id — the Spark side must round-trip genuine PNG/GIF/BMP/WAV bytes
+# to these exact values. Header sizes: PNG signature+IHDR = 33, GIF89a
+# screen descriptor = 13, BMP file+info header = 54, RIFF/WAVE header = 44.
+ORACLES["media_container_headers"] = """
+SELECT doc_id,
+  CASE cast(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+       WHEN 2 THEN 'bmp' ELSE 'wav' END AS container,
+  CASE WHEN doc_id % 4 IN (0, 1, 2)
+       THEN cast((doc_id * 37) % 1920 + 1 AS BIGINT) END AS width,
+  CASE WHEN doc_id % 4 IN (0, 1, 2)
+       THEN cast((doc_id * 53) % 1080 + 1 AS BIGINT) END AS height,
+  CASE WHEN doc_id % 4 = 3 THEN cast(doc_id % 2 + 1 AS BIGINT) END AS channels,
+  CASE WHEN doc_id % 4 = 3 THEN cast(
+    CASE cast((doc_id * 7) % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+         WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) END AS sample_rate,
+  cast(octet_length(encode(text)) +
+    CASE cast(doc_id % 4 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 13
+         WHEN 2 THEN 54 ELSE 44 END AS BIGINT) AS total_bytes
+FROM documents
+"""
+
+
 # MERGE semantics: anti-join + union-all, projected to hashable columns
 ORACLES["merge_docs_upsert"] = """
 WITH u AS (

@@ -430,6 +430,126 @@ def test_media_header_roundtrip(spark):
         assert r["body_bytes"] == len(txt.encode("utf-8"))
 
 
+def _real_png(w: int, h: int) -> bytes:
+    """A complete, valid PNG produced independently with struct+zlib."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x7f" * (3 * w) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_gif(w: int, h: int) -> bytes:
+    import struct
+
+    return struct.pack("<6sHH", b"GIF89a", w, h) + b"\x00\x00\x00\x3b"
+
+
+def _real_bmp(w: int, h: int) -> bytes:
+    import struct
+
+    row = (3 * w + 3) // 4 * 4
+    pixels = b"\x00" * (row * h)
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+        + pixels
+    )
+
+
+def _real_wav(channels: int, rate: int, n_samples: int = 16) -> bytes:
+    import struct
+
+    data = b"\x00\x00" * n_samples * channels
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, channels, rate,
+            rate * channels * 2, channels * 2, 16,
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def test_parse_container_header_on_independent_files(spark):
+    """Feed the built-ins-only header parser files produced independently
+    with Python struct/zlib — if frame_ and parse_ shared a wrong offset
+    or endian swap, this catches it."""
+    from logzoom_spark.ops import multimodal as mm
+
+    rows = [
+        (1, _real_png(640, 480)),
+        (2, _real_gif(320, 200)),
+        (3, _real_bmp(800, 600)),
+        (4, _real_wav(2, 44100)),
+        (5, b"\x00\x01not a container"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r["doc_id"]: r for r in mm.parse_container_header(df).collect()}
+    assert (out[1]["container"], out[1]["width"], out[1]["height"]) == ("png", 640, 480)
+    assert (out[2]["container"], out[2]["width"], out[2]["height"]) == ("gif", 320, 200)
+    assert (out[3]["container"], out[3]["width"], out[3]["height"]) == ("bmp", 800, 600)
+    assert (out[4]["container"], out[4]["channels"], out[4]["sample_rate"]) == (
+        "wav", 2, 44100,
+    )
+    assert out[5]["container"] is None and out[5]["width"] is None
+
+
+def test_container_frame_bytes_are_genuine(spark):
+    """The Spark-framed assets must parse with stdlib codecs: the PNG CRC
+    is a real CRC32 and every field sits at its spec offset."""
+    import struct
+    import zlib
+
+    from logzoom_spark.ops import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i, f"payload body {i}") for i in range(8)], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: bytes(r["payload"])
+            for r in mm.attach_container_media(docs).collect()}
+    # doc 0 -> png: validate signature, IHDR fields AND the CRC with zlib
+    png = rows[0]
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    (ln,) = struct.unpack(">I", png[8:12])
+    assert ln == 13 and png[12:16] == b"IHDR"
+    w, h = struct.unpack(">II", png[16:24])
+    assert (w, h) == ((0 * 37) % 1920 + 1, (0 * 53) % 1080 + 1)
+    (crc,) = struct.unpack(">I", png[29:33])
+    assert crc == zlib.crc32(png[12:29])
+    # doc 1 -> gif
+    gif = rows[1]
+    assert gif[:6] == b"GIF89a"
+    assert struct.unpack("<HH", gif[6:10]) == (37 % 1920 + 1, 53 % 1080 + 1)
+    # doc 2 -> bmp
+    bmp = rows[2]
+    assert bmp[:2] == b"BM"
+    assert struct.unpack("<ii", bmp[18:26]) == ((2 * 37) % 1920 + 1, (2 * 53) % 1080 + 1)
+    # doc 3 -> wav: fmt fields coherent
+    wav = rows[3]
+    assert wav[:4] == b"RIFF" and wav[8:16] == b"WAVEfmt "
+    fmt_code, ch, rate, byte_rate, align, bits = struct.unpack("<HHIIHH", wav[20:36])
+    assert fmt_code == 1 and ch == 3 % 2 + 1 and bits == 16
+    assert rate == (8000, 16000, 22050, 44100)[(3 * 7) % 4]
+    assert byte_rate == rate * ch * 2 and align == ch * 2
+    assert wav[36:40] == b"data"
+
+
 def test_merge_upsert_semantics(spark):
     from logzoom_spark.ops.maintenance import merge_upsert
 
