@@ -705,6 +705,40 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q9_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: six-table join (part→lineitem→supplier→nation→
+    region + orders) with a part filter, profit per (region, nation,
+    order-year). Exercises deep join reordering over the full dimension
+    space: the filtered part table prunes lineitem first (the selective
+    edge), supplier/orders shuffle-join on their keys, nation/region ride
+    as broadcast dims. No forced broadcast on any sf-scaled table."""
+    p = _read(spark, sf, "part").filter(F.col("p_name").contains("red"))
+    s = _read(spark, sf, "supplier")
+    n = _read(spark, sf, "nation")
+    r = _read(spark, sf, "region")
+    li = _read(spark, sf, "lineitem")
+    o = _read(spark, sf, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "r_name",
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.sum(_cents(amount)).alias("profit_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_salted_role_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Two-stage salted aggregation (explicit skew path): identical result
     to a direct groupBy, verified by a plain GROUP BY oracle."""
@@ -919,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_docs_upsert": q_merge_docs_upsert,
         "compaction_plan": q_compaction_plan,
         "tpch_q3": q_tpch_q3,
+        "tpch_q9_profit": q_tpch_q9_profit,
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
         "salted_role_counts": q_salted_role_counts,

@@ -891,6 +891,26 @@ SELECT lang, source, bytes,
 FROM files
 """
 
+# Q9-shape profit: six-table join over the full dimension space; profit =
+# revenue minus a retail-price-based cost proxy (the synthetic schema has
+# no partsupp/ps_supplycost), in exact integer cents
+ORACLES["tpch_q9_profit"] = """
+SELECT r.r_name, n.n_name AS nation,
+  cast(year(o.o_orderdate) AS BIGINT) AS o_year,
+  cast(sum(round((l.l_extendedprice * (1 - l.l_discount)
+                  - p.p_retailprice * l.l_quantity) * 100)) AS BIGINT)
+    AS profit_cents,
+  count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY r.r_name, n.n_name, year(o.o_orderdate)
+"""
+
 ORACLES["tpch_q3"] = """
 SELECT l_orderkey, o_orderpriority, revenue_cents FROM (
   SELECT l.l_orderkey, o.o_orderpriority,
