@@ -235,6 +235,37 @@ def q_grok_apache_commonlog(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_grok_syslog_line(spark: SparkSession, sf: str) -> DataFrame:
+    """SYSLOGLINE composite grok (SYSLOGBASE → SYSLOGTIMESTAMP/IPORHOST/
+    PROG + pid + free message): build a deterministic syslog line per turn,
+    parse it back, surface every subfield. Oracle reconstructs the values
+    arithmetically — grok regex drift mismatches."""
+    from logzoom_spark.grok import apply_grok
+
+    t = _turns(spark, sf)
+    sys_ts = F.date_format(F.col("ts").cast("timestamp"), "MMM dd HH:mm:ss")
+    host = F.concat(
+        F.lit("host-"), (F.col("turn_idx") % 50).cast("string"), F.lit(".example.com")
+    )
+    prog = F.concat(F.lit("proc-"), F.col("role"))
+    line = F.format_string(
+        "%s %s %s[%d]: conv %s turn %d",
+        sys_ts, host, prog, F.col("turn_idx"), F.col("conv_id"), F.col("turn_idx"),
+    )
+    parsed = apply_grok(
+        t.select("conv_id", "turn_idx", line.alias("text")), "%{SYSLOGLINE}"
+    )
+    return parsed.select(
+        "conv_id",
+        "turn_idx",
+        "syslog_timestamp",
+        "syslog_host",
+        "syslog_program",
+        F.col("syslog_pid").cast("bigint").alias("syslog_pid"),
+        "syslog_message",
+    )
+
+
 def q_stable_turn_order(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as W
 
@@ -909,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_daily_counts": q_es_daily_counts,
         "stable_turn_order": q_stable_turn_order,
         "grok_apache_commonlog": q_grok_apache_commonlog,
+        "grok_syslog_line": q_grok_syslog_line,
         # relational breadth
         "tpch_q1": q_tpch_q1,
         "join_broadcast_dims": q_join_broadcast_dims,

@@ -85,7 +85,53 @@ GROK_PATTERNS: dict[str, str] = {
         r"%{SYSLOGTIMESTAMP:syslog_timestamp} %{IPORHOST:syslog_host}"
         r" %{PROG:syslog_program}(?:\[%{INT:syslog_pid}\])?:"
     ),
+    "SYSLOGLINE": r"%{SYSLOGBASE} %{GREEDYDATA:syslog_message}",
+    # --- httpd (apache) composites, logstash modern names --------------------
+    "POSINT": r"\b[1-9][0-9]*\b",
+    "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+    "HTTPDERROR_DATE": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}",
+    "HTTPD_COMMONLOG": r"%{COMMONAPACHELOG}",
+    "HTTPD_COMBINEDLOG": r"%{COMBINEDAPACHELOG}",
+    "HTTPD24_ERRORLOG": (
+        r"\[%{HTTPDERROR_DATE:timestamp}\] \[(?:%{WORD:module})?:?%{LOGLEVEL:loglevel}\]"
+        r" \[pid %{POSINT:pid}(?::tid %{POSINT:tid})?\]"
+        r"(?: \[client %{IPORHOST:clientip}:%{POSINT:clientport}\])?"
+        r" %{GREEDYDATA:message}"
+    ),
 }
+
+def load_pattern_file(path: str) -> dict[str, str]:
+    """Parse a logstash-format pattern file: one ``NAME regex`` definition
+    per line (first whitespace run separates name from pattern), ``#``
+    comments and blank lines skipped — the patterns_dir file format every
+    logstash deployment ships custom grok in. Returned dict feeds the
+    ``extra_patterns`` argument of compile_grok/apply_grok; entries may
+    reference each other and the built-in library."""
+    patterns: dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        for lineno, raw in enumerate(f, 1):
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = re.split(r"\s+", line, maxsplit=1)
+            if len(parts) != 2 or not re.fullmatch(r"\w+", parts[0]):
+                raise ValueError(f"{path}:{lineno}: expected 'NAME pattern', got {line!r}")
+            patterns[parts[0]] = parts[1]
+    return patterns
+
+
+def load_patterns_dir(dirpath: str) -> dict[str, str]:
+    """Load every pattern file in a directory (sorted by name, later files
+    winning name collisions) — the logstash ``patterns_dir`` analog."""
+    import os
+
+    merged: dict[str, str] = {}
+    for name in sorted(os.listdir(dirpath)):
+        full = os.path.join(dirpath, name)
+        if os.path.isfile(full):
+            merged.update(load_pattern_file(full))
+    return merged
+
 
 # grok type hints: %{INT:port:int}
 _GROK_TOKEN = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")

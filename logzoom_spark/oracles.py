@@ -208,6 +208,19 @@ SELECT conv_id, turn_idx,
 FROM turns
 """
 
+# SYSLOGLINE composite: every subfield re-derived arithmetically from the
+# same inputs the Spark side formatted into the line
+ORACLES["grok_syslog_line"] = f"""
+WITH {TURNS_CTE}
+SELECT conv_id, turn_idx,
+  strftime(ts, '%b %d %H:%M:%S') AS syslog_timestamp,
+  concat('host-', cast(turn_idx % 50 AS VARCHAR), '.example.com') AS syslog_host,
+  concat('proc-', role) AS syslog_program,
+  cast(turn_idx AS BIGINT) AS syslog_pid,
+  concat('conv ', conv_id, ' turn ', cast(turn_idx AS VARCHAR)) AS syslog_message
+FROM turns
+"""
+
 ORACLES["stable_turn_order"] = f"""
 WITH {TURNS_CTE}
 SELECT conv_id, turn_idx,

@@ -117,6 +117,82 @@ def test_combined_and_syslog_composites():
     assert m2.group("msg") == "accepted"
 
 
+def test_syslogline_composite():
+    cg = compile_grok("%{SYSLOGLINE}")
+    m = re.search(
+        cg.regex_named, "Aug 17 03:14:15 host-9.example.com cron[77]: job started"
+    )
+    assert m is not None
+    assert m.group("syslog_timestamp") == "Aug 17 03:14:15"
+    assert m.group("syslog_host") == "host-9.example.com"
+    assert m.group("syslog_program") == "cron"
+    assert m.group("syslog_pid") == "77"
+    assert m.group("syslog_message") == "job started"
+
+
+def test_httpd24_errorlog_composite():
+    cg = compile_grok("%{HTTPD24_ERRORLOG}")
+    line = (
+        "[Fri Aug 14 12:34:56 2026] [core:ERROR] [pid 4321] "
+        "[client 10.9.8.7:51234] File does not exist: /var/www/favicon.ico"
+    )
+    m = re.search(cg.regex_named, line)
+    assert m is not None
+    assert m.group("timestamp") == "Fri Aug 14 12:34:56 2026"
+    assert m.group("module") == "core"
+    assert m.group("loglevel") == "ERROR"
+    assert m.group("pid") == "4321"
+    assert m.group("clientip") == "10.9.8.7"
+    assert m.group("clientport") == "51234"
+    assert m.group("message") == "File does not exist: /var/www/favicon.ico"
+    # client section is optional (not all error lines carry it)
+    m2 = re.search(cg.regex_named, "[Sat Jan 01 00:00:01 2026] [:WARN] [pid 9] server reload")
+    assert m2 and m2.group("message") == "server reload" and m2.group("clientip") is None
+    # modern logstash aliases resolve to the apache composites
+    assert compile_grok("%{HTTPD_COMMONLOG}").fields == compile_grok("%{COMMONAPACHELOG}").fields
+
+
+def test_load_pattern_file_and_dir(tmp_path):
+    from logzoom_spark.grok import load_pattern_file, load_patterns_dir
+
+    f1 = tmp_path / "custom1"
+    f1.write_text(
+        "# custom app patterns\n"
+        "\n"
+        "APPID app-[0-9]{4}\n"
+        "APPLINE %{APPID:app} user=%{USERNAME:user}\n"
+    )
+    pats = load_pattern_file(str(f1))
+    assert pats == {"APPID": "app-[0-9]{4}", "APPLINE": "%{APPID:app} user=%{USERNAME:user}"}
+    # user patterns compose with each other AND the built-in library
+    cg = compile_grok("%{APPLINE}", extra_patterns=pats)
+    m = re.search(cg.regex_named, "app-0042 user=alice.b")
+    assert m and m.group("app") == "app-0042" and m.group("user") == "alice.b"
+    # dir loading: later files override earlier names
+    (tmp_path / "custom2").write_text("APPID app-[0-9]+\n")
+    merged = load_patterns_dir(str(tmp_path))
+    assert merged["APPID"] == "app-[0-9]+"
+    bad = tmp_path / "subdir_bad"
+    bad.mkdir()
+    badfile = bad / "bad"
+    badfile.write_text("not-a-name!\n")
+    with pytest.raises(ValueError, match="expected 'NAME pattern'"):
+        load_pattern_file(str(badfile))
+
+
+@pytest.mark.parametrize("engine", ["builtin", "pandas"])
+def test_apply_grok_with_extra_patterns(spark, engine):
+    df = spark.createDataFrame(
+        [("app-7777 user=bob",), ("garbage",)], "text string"
+    )
+    extra = {"APPID": "app-[0-9]+"}
+    out = apply_grok(df, "%{APPID:app} user=%{USERNAME:user}", engine=engine,
+                     extra_patterns=extra)
+    rows = {r.text: (r.app, r.user) for r in out.collect()}
+    assert rows["app-7777 user=bob"] == ("app-7777", "bob")
+    assert rows["garbage"] == (None, None)
+
+
 def test_cycle_and_duplicate_field_rejected():
     with pytest.raises(ValueError, match="cycle"):
         compile_grok("%{A:x}", extra_patterns={"A": "%{B}", "B": "%{A}"})
