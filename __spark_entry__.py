@@ -906,6 +906,39 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", F.md5("text").alias("text_md5"), "n_redacted")
 
 
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-token-count chunking with overlap (32-token chunks, 8-token
+    overlap): the embedding/pre-training unit-of-work explode. Zero
+    shuffles; oracle re-derives every chunk by list slicing."""
+    from logzoom_spark.ops.corpus import chunk_documents
+
+    return chunk_documents(_read(spark, sf, "documents"), chunk_tokens=32, overlap=8)
+
+
+def q_stratified_sample_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language data mixing: keep 50% of en, 25% of zh,
+    10% of everything else, by portable-hash gate — reproducible under any
+    partitioning (the mixing-recipe primitive of corpus composition)."""
+    from logzoom_spark.ops.corpus import stratified_sample
+
+    docs = _read(spark, sf, "documents")
+    out = stratified_sample(docs, "lang", {"en": 5000, "zh": 2500}, default10k=1000)
+    return out.select("doc_id", "lang", "source")
+
+
+def q_contamination_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination screen: candidate docs sharing word 3-grams
+    with the benchmark subset (doc_id % 7 == 0), counted per pair. The
+    join currency is the portable 60-bit gram hash; boilerplate grams
+    (df > 100 benchmark docs) are dropped before the join."""
+    from logzoom_spark.ops.corpus import contamination_pairs
+
+    docs = _read(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    cand = docs.filter(F.col("doc_id") % 7 != 0)
+    return contamination_pairs(cand, bench, n=3)
+
+
 def q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
     return tx.redact_pii(_read(spark, sf, "documents"))
 
@@ -988,6 +1021,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9_profit": q_tpch_q9_profit,
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
+        # round 3: corpus-preparation ops
+        "chunk_documents": q_chunk_documents,
+        "stratified_sample_lang": q_stratified_sample_lang,
+        "contamination_pairs": q_contamination_pairs,
         "salted_role_counts": q_salted_role_counts,
         "kmv_rollup_users": q_kmv_rollup_users,
         "curation_pipeline": q_curation_pipeline,

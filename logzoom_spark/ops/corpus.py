@@ -1,0 +1,137 @@
+"""Corpus-preparation operators for LLM training-data pipelines: document
+chunking, stratified (per-language) sampling, and benchmark-contamination
+detection. All built-in `pyspark.sql.functions` — JVM-side array/hash ops,
+no Python in any hot path.
+
+No reference analog (logzoom is a log router); these extend the
+training-data operator surface mandated by the build brief, alongside
+ops/dedup.py and ops/text.py.
+
+Scale notes:
+- ``chunk_documents`` is a per-row explode — embarrassingly parallel, zero
+  shuffles; output rows = ceil(tokens/stride) per doc.
+- ``stratified_sample`` is a pure filter on a deterministic hash gate —
+  sample membership is stable under any partitioning or cluster size
+  (contrast reference server/rand.go wall-clock rand).
+- ``contamination_pairs`` shuffles only (60-bit hash, id) pairs, never
+  text; a document-frequency cap drops n-grams shared by too many
+  benchmark docs (boilerplate) before the join, the same hot-key guard as
+  the LSH bucket cap in ops/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..hashing import portable_hash
+
+#: n-grams appearing in more than this many benchmark docs are boilerplate,
+#: not contamination signal — dropped before the join (hot-key guard)
+DEFAULT_MAX_GRAM_DF = 100
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-token-count chunks with overlap — the
+    unit of work for embedding/pre-training pipelines. Chunk k starts at
+    token k·stride (stride = chunk_tokens − overlap); the last chunk may be
+    short; a doc shorter than one chunk yields exactly one chunk.
+
+    Pure per-row array ops (split → sequence → slice under posexplode-style
+    inline): no shuffle, no Python; output is (doc_id, chunk_idx,
+    chunk_text, n_chunk_tokens)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.ceil(F.greatest(n - overlap, F.lit(1)) / F.lit(stride)).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    out = docs.select("doc_id", toks.alias("_toks"), idx)
+    piece = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    rates10k: dict[str, int],
+    default10k: int = 0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixing primitive (keep
+    50% of English, 20% of code, ... when composing a training corpus).
+    A row survives iff hash(doc_id) mod 10000 < its stratum's rate (×10k).
+
+    Hash-gated, so membership is reproducible across runs, partitionings
+    and cluster sizes, and downstream epochs can re-derive exactly which
+    rows were in the mix."""
+    rate = None
+    for value, r10k in rates10k.items():
+        cond = F.col(strata_col) == value
+        rate = F.when(cond, r10k) if rate is None else rate.when(cond, r10k)
+    rate = F.lit(default10k) if rate is None else rate.otherwise(F.lit(default10k))
+    bucket = F.pmod(portable_hash(F.col("doc_id").cast("string"), seed), F.lit(10000))
+    return docs.filter(bucket < rate)
+
+
+def ngram_hashes(
+    docs: DataFrame, n: int = 8, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram hashes per doc: (id, gram_hash) rows — the
+    fixed-width join currency for contamination checks. Lowercased,
+    whitespace-tokenized; docs shorter than n yield one whole-text gram."""
+    toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return docs.select(
+        F.col(id_col), F.explode(grams).alias("_g")
+    ).select(id_col, portable_hash(F.col("_g")).alias("gram_hash"))
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    max_gram_df: int | None = DEFAULT_MAX_GRAM_DF,
+) -> DataFrame:
+    """Benchmark-contamination detection: for each candidate training doc,
+    the benchmark docs it shares ≥1 word n-gram with, and how many — the
+    standard eval-leakage screen (an 8-gram collision with a test set is
+    strong evidence the eval item leaked into training data).
+
+    Plan: distinct n-gram hashes per side, equi-join on the hash, count per
+    (doc, benchmark) pair. The shuffle carries (hash, id) pairs only;
+    ``max_gram_df`` drops n-grams present in more than that many benchmark
+    docs (license headers, prompt boilerplate) before the join, bounding
+    the worst key exactly like the LSH bucket cap."""
+    bench_grams = ngram_hashes(benchmark, n=n).withColumnRenamed("doc_id", "bench_id")
+    if max_gram_df is not None:
+        busy = (
+            bench_grams.groupBy("gram_hash")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_gram_df)
+            .select("gram_hash")
+        )
+        bench_grams = bench_grams.join(busy, "gram_hash", "left_anti")
+    doc_grams = ngram_hashes(docs, n=n)
+    return (
+        doc_grams.join(bench_grams, "gram_hash")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

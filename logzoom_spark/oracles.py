@@ -1195,3 +1195,67 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-preparation ops (ops/corpus.py) — round 3
+# ---------------------------------------------------------------------------
+
+# fixed-token chunking (chunk_tokens=32, overlap=8 -> stride=24): every
+# chunk re-derived by 1-based inclusive list slicing
+ORACLES["chunk_documents"] = r"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         cast(ceil(greatest(len(toks) - 8, 1) / 24.0) AS INT) AS n_chunks
+  FROM tk
+),
+ex AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, n_chunks - 1)) AS ci
+  FROM c
+)
+SELECT doc_id, cast(ci AS BIGINT) AS chunk_idx,
+       array_to_string(toks[ci*24+1 : ci*24+32], ' ') AS chunk_text,
+       cast(len(toks[ci*24+1 : ci*24+32]) AS BIGINT) AS n_chunk_tokens
+FROM ex
+"""
+
+# per-language hash-gated mixing rates: en 50%, zh 25%, else 10%
+ORACLES["stratified_sample_lang"] = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ({portable_hash_sql("cast(doc_id AS VARCHAR)")} % 10000) <
+  CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500 ELSE 1000 END
+"""
+
+# benchmark contamination: distinct word-3-gram portable hashes per side,
+# df-capped (>100 benchmark docs) equi-join, shared-gram counts per pair
+ORACLES["contamination_pairs"] = f"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(toks) >= 3
+      THEN list_distinct(list_transform(range(0, len(toks) - 3 + 1),
+             i -> array_to_string(toks[i+1 : i+3], ' ')))
+      ELSE [array_to_string(toks, ' ')] END) AS gram
+  FROM tk
+),
+hashed AS (
+  SELECT doc_id, {portable_hash_sql("gram")} AS gram_hash FROM grams
+),
+bench AS (SELECT doc_id AS bench_id, gram_hash FROM hashed WHERE doc_id % 7 = 0),
+busy AS (SELECT gram_hash FROM bench GROUP BY gram_hash HAVING count(*) > 100),
+bench_ok AS (
+  SELECT * FROM bench WHERE gram_hash NOT IN (SELECT gram_hash FROM busy)
+),
+cand AS (SELECT doc_id, gram_hash FROM hashed WHERE doc_id % 7 <> 0)
+SELECT c.doc_id, b.bench_id, count(*) AS n_shared_grams
+FROM cand c JOIN bench_ok b USING (gram_hash)
+GROUP BY c.doc_id, b.bench_id
+"""

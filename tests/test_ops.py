@@ -550,6 +550,77 @@ def test_container_frame_bytes_are_genuine(spark):
     assert wav[36:40] == b"data"
 
 
+def test_chunk_documents_shapes(spark):
+    """Chunk boundaries: short doc → 1 chunk; exact fit → 1 chunk; one
+    token over → 2 chunks with the overlap prefix; all tokens covered."""
+    from logzoom_spark.ops.corpus import chunk_documents
+
+    toks10 = " ".join(f"t{i}" for i in range(10))
+    toks64 = " ".join(f"t{i}" for i in range(64))
+    toks65 = " ".join(f"t{i}" for i in range(65))
+    df = spark.createDataFrame(
+        [(1, toks10), (2, toks64), (3, toks65)], "doc_id bigint, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=64, overlap=16)
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r.doc_id, []).append(r)
+    assert len(rows[1]) == 1 and rows[1][0].n_chunk_tokens == 10
+    assert len(rows[2]) == 1 and rows[2][0].n_chunk_tokens == 64
+    two = sorted(rows[3], key=lambda r: r.chunk_idx)
+    assert len(two) == 2
+    assert two[0].chunk_text.split()[:1] == ["t0"]
+    # second chunk starts at stride 48 and carries the 17-token tail
+    assert two[1].chunk_text.split()[0] == "t48" and two[1].n_chunk_tokens == 17
+    # overlap: last 16 of chunk 0 == first 16 of chunk 1
+    assert two[0].chunk_text.split()[48:] == two[1].chunk_text.split()[:16]
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from logzoom_spark.ops.corpus import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out1 = {r.doc_id for r in stratified_sample(df, "lang", {"en": 5000}, 0).collect()}
+    out2 = {r.doc_id for r in
+            stratified_sample(df.repartition(13), "lang", {"en": 5000}, 0).collect()}
+    assert out1 == out2  # membership independent of partitioning
+    n_en = sum(1 for i in out1 if i % 2 == 0)
+    assert not any(i % 2 == 1 for i in out1)  # default rate 0 drops fr
+    assert 350 <= n_en <= 650  # ~50% of 1000 en docs
+
+
+def test_contamination_pairs_planted(spark):
+    """A candidate doc that quotes an 8-token benchmark span must surface;
+    unrelated docs must not; boilerplate grams above the df cap must be
+    ignored."""
+    from logzoom_spark.ops.corpus import contamination_pairs
+
+    bench_txt = "the quick brown fox jumps over the lazy dog tonight"
+    boiler = "all rights reserved by the example corporation anywhere"
+    bench = spark.createDataFrame(
+        [(100 + i, bench_txt if i == 0 else f"{boiler} v{i}") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    cand = spark.createDataFrame(
+        [
+            (1, f"intro text {bench_txt} outro text"),  # quotes the span
+            (2, "completely unrelated words with no overlap at all here"),
+            (3, f"footer {boiler} v9"),  # shares only boilerplate grams
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.doc_id, r.bench_id): r.n_shared_grams
+        for r in contamination_pairs(cand, bench, n=8, max_gram_df=3).collect()
+    }
+    assert any(d == 1 and b == 100 for d, b in got)  # planted quote found
+    assert not any(d == 2 for d, _ in got)
+    assert not any(d == 3 for d, _ in got)  # boilerplate capped away
+
+
 def test_merge_upsert_semantics(spark):
     from logzoom_spark.ops.maintenance import merge_upsert
 
