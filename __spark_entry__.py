@@ -461,6 +461,47 @@ def q_join_sort_merge_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_order_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-function breadth: ntile(4) + percent_rank over orders per
+    priority class (deterministic tie-break on the unique order key).
+    percent_rank is IEEE-double (rank-1)/(n-1) in both engines — floored
+    ×10000 for a hashable integer."""
+    from pyspark.sql import Window as W
+
+    o = _read(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", _cents("o_totalprice").alias("total_cents")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("total_cents", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "total_cents",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 10000).cast("bigint").alias("pr10k"),
+    )
+
+
+def q_unpivot_level_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot → unpivot round trip (stack): wide per-level counts melted
+    back to long (role, level, cnt) — including explicit zeros for absent
+    combinations, which a plain GROUP BY would drop."""
+    pv = (
+        _parsed(spark, sf)
+        .groupBy("role")
+        .pivot("level", ["INFO", "WARN", "ERROR"])
+        .count()
+    )
+    filled = pv.select(
+        "role",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+          for c in ["INFO", "WARN", "ERROR"]],
+    )
+    return filled.selectExpr(
+        "role",
+        "stack(3, 'INFO', INFO, 'WARN', WARN, 'ERROR', ERROR) AS (level, cnt)",
+    )
+
+
 # --- training-data ops -------------------------------------------------------
 
 
@@ -985,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_convs_per_role": q_distinct_convs_per_role,
         "set_ops_routes": q_set_ops_routes,
         "semi_anti_error_convs": q_semi_anti_error_convs,
+        "order_quartiles": q_order_quartiles,
+        "unpivot_level_counts": q_unpivot_level_counts,
         "join_sort_merge_revenue": q_join_sort_merge_revenue,
         # training-data ops
         "dedup_exact": q_dedup_exact,

@@ -1259,3 +1259,29 @@ SELECT c.doc_id, b.bench_id, count(*) AS n_shared_grams
 FROM cand c JOIN bench_ok b USING (gram_hash)
 GROUP BY c.doc_id, b.bench_id
 """
+
+
+# ranking breadth: ntile(4) + floored percent_rank, unique tie-break
+ORACLES["order_quartiles"] = """
+SELECT o_orderkey, o_orderpriority,
+  cast(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+  cast(ntile(4) OVER w AS BIGINT) AS quartile,
+  cast(floor(percent_rank() OVER w * 10000) AS BIGINT) AS pr10k
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY cast(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+"""
+
+# pivot->unpivot round trip: long (role, level, cnt) with explicit zeros
+ORACLES["unpivot_level_counts"] = f"""
+{_WITH_PARSED},
+lv AS (SELECT unnest(['INFO', 'WARN', 'ERROR']) AS level),
+roles AS (SELECT DISTINCT role FROM parsed),
+cnts AS (
+  SELECT role, level, count(*) AS c FROM parsed
+  WHERE level IN ('INFO', 'WARN', 'ERROR') GROUP BY role, level
+)
+SELECT r.role, l.level, coalesce(c.c, 0) AS cnt
+FROM roles r CROSS JOIN lv l
+LEFT JOIN cnts c ON c.role = r.role AND c.level = l.level
+"""
