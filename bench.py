@@ -171,6 +171,23 @@ def main() -> None:
     # runs once — the CC convergence loop materializes internally
     bench("curation_pipeline", lambda: curate(docs).count(), runs=1)
 
+    # round-3 operators
+    bench("tpch_q9_profit", lambda: _noop(se.q_tpch_q9_profit(spark, sf_dir)))
+    bench(
+        "container_headers",
+        lambda: _noop(se.q_media_container_headers(spark, sf_dir)),
+    )
+    bench("chunk_documents", lambda: _noop(se.q_chunk_documents(spark, sf_dir)))
+    bench(
+        "contamination_pairs", lambda: _noop(se.q_contamination_pairs(spark, sf_dir))
+    )
+    # kmv/percentiles re-planned this round (two-stage salt / histogram
+    # window) — timed to show the scale-safe plans cost nothing at bench sf
+    bench("kmv_distinct", lambda: _noop(se.q_kmv_distinct_users(spark, sf_dir)))
+    bench(
+        "latency_percentiles", lambda: _noop(se.q_latency_percentiles(spark, sf_dir))
+    )
+
     # ----- headline: end-to-end routing throughput -------------------------
     # The north-star metric is turns routed/sec through
     # parse → enrich → route → aggregate; every routed branch and every
