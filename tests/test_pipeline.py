@@ -252,3 +252,18 @@ def test_turns_format_roundtrip(spark, turns, tmp_path):
     b = sources.read_turns(spark, str(bad), "jsonl")
     assert b.count() == 2
     assert b.filter("NOT source_ok").count() == 1
+
+    # partially-malformed row: conv_id parses but turn_idx has the wrong
+    # type — PERMISSIVE sets _corrupt_record, and the strict accounting
+    # must count it malformed (ADVICE r2: OR-ing conv_id.isNotNull() let
+    # these rows pass as ok)
+    part = tmp_path / "partialj"
+    part.mkdir()
+    (part / "part-000.json").write_text(
+        '{"conv_id": "c9", "turn_idx": "not-an-int", "role": "user", '
+        '"text": "x", "tool": null, "ts": "2024-01-01T00:00:00"}\n'
+    )
+    p = sources.read_turns(spark, str(part), "jsonl")
+    rows = p.collect()
+    assert len(rows) == 1
+    assert rows[0]["conv_id"] == "c9" and rows[0]["source_ok"] is False
