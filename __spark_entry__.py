@@ -977,7 +977,7 @@ def q_contamination_pairs(spark: SparkSession, sf: str) -> DataFrame:
     docs = _read(spark, sf, "documents")
     bench = docs.filter(F.col("doc_id") % 7 == 0)
     cand = docs.filter(F.col("doc_id") % 7 != 0)
-    return contamination_pairs(cand, bench, n=3)
+    return contamination_pairs(cand, bench, n=3, hasher="md5")
 
 
 def q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:

@@ -13,10 +13,11 @@ Scale notes:
 - ``stratified_sample`` is a pure filter on a deterministic hash gate —
   sample membership is stable under any partitioning or cluster size
   (contrast reference server/rand.go wall-clock rand).
-- ``contamination_pairs`` shuffles only (60-bit hash, id) pairs, never
-  text; a document-frequency cap drops n-grams shared by too many
+- ``contamination_pairs`` shuffles only (fixed-width hash, id) pairs,
+  never text; a document-frequency cap drops n-grams shared by too many
   benchmark docs (boilerplate) before the join, the same hot-key guard as
-  the LSH bucket cap in ops/dedup.py.
+  the LSH bucket cap in ops/dedup.py. Hashers follow the ops/dedup.py
+  convention: xxhash64 production path, portable-md5 oracle path.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..hashing import portable_hash
+from .dedup import _hash_fn
 
 #: n-grams appearing in more than this many benchmark docs are boilerplate,
 #: not contamination signal — dropped before the join (hot-key guard)
@@ -86,11 +88,19 @@ def stratified_sample(
 
 
 def ngram_hashes(
-    docs: DataFrame, n: int = 8, col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 8,
+    col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xx",
 ) -> DataFrame:
     """Distinct word n-gram hashes per doc: (id, gram_hash) rows — the
     fixed-width join currency for contamination checks. Lowercased,
-    whitespace-tokenized; docs shorter than n yield one whole-text gram."""
+    whitespace-tokenized; docs shorter than n yield one whole-text gram.
+    ``hasher``: "xx" (xxhash64 JVM intrinsic, production) or "md5" (the
+    portable 60-bit hash the DuckDB oracle replicates) — same convention
+    as ops/dedup.py."""
+    h = _hash_fn(hasher)
     toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.when(
@@ -101,7 +111,7 @@ def ngram_hashes(
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     return docs.select(
         F.col(id_col), F.explode(grams).alias("_g")
-    ).select(id_col, portable_hash(F.col("_g")).alias("gram_hash"))
+    ).select(id_col, h(F.col("_g")).alias("gram_hash"))
 
 
 def contamination_pairs(
@@ -109,6 +119,7 @@ def contamination_pairs(
     benchmark: DataFrame,
     n: int = 8,
     max_gram_df: int | None = DEFAULT_MAX_GRAM_DF,
+    hasher: str = "xx",
 ) -> DataFrame:
     """Benchmark-contamination detection: for each candidate training doc,
     the benchmark docs it shares ≥1 word n-gram with, and how many — the
@@ -120,7 +131,9 @@ def contamination_pairs(
     ``max_gram_df`` drops n-grams present in more than that many benchmark
     docs (license headers, prompt boilerplate) before the join, bounding
     the worst key exactly like the LSH bucket cap."""
-    bench_grams = ngram_hashes(benchmark, n=n).withColumnRenamed("doc_id", "bench_id")
+    bench_grams = ngram_hashes(benchmark, n=n, hasher=hasher).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
     if max_gram_df is not None:
         busy = (
             bench_grams.groupBy("gram_hash")
@@ -129,7 +142,7 @@ def contamination_pairs(
             .select("gram_hash")
         )
         bench_grams = bench_grams.join(busy, "gram_hash", "left_anti")
-    doc_grams = ngram_hashes(docs, n=n)
+    doc_grams = ngram_hashes(docs, n=n, hasher=hasher)
     return (
         doc_grams.join(bench_grams, "gram_hash")
         .groupBy("doc_id", "bench_id")

@@ -621,6 +621,52 @@ def test_contamination_pairs_planted(spark):
     assert not any(d == 3 for d, _ in got)  # boilerplate capped away
 
 
+def test_contamination_hashers_agree(spark):
+    """xxhash64 production path and portable-md5 oracle path must find the
+    identical pair set (same convention as the dedup hasher pytest)."""
+    from logzoom_spark.ops.corpus import contamination_pairs
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id bigint, text string"
+    )
+    cand = spark.createDataFrame(
+        [(1, "prefix alpha beta gamma delta epsilon zeta suffix"),
+         (2, "nothing shared here at all today friends")],
+        "doc_id bigint, text string",
+    )
+    res = {}
+    for hasher in ("xx", "md5"):
+        res[hasher] = sorted(
+            map(tuple, contamination_pairs(cand, bench, n=3, hasher=hasher).collect())
+        )
+    assert res["xx"] == res["md5"] and len(res["xx"]) == 1
+
+
+def test_chunk_documents_covers_all_tokens(spark):
+    """Property: concatenating chunks at stride offsets reconstructs the
+    token stream — every token appears in ≥1 chunk, chunk 0 starts at
+    token 0, consecutive chunks overlap by exactly `overlap` (except a
+    short tail)."""
+    from logzoom_spark.ops.corpus import chunk_documents
+
+    for n_toks, chunk, ov in [(1, 16, 4), (16, 16, 4), (17, 16, 4), (100, 16, 4),
+                              (99, 32, 8), (5, 8, 0)]:
+        text = " ".join(f"w{i}" for i in range(n_toks))
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=chunk, overlap=ov).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        stride = chunk - ov
+        seen = set()
+        for r in rows:
+            toks = r.chunk_text.split()
+            start = r.chunk_idx * stride
+            assert toks == [f"w{i}" for i in range(start, min(start + chunk, n_toks))]
+            seen.update(toks)
+        assert seen == {f"w{i}" for i in range(n_toks)}, (n_toks, chunk, ov)
+
+
 def test_merge_upsert_semantics(spark):
     from logzoom_spark.ops.maintenance import merge_upsert
 
