@@ -147,3 +147,39 @@ def test_nonstring_rule_compare_as_string(spark, tiny_turns):
     parsed = parse_turns(tiny_turns)
     got = _spark_routed_keys(parsed, Route("r", "s", {"turn_idx": "0"}))
     assert got == {("c1", 0), ("c2", 0)}
+
+
+def test_portable_hash_three_engine_parity(spark):
+    """The 60-bit portable hash underpins every hash-dependent oracle
+    (minhash/LSH/simhash/gates/sketches): Spark, DuckDB, and an
+    independent Python md5 reimplementation must agree bit-for-bit on
+    hostile inputs (unicode, quotes, newlines, empty, long)."""
+    import hashlib
+
+    import duckdb
+
+    from logzoom_spark.hashing import portable_hash, portable_hash_sql
+
+    corpus = [
+        "", "a", "hello world", "日本語テキスト ✓", 'quote"inside',
+        "line\nbreak", "tab\tchar", "ünïcödé", "x" * 5000, "0", "-1",
+        "conv-000042|7", "NaN", "null", "'); DROP TABLE docs; --",
+    ]
+    for seed in (0, 1, 7919):
+        py = {
+            s: int(hashlib.md5((s + f"#{seed}").encode("utf-8")).hexdigest()[:15], 16)
+            for s in corpus
+        }
+        df = spark.createDataFrame([(s,) for s in corpus], "s string")
+        got_spark = {
+            r["s"]: r["h"]
+            for r in df.select("s", portable_hash(F.col("s"), seed).alias("h")).collect()
+        }
+        assert got_spark == py, f"spark != python at seed {seed}"
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (s VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in corpus])
+        got_duck = dict(
+            con.execute(f"SELECT s, {portable_hash_sql('s', seed)} FROM t").fetchall()
+        )
+        assert got_duck == py, f"duckdb != python at seed {seed}"
