@@ -49,6 +49,12 @@ def main() -> None:
         ("tpch_q3 (no forced customer broadcast)", se.q_tpch_q3),
         ("tpch_q5 (no forced customer broadcast)", se.q_tpch_q5_region_revenue),
         ("topk per segment (no forced customer broadcast)", se.q_topk_orders_per_segment),
+        ("tpch_q9 (6-table, size-based join strategy)", se.q_tpch_q9_profit),
+        ("container headers (zero-shuffle binary codecs)", se.q_media_container_headers),
+        ("chunk documents (zero-shuffle slice explode)", se.q_chunk_documents),
+        ("contamination (hash equi-join + df cap)", se.q_contamination_pairs),
+        ("kmv distinct (salted two-stage, no whole-group window)", se.q_kmv_distinct_users),
+        ("percentiles (histogram + cumulative rank)", se.q_latency_percentiles),
     ]:
         print("=" * 30, name)
         q(spark, sf).explain("formatted")
