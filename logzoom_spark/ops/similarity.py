@@ -133,6 +133,42 @@ def cosine_dup_pairs(
     return pairs.select("vec_a", "vec_b", "cos2_pct").distinct()
 
 
+def ivf_assign(
+    emb: DataFrame, n_cells: int = 16, scale: int = 1000
+) -> DataFrame:
+    """IVF BUILD step: assign every vector to its nearest of `n_cells`
+    coarse centroids — returns (vec_id, v, cell). Centroids are the first
+    `n_cells` stored vectors (a deterministic, SQL-expressible stand-in
+    for k-means — a real deployment plugs trained centroids into the same
+    plan).
+
+    Zero-shuffle plan: the centroid table is BOUNDED (n_cells rows), so it
+    is collected once and inlined as literal arrays — assignment becomes a
+    pure projection (argmax over n_cells dot expressions inside codegen),
+    no join, no shuffle of the vectors. The bounded collect is the same
+    class as the lineage manifest read: driver state = n_cells × dim ints,
+    independent of data size. Tie-free argmax: ord = dot·n_cells − cell is
+    unique per (dot, cell), so assignment is deterministic in every
+    engine. At write time `cell` becomes the partition column, so probes
+    prune to n_probe/n_cells of the files."""
+    v = quantize(F.col("embedding"), scale)
+    base = emb.select("vec_id", v.alias("v"))
+    cents = base.filter(F.col("vec_id") < n_cells).collect()
+    structs = [
+        F.struct(
+            (
+                dot(F.col("v"), F.array(*[F.lit(int(x)) for x in c["v"]])) * n_cells
+                - F.lit(int(c["vec_id"]))
+            ).alias("ord"),
+            F.lit(int(c["vec_id"])).alias("cell"),
+        )
+        for c in cents
+    ]
+    # array_max on (ord, cell) structs picks max ord; ord is unique, so
+    # the struct comparison never reaches the cell field
+    return base.withColumn("cell", F.array_max(F.array(*structs))["cell"])
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_id: int = 0,
@@ -140,34 +176,20 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     scale: int = 1000,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: a coarse quantizer assigns every vector to its
-    nearest of `n_cells` centroids; a query probes only its `n_probe`
-    nearest cells. Centroids are the first `n_cells` stored vectors (a
-    deterministic, SQL-expressible stand-in for k-means — a real deployment
-    plugs trained centroids into the same plan).
-
-    Plan shape at scale: centroid table broadcast (KBs) against the scan —
-    the fact side never shuffles for assignment; at write time the cell id
-    becomes a partition column so a probe scans n_probe/n_cells of the
-    data. Tie-free argmax: order = dot·n_cells − cell is unique per
-    (dot, cell), so assignment is deterministic in every engine."""
+    """IVF-style ANN probe: a query scores only its `n_probe` nearest
+    cells. Pass ``assigned`` (a persisted/partitioned ``ivf_assign``
+    output) to amortize the build across queries — the production shape;
+    without it the index is built inline (one-shot convenience, costlier
+    than brute force for a single query by construction)."""
     v = quantize(F.col("embedding"), scale)
     base = emb.select("vec_id", v.alias("v"))
     cents = base.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
-    scored_cells = base.join(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        "cell",
-        (dot(F.col("v"), F.col("cv")) * n_cells - F.col("cell")).alias("ord"),
-    )
-    # group by (vec_id, v): v is functionally dependent on vec_id, carrying
-    # it through the grouping avoids a second join to re-attach the vector
-    assigned = scored_cells.groupBy("vec_id", "v").agg(
-        F.max_by("cell", "ord").alias("cell")
-    )
+    if assigned is None:
+        assigned = ivf_assign(emb, n_cells=n_cells, scale=scale)
     qrow = base.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
     probe = (
         cents.join(F.broadcast(qrow))
