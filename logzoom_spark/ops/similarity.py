@@ -207,14 +207,14 @@ def ivf_topk(
     return out.orderBy(F.desc("dot"), F.asc("vec_id")).limit(k)
 
 
-def lsh_bucket_topk(
-    emb: DataFrame, query_vec_id: int = 0, k: int = 10, planes: int = 8, scale: int = 1000
-) -> DataFrame:
-    """LSH-bucketed ANN: sign of the dot with `planes` deterministic
-    pseudo-random hyperplanes forms a bucket id; search only the query's
-    bucket. Deterministic planes: element j of plane p is
-    (xxhash64-free) integer pattern ((p*1315423911 + j*2654435761) mod 2001)
-    - 1000 — reproducible in pure SQL for the oracle."""
+def lsh_assign(emb: DataFrame, planes: int = 8, scale: int = 1000) -> DataFrame:
+    """LSH BUILD step: (vec_id, v, bucket) — sign of the dot with `planes`
+    deterministic pseudo-random hyperplanes forms the bucket id. A pure
+    zero-shuffle projection (planes are literals); write `partitionBy
+    (bucket)` once and probes prune to one bucket's files. Deterministic
+    planes: element j of plane p is the integer pattern
+    ((p*1315423911 + j*2654435761) mod 2001) - 1000 — reproducible in
+    pure SQL for the oracle."""
     dims = 64  # embeddings.parquet vectors are fixed 64-d
 
     def plane(p: int) -> Column:
@@ -230,7 +230,23 @@ def lsh_bucket_topk(
     for p in range(planes):
         bit = F.when(dot(qv, plane(p)) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket * 2 + bit
-    with_bucket = emb.select("vec_id", qv.alias("v"), bucket.cast("bigint").alias("bucket"))
+    return emb.select("vec_id", qv.alias("v"), bucket.cast("bigint").alias("bucket"))
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    planes: int = 8,
+    scale: int = 1000,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """LSH-bucketed ANN probe: search only the query's bucket. Pass
+    ``assigned`` (a bucket-partitioned ``lsh_assign`` output) to skip
+    recomputing signatures and prune the scan to one bucket's files."""
+    with_bucket = (
+        assigned if assigned is not None else lsh_assign(emb, planes=planes, scale=scale)
+    )
     qrow = with_bucket.filter(F.col("vec_id") == query_vec_id).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
     )
