@@ -60,7 +60,15 @@ def foreach_batch_writer(cfg: PipelineConfig, out_dir: str, fault_hook=None):
 
     ``fault_hook(sink_name, epoch_id)`` (tests only) runs after each
     sink's write — raising from it simulates a crash between two branch
-    writes inside one epoch."""
+    writes inside one epoch.
+
+    Trade-off at scale: epoch directories accumulate (one per
+    micro-batch per sink). A long-running deployment compacts old epochs
+    into the sink's coarse partitions on a schedule — exactly the job
+    ``ops.maintenance.compaction_plan`` plans — after which the epoch dir
+    is no longer needed for idempotency (its batch is far behind the
+    checkpoint). On Iceberg the same write is a snapshot-atomic append
+    and the epoch dir layer disappears entirely."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
