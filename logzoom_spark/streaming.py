@@ -117,6 +117,71 @@ def run_streaming(
     return writer.start()
 
 
+def compact_epochs(
+    spark: SparkSession,
+    sink_dir: str,
+    fmt: str = "json",
+    partition_cols: tuple[str, ...] = (),
+    keep_last: int = 1,
+    compression: str | None = None,
+) -> dict:
+    """Fold old ``epoch=N`` directories into one — the maintenance job the
+    epoch-idempotent writer needs on a long-running stream (one dir per
+    micro-batch per sink otherwise accumulates forever).
+
+    The newest ``keep_last`` epochs are left untouched (they may still be
+    re-run on recovery); everything older is read back, rewritten as a
+    single consolidated epoch dir (clustered on ``partition_cols`` —
+    the anti-small-files write, same as the sinks), and the originals are
+    removed. Readers see the identical partition layout with fewer
+    directories and the same rows.
+
+    Crash-safety: the consolidated output is fully written (+_SUCCESS) to
+    a temp dir BEFORE any original is deleted, so a crash never loses
+    rows — but a crash between delete and rename can leave the temp dir
+    unadopted (manual rename recovers) and a crash mid-delete leaves
+    duplicates until compaction re-runs. Closing that window entirely
+    needs an atomic-commit table format; on Iceberg this whole function
+    is `rewrite_data_files` and the epoch layer disappears.
+
+    Returns {"compacted": [...epoch ids...], "target": id, "rows": n}.
+    """
+    import os
+    import shutil
+
+    prefix = "epoch="
+    try:
+        entries = os.listdir(sink_dir)
+    except FileNotFoundError:
+        return {"compacted": [], "target": None, "rows": 0}
+    epochs = sorted(
+        int(e[len(prefix):]) for e in entries
+        if e.startswith(prefix) and e[len(prefix):].isdigit()
+    )
+    to_merge = epochs[:-keep_last] if keep_last > 0 else epochs
+    if len(to_merge) < 2:
+        return {"compacted": [], "target": None, "rows": 0}
+    target = max(to_merge)
+    paths = [f"{sink_dir}/{prefix}{e}" for e in to_merge]
+    reader = spark.read.format(fmt).option("basePath", sink_dir)
+    df = reader.load(paths).drop("epoch")
+    tmp = f"{sink_dir}/_compacting"
+    writer = df
+    if partition_cols:
+        writer = writer.repartition(*[F.col(c) for c in partition_cols])
+    w = writer.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.format(fmt).save(tmp)
+    n = spark.read.format(fmt).load(tmp).count()
+    for p in paths:
+        shutil.rmtree(p)
+    os.rename(tmp, f"{sink_dir}/{prefix}{target}")
+    return {"compacted": to_merge, "target": target, "rows": n}
+
+
 def read_queue_stream(
     spark: SparkSession, input_dir: str, batch_files: int = 1
 ) -> DataFrame:

@@ -149,6 +149,45 @@ def test_streaming_midbatch_crash_no_duplicates(spark, turns, tmp_path):
     assert set(got) == want
 
 
+def test_compact_epochs_preserves_rows(spark, turns, tmp_path):
+    """Folding old epoch dirs into one must keep every row byte-identical,
+    leave the newest epoch untouched, and shrink the directory count."""
+    import json
+    import os
+
+    from logzoom_spark.streaming import compact_epochs
+
+    src = str(tmp_path / "src_c")
+    out_s = str(tmp_path / "souts_c")
+    ckpt = str(tmp_path / "ckpt_c")
+    # 16 input files at maxFilesPerTrigger=4 -> 4 epochs (3 compactable)
+    turns.limit(600).repartition(16).write.parquet(src)
+    q = run_streaming(spark, src, out_s, ckpt)
+    q.awaitTermination(300)
+
+    es_dir = f"{out_s}/sink_es"
+    def read_all():
+        rows = []
+        for fn in glob.glob(f"{es_dir}/epoch=*/index_day=*/*.json"):
+            with open(fn) as f:
+                rows.extend(json.loads(l)["text"] for l in f)
+        return sorted(rows)
+
+    before = read_all()
+    n_dirs_before = len([d for d in os.listdir(es_dir) if d.startswith("epoch=")])
+    assert n_dirs_before >= 2
+
+    res = compact_epochs(spark, es_dir, fmt="json", partition_cols=("index_day",))
+    assert res["rows"] > 0 and res["target"] == max(res["compacted"])
+    after = read_all()
+    n_dirs_after = len([d for d in os.listdir(es_dir) if d.startswith("epoch=")])
+    assert after == before, "compaction changed row content"
+    assert n_dirs_after == n_dirs_before - len(res["compacted"]) + 1
+    # re-running is a no-op (only the consolidated + kept epochs remain)
+    res2 = compact_epochs(spark, es_dir, fmt="json", partition_cols=("index_day",))
+    assert res2["compacted"] == [] and read_all() == before
+
+
 def test_streaming_stateful_aggregates(spark, turns, tmp_path):
     src = str(tmp_path / "src3")
     turns.limit(200).repartition(2).write.parquet(src)
