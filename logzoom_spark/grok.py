@@ -54,7 +54,9 @@ GROK_PATTERNS: dict[str, str] = {
     "QS": r"%{QUOTEDSTRING}",
     "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
     "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:[.,]\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
-    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|CRIT(?:ICAL)?|FATAL|SEVERE)",
+    # both cases, like logstash's LOGLEVEL — httpd 2.4 writes lowercase
+    # ([core:error]), syslog daemons write uppercase
+    "LOGLEVEL": r"(?:[Tt]race|TRACE|[Dd]ebug|DEBUG|[Ii]nfo|INFO|[Nn]otice|NOTICE|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Aa]lert|ALERT|[Ff]atal|FATAL|[Ss]evere|SEVERE|[Ee]merg(?:ency)?|EMERG(?:ENCY)?)",
     "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
     # --- host / user / path --------------------------------------------------
     "USERNAME": r"[a-zA-Z0-9._-]+",
@@ -69,7 +71,9 @@ GROK_PATTERNS: dict[str, str] = {
     "YEAR": r"(?:\d\d){1,2}",
     "HOUR": r"(?:2[0123]|[01]?[0-9])",
     "MINUTE": r"(?:[0-5][0-9])",
-    "SECOND": r"(?:[0-5][0-9])",
+    # optional fractional part, like logstash — httpd 2.4 error timestamps
+    # carry microseconds (11:55:44.569531)
+    "SECOND": r"(?:[0-5][0-9](?:[:.,][0-9]+)?)",
     "TIME": r"%{HOUR}:%{MINUTE}:%{SECOND}",
     "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
     "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",

@@ -168,6 +168,14 @@ def _le_int_read(p, pos: int, n: int):
     return F.conv(le, 16, 10).cast("bigint")
 
 
+def _le_i32_read(p, pos: int):
+    """Signed little-endian i32 (sign-extended): BMP width/height are i32 —
+    a negative height is the spec's top-down row-order flag and must not
+    decode as ~4.29 billion."""
+    u = _le_int_read(p, pos, 4)
+    return F.when(u >= F.lit(1 << 31), u - F.lit(1 << 32)).otherwise(u)
+
+
 def _be_int_read(p, pos: int, n: int):
     return F.conv(F.hex(F.substring(p, pos, n)), 16, 10).cast("bigint")
 
@@ -259,30 +267,45 @@ def parse_container_header(media: DataFrame, payload_col: str = "payload") -> Da
     width/height for images, channels/sample rate for WAV — with binary
     `substring` + endian-aware `conv(hex)` reads. Works on ANY payload in
     one of the four formats, not just ones this module framed (pytest
-    feeds it files produced independently with Python struct/zlib).
-    Unknown magics yield container=NULL and null fields: counted, not
-    dropped, like every other malformed input in this engine."""
+    feeds it files produced independently with Python struct/zlib);
+    BMP dims are decoded as SIGNED i32 (a negative height is the spec's
+    top-down flag). Unknown magics — and payloads truncated before their
+    header's last field — yield container=NULL and null fields: counted,
+    not dropped, like every other malformed input in this engine."""
     p = F.col(payload_col)
-    # magic sniffing via hex, not decode(): container bytes are not UTF-8
+    plen = F.length(p)
+    # magic sniffing via hex, not decode(): container bytes are not UTF-8.
+    # Each arm also requires the full fixed header — a truncated payload
+    # must not decode garbage fields from partial bytes.
     sniffed = (
-        F.when(F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A", F.lit("png"))
-        .when(F.hex(F.substring(p, 1, 4)) == "47494638", F.lit("gif"))  # "GIF8"
-        .when(F.hex(F.substring(p, 1, 2)) == "424D", F.lit("bmp"))  # "BM"
+        F.when(
+            (F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A") & (plen >= 24),
+            F.lit("png"),
+        )
+        .when(
+            (F.hex(F.substring(p, 1, 4)) == "47494638") & (plen >= 10),  # "GIF8"
+            F.lit("gif"),
+        )
+        .when(
+            (F.hex(F.substring(p, 1, 2)) == "424D") & (plen >= 26),  # "BM"
+            F.lit("bmp"),
+        )
         .when(
             (F.hex(F.substring(p, 1, 4)) == "52494646")  # "RIFF"
-            & (F.hex(F.substring(p, 9, 4)) == "57415645"),  # "WAVE"
+            & (F.hex(F.substring(p, 9, 4)) == "57415645")  # "WAVE"
+            & (plen >= 32),
             F.lit("wav"),
         )
     )
     width = (
         F.when(sniffed == "png", _be_int_read(p, 17, 4))  # IHDR data
         .when(sniffed == "gif", _le_int_read(p, 7, 2))
-        .when(sniffed == "bmp", _le_int_read(p, 19, 4))
+        .when(sniffed == "bmp", _le_i32_read(p, 19))
     )
     height = (
         F.when(sniffed == "png", _be_int_read(p, 21, 4))
         .when(sniffed == "gif", _le_int_read(p, 9, 2))
-        .when(sniffed == "bmp", _le_int_read(p, 23, 4))
+        .when(sniffed == "bmp", _le_i32_read(p, 23))
     )
     channels = F.when(sniffed == "wav", _le_int_read(p, 23, 2))
     sample_rate = F.when(sniffed == "wav", _le_int_read(p, 25, 4))

@@ -134,7 +134,10 @@ def cosine_dup_pairs(
 
 
 def ivf_assign(
-    emb: DataFrame, n_cells: int = 16, scale: int = 1000
+    emb: DataFrame,
+    n_cells: int = 16,
+    scale: int = 1000,
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF BUILD step: assign every vector to its nearest of `n_cells`
     coarse centroids — returns (vec_id, v, cell). Centroids are the first
@@ -147,13 +150,22 @@ def ivf_assign(
     pure projection (argmax over n_cells dot expressions inside codegen),
     no join, no shuffle of the vectors. The bounded collect is the same
     class as the lineage manifest read: driver state = n_cells × dim ints,
-    independent of data size. Tie-free argmax: ord = dot·n_cells − cell is
-    unique per (dot, cell), so assignment is deterministic in every
-    engine. At write time `cell` becomes the partition column, so probes
-    prune to n_probe/n_cells of the files."""
+    independent of data size. NOTE it makes this function EAGER at
+    plan-construction time (one key-pushdown fetch of n_cells rows);
+    callers composing plans without executing, or running against a
+    source that cannot be queried yet (a stream), pass ``centroids``
+    explicitly — a list of Rows/dicts with `vec_id` and quantized `v`,
+    exactly what a trained k-means would supply. Tie-free argmax:
+    ord = dot·n_cells − cell is unique per (dot, cell), so assignment is
+    deterministic in every engine. At write time `cell` becomes the
+    partition column, so probes prune to n_probe/n_cells of the files."""
     v = quantize(F.col("embedding"), scale)
     base = emb.select("vec_id", v.alias("v"))
-    cents = base.filter(F.col("vec_id") < n_cells).collect()
+    cents = (
+        centroids
+        if centroids is not None
+        else base.filter(F.col("vec_id") < n_cells).collect()
+    )
     structs = [
         F.struct(
             (

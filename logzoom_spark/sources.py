@@ -24,6 +24,19 @@ TURNS_SCHEMA = (
 _CORRUPT = "_corrupt_record"
 
 
+def _source_ok() -> F.Column:
+    """Strictly `_corrupt_record IS NULL`: a partially-malformed row (bad
+    turn_idx/ts but parseable conv_id) must still count as malformed under
+    the counted-not-dropped policy. The tautological conv_id term only
+    keeps a real column referenced — Spark rejects queries whose referenced
+    columns are ONLY the corrupt-record column
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN). Shared by the jsonl and csv
+    readers so the workaround can never drift between formats."""
+    return F.col(_CORRUPT).isNull() & (
+        F.col("conv_id").isNotNull() | F.col("conv_id").isNull()
+    )
+
+
 def read_turns_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(TURNS_SCHEMA).parquet(path)
 
@@ -39,16 +52,7 @@ def read_turns_jsonl(spark: SparkSession, path: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .json(path)
     )
-    # strictly `_corrupt_record IS NULL`: a partially-malformed row (bad
-    # turn_idx/ts but parseable conv_id) must still count as malformed under
-    # the counted-not-dropped policy. The tautological conv_id term only
-    # keeps a real column referenced — Spark rejects queries whose referenced
-    # columns are ONLY the corrupt-record column
-    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
-    ok = F.col(_CORRUPT).isNull() & (
-        F.col("conv_id").isNotNull() | F.col("conv_id").isNull()
-    )
-    return df.withColumn("source_ok", ok).drop(_CORRUPT)
+    return df.withColumn("source_ok", _source_ok()).drop(_CORRUPT)
 
 
 def read_turns_csv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
@@ -61,16 +65,7 @@ def read_turns_csv(spark: SparkSession, path: str, header: bool = True) -> DataF
         .option("escape", '"')
         .csv(path)
     )
-    # strictly `_corrupt_record IS NULL`: a partially-malformed row (bad
-    # turn_idx/ts but parseable conv_id) must still count as malformed under
-    # the counted-not-dropped policy. The tautological conv_id term only
-    # keeps a real column referenced — Spark rejects queries whose referenced
-    # columns are ONLY the corrupt-record column
-    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
-    ok = F.col(_CORRUPT).isNull() & (
-        F.col("conv_id").isNotNull() | F.col("conv_id").isNull()
-    )
-    return df.withColumn("source_ok", ok).drop(_CORRUPT)
+    return df.withColumn("source_ok", _source_ok()).drop(_CORRUPT)
 
 
 READERS = {

@@ -136,24 +136,52 @@ def compact_epochs(
     removed. Readers see the identical partition layout with fewer
     directories and the same rows.
 
-    Crash-safety: the consolidated output is fully written (+_SUCCESS) to
-    a temp dir BEFORE any original is deleted, so a crash never loses
-    rows — but a crash between delete and rename can leave the temp dir
-    unadopted (manual rename recovers) and a crash mid-delete leaves
-    duplicates until compaction re-runs. Closing that window entirely
-    needs an atomic-commit table format; on Iceberg this whole function
-    is `rewrite_data_files` and the epoch layer disappears.
+    Crash-safety protocol: (1) the consolidated output is fully written to
+    a temp dir with a MANIFEST naming the source epochs, (2) sources are
+    deleted, (3) the temp dir is renamed to the target epoch. A re-run
+    after a crash first recovers any leftover temp dir: with a manifest it
+    finishes steps 2-3 (the temp holds the only copy of any
+    already-deleted source, so it is adopted, never overwritten); without
+    one the write never finished and no source was deleted, so the temp
+    is discarded. No interleaving of crashes and re-runs can lose rows;
+    a crash inside step 2 leaves duplicates only until the next run.
+    On Iceberg this whole function is `rewrite_data_files` (one atomic
+    snapshot commit) and the epoch layer disappears.
+
+    Local/HDFS-mounted filesystems only (os/shutil path ops — raises on a
+    missing dir rather than reporting an empty success); an object-store
+    deployment drives the same protocol through the Hadoop FileSystem
+    API, or uses the Iceberg path.
 
     Returns {"compacted": [...epoch ids...], "target": id, "rows": n}.
     """
+    import json
     import os
     import shutil
 
     prefix = "epoch="
-    try:
-        entries = os.listdir(sink_dir)
-    except FileNotFoundError:
-        return {"compacted": [], "target": None, "rows": 0}
+    tmp = f"{sink_dir}/_compacting"
+    manifest = f"{tmp}/_COMPACTED_EPOCHS.json"
+
+    def finish(merged: list[int]) -> None:
+        for e in merged:
+            p = f"{sink_dir}/{prefix}{e}"
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        os.rename(tmp, f"{sink_dir}/{prefix}{max(merged)}")
+
+    if os.path.exists(tmp):
+        if os.path.exists(manifest):
+            # previous run finished its write: adopt, never overwrite —
+            # the temp may hold the only copy of already-deleted epochs
+            with open(manifest) as f:
+                merged = json.load(f)
+            n = spark.read.format(fmt).load(tmp).count()
+            finish(merged)
+            return {"compacted": merged, "target": max(merged), "rows": n}
+        shutil.rmtree(tmp)  # write never completed; sources are intact
+
+    entries = os.listdir(sink_dir)  # raises on a missing/typo'd sink_dir
     epochs = sorted(
         int(e[len(prefix):]) for e in entries
         if e.startswith(prefix) and e[len(prefix):].isdigit()
@@ -165,7 +193,6 @@ def compact_epochs(
     paths = [f"{sink_dir}/{prefix}{e}" for e in to_merge]
     reader = spark.read.format(fmt).option("basePath", sink_dir)
     df = reader.load(paths).drop("epoch")
-    tmp = f"{sink_dir}/_compacting"
     writer = df
     if partition_cols:
         writer = writer.repartition(*[F.col(c) for c in partition_cols])
@@ -176,9 +203,9 @@ def compact_epochs(
         w = w.partitionBy(*partition_cols)
     w.format(fmt).save(tmp)
     n = spark.read.format(fmt).load(tmp).count()
-    for p in paths:
-        shutil.rmtree(p)
-    os.rename(tmp, f"{sink_dir}/{prefix}{target}")
+    with open(manifest, "w") as f:
+        json.dump(to_merge, f)
+    finish(to_merge)
     return {"compacted": to_merge, "target": target, "rows": n}
 
 

@@ -132,19 +132,28 @@ def test_syslogline_composite():
 
 def test_httpd24_errorlog_composite():
     cg = compile_grok("%{HTTPD24_ERRORLOG}")
+    # a GENUINE apache 2.4 default-format line: lowercase level,
+    # microsecond timestamp, pid:tid
+    real = (
+        "[Thu Jun 27 11:55:44.569531 2013] [core:error] [pid 21823:tid 140] "
+        "[client 10.9.8.7:51234] File does not exist: /var/www/favicon.ico"
+    )
+    m = re.search(cg.regex_named, real)
+    assert m is not None, "real httpd 2.4 line must match"
+    assert m.group("timestamp") == "Thu Jun 27 11:55:44.569531 2013"
+    assert m.group("module") == "core"
+    assert m.group("loglevel") == "error"
+    assert m.group("pid") == "21823" and m.group("tid") == "140"
+    assert m.group("clientip") == "10.9.8.7"
+    assert m.group("clientport") == "51234"
+    assert m.group("message") == "File does not exist: /var/www/favicon.ico"
+    # uppercase/whole-second variant still matches
     line = (
         "[Fri Aug 14 12:34:56 2026] [core:ERROR] [pid 4321] "
         "[client 10.9.8.7:51234] File does not exist: /var/www/favicon.ico"
     )
     m = re.search(cg.regex_named, line)
-    assert m is not None
-    assert m.group("timestamp") == "Fri Aug 14 12:34:56 2026"
-    assert m.group("module") == "core"
-    assert m.group("loglevel") == "ERROR"
-    assert m.group("pid") == "4321"
-    assert m.group("clientip") == "10.9.8.7"
-    assert m.group("clientport") == "51234"
-    assert m.group("message") == "File does not exist: /var/www/favicon.ico"
+    assert m is not None and m.group("loglevel") == "ERROR"
     # client section is optional (not all error lines carry it)
     m2 = re.search(cg.regex_named, "[Sat Jan 01 00:00:01 2026] [:WARN] [pid 9] server reload")
     assert m2 and m2.group("message") == "server reload" and m2.group("clientip") is None

@@ -510,6 +510,31 @@ def test_parse_container_header_on_independent_files(spark):
     assert out[5]["container"] is None and out[5]["width"] is None
 
 
+def test_parse_container_header_hostile_payloads(spark):
+    """Top-down BMPs (negative i32 height) must decode signed, and payloads
+    truncated mid-header must come back NULL, not as garbage dims."""
+    import struct
+
+    from logzoom_spark.ops import multimodal as mm
+
+    top_down = (
+        struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 800, -600, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    rows = [
+        (1, top_down),
+        (2, _real_png(640, 480)[:19]),  # PNG magic but IHDR cut off
+        (3, b"GIF89a\x40"),             # GIF magic, dims truncated
+        (4, _real_wav(2, 44100)[:20]),  # RIFF/WAVE, fmt chunk cut off
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r["doc_id"]: r for r in mm.parse_container_header(df).collect()}
+    assert (out[1]["container"], out[1]["width"], out[1]["height"]) == ("bmp", 800, -600)
+    for did in (2, 3, 4):
+        assert out[did]["container"] is None and out[did]["width"] is None, did
+        assert out[did]["sample_rate"] is None
+
+
 def test_container_frame_bytes_are_genuine(spark):
     """The Spark-framed assets must parse with stdlib codecs: the PNG CRC
     is a real CRC32 and every field sits at its spec offset."""

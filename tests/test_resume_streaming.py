@@ -188,6 +188,51 @@ def test_compact_epochs_preserves_rows(spark, turns, tmp_path):
     assert res2["compacted"] == [] and read_all() == before
 
 
+def test_compact_epochs_crash_recovery_no_loss(spark, turns, tmp_path, monkeypatch):
+    """Crash mid-source-deletion: the temp dir then holds the ONLY copy of
+    the already-deleted epoch. A re-run must ADOPT it (finish delete +
+    rename), never overwrite it — overwriting would lose those rows."""
+    import json
+    import shutil as real_shutil
+
+    from logzoom_spark import streaming as st
+
+    src = str(tmp_path / "src_cc")
+    out_s = str(tmp_path / "souts_cc")
+    ckpt = str(tmp_path / "ckpt_cc")
+    turns.limit(600).repartition(16).write.parquet(src)
+    q = run_streaming(spark, src, out_s, ckpt)
+    q.awaitTermination(300)
+    es_dir = f"{out_s}/sink_es"
+
+    def read_all():
+        rows = []
+        for fn in glob.glob(f"{es_dir}/epoch=*/index_day=*/*.json"):
+            with open(fn) as f:
+                rows.extend(json.loads(l)["text"] for l in f)
+        return sorted(rows)
+
+    before = read_all()
+    calls = {"n": 0}
+    orig_rmtree = real_shutil.rmtree
+
+    def crashing_rmtree(path, *a, **kw):
+        orig_rmtree(path, *a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 1:  # crash right after the FIRST source is deleted
+            raise RuntimeError("injected crash mid-compaction")
+
+    monkeypatch.setattr("shutil.rmtree", crashing_rmtree)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        st.compact_epochs(spark, es_dir, fmt="json", partition_cols=("index_day",))
+    monkeypatch.setattr("shutil.rmtree", orig_rmtree)
+
+    # the deleted epoch's rows now live only in _compacting
+    assert set(read_all()) < set(before)
+    res = st.compact_epochs(spark, es_dir, fmt="json", partition_cols=("index_day",))
+    assert res["compacted"] and read_all() == before, "recovery lost rows"
+
+
 def test_streaming_stateful_aggregates(spark, turns, tmp_path):
     src = str(tmp_path / "src3")
     turns.limit(200).repartition(2).write.parquet(src)
