@@ -69,13 +69,20 @@ def read_table(spark: SparkSession, path_or_table: str) -> DataFrame:
 
 
 def pin_snapshot(spark: SparkSession, table: str) -> int:
-    """Return the table's current snapshot id — recorded by a resumable run
+    """Return the table's CURRENT snapshot id — recorded by a resumable run
     so every retry reads the same immutable snapshot (the lumberjack-ACK
-    'window that was acked' analog). Iceberg-only."""
-    row = (
-        spark.sql(f"SELECT snapshot_id FROM {table}.snapshots ORDER BY committed_at DESC LIMIT 1")
-        .first()
-    )
+    'window that was acked' analog). Iceberg-only.
+
+    Reads `.history` filtered to the current ancestry line, NOT
+    `max(committed_at)` over `.snapshots`: the snapshots metadata table
+    lists every retained snapshot, including ones rolled back away or
+    staged on other branches, whose commit time can exceed the live
+    tip's — pinning one of those would read data the table no longer
+    exposes."""
+    row = spark.sql(
+        f"SELECT snapshot_id FROM {table}.history "
+        "WHERE is_current_ancestor ORDER BY made_current_at DESC LIMIT 1"
+    ).first()
     if row is None:
         raise ValueError(f"table {table} has no snapshots")
     return int(row[0])

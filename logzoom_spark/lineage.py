@@ -29,8 +29,6 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import aggregate as agg
-from . import sinks as sk
 from .pipeline import PipelineConfig, build, default_config
 
 
@@ -47,31 +45,53 @@ def with_group(turns: DataFrame, n_groups: int) -> DataFrame:
     )
 
 
-def completed_groups(spark: SparkSession, manifest_dir: str) -> set[int]:
+def completed_groups(
+    spark: SparkSession, manifest_dir: str, n_groups: int | None = None
+) -> set[int]:
+    """Group ids already committed. ONLY a missing manifest path reads as
+    'first run' — any other failure (FS hiccup, corrupt file, permission)
+    raises, because silently returning empty would restart the whole run
+    and double-write every completed group. When ``n_groups`` is given,
+    a manifest written under a different group count raises: group ids
+    from one modulus don't describe the same row sets under another, so
+    resuming across counts would silently lose or duplicate rows."""
+    from pyspark.errors import AnalysisException
+
     try:
         mf = spark.read.parquet(manifest_dir)
-    except Exception:
-        return set()
-    return {
-        r.group_id for r in mf.filter(F.col("status") == "done").select("group_id").collect()
-    }
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" in str(ex):
+            return set()
+        raise
+    done = mf.filter(F.col("status") == "done")
+    if n_groups is not None:
+        seen = {r[0] for r in done.select("n_groups").distinct().collect()}
+        if seen and seen != {n_groups}:
+            raise ValueError(
+                f"manifest at {manifest_dir} was written with n_groups={sorted(seen)}; "
+                f"resuming with n_groups={n_groups} would change the group→rows "
+                "mapping and lose/duplicate data. Re-run with the original count "
+                "or start a fresh out_dir."
+            )
+    return {r.group_id for r in done.select("group_id").collect()}
 
 
 def _commit_group(
     spark: SparkSession,
     manifest_dir: str,
     group_id: int,
+    n_groups: int,
     rows_in: int,
     sink_rows: dict[str, int],
     elapsed_s: float,
 ) -> None:
     rows = [
-        (group_id, sink, rows_in, n, "done", float(elapsed_s))
+        (group_id, n_groups, sink, rows_in, n, "done", float(elapsed_s))
         for sink, n in sink_rows.items()
     ]
     df = spark.createDataFrame(
         rows,
-        "group_id int, sink string, rows_in bigint, rows_out bigint, "
+        "group_id int, n_groups int, sink string, rows_in bigint, rows_out bigint, "
         "status string, elapsed_s double",
     )
     # one file per group commit: the atomic resume checkpoint
@@ -88,14 +108,23 @@ def run_resumable(
 ) -> dict:
     """Run the full pipeline group-by-group with manifest checkpointing.
 
-    Re-invoking with the same ``out_dir`` skips groups whose manifest rows
-    exist — completed partitions are never reprocessed (their input is not
-    even scanned: the group predicate prunes at the source).
+    Re-invoking with the same ``out_dir`` (and the SAME ``n_groups`` —
+    the manifest records and enforces it) skips groups whose manifest rows
+    exist: completed groups are never reprocessed, and their predicate
+    filters them out of every stage. Cost honesty: each *remaining* group
+    is its own pass over the source — the hash predicate cannot prune
+    parquet files unless the table is physically bucketed by the same
+    hash (the Iceberg `bucket(N, conv_id)` layout in iceberg.py, or a
+    `repartition_salted` rewrite), so on an unbucketed source a healthy
+    run costs ~n_groups scans and ``run_batch`` is the faster path;
+    resumability is what the extra scans buy.
     ``fail_after_groups`` injects a crash for the resumability test.
     """
+    from .pipeline import drain_branch
+
     cfg = cfg or default_config()
     manifest_dir = f"{out_dir}/_lineage"
-    done = completed_groups(spark, manifest_dir)
+    done = completed_groups(spark, manifest_dir, n_groups)
     grouped = with_group(turns, n_groups)
 
     processed, skipped = [], []
@@ -107,26 +136,19 @@ def run_resumable(
         sub = grouped.filter(F.col(GROUP_COL) == g).drop(GROUP_COL)
         upstream, branches = build(spark, sub, cfg)
         try:
-            rows_in = upstream.count()
             sink_rows: dict[str, int] = {}
             for sink_name, branch in branches.items():
-                spec = cfg.sinks[sink_name]
-                path = f"{out_dir}/{sink_name}/group={g}"
-                sk.WRITERS[spec.kind](branch, path, **spec.options)
-                combined, aggs = agg.window_counts_multi(
-                    branch, list(cfg.agg_keys), cfg.bucket_seconds
+                sink_rows[sink_name] = drain_branch(
+                    branch, cfg.sinks[sink_name], cfg, out_dir, sink_name,
+                    suffix=f"/group={g}",
                 )
-                try:
-                    for key, adf in aggs.items():
-                        adf.write.mode("overwrite").parquet(
-                            f"{out_dir}/aggregates/{sink_name}/by_{key}/group={g}"
-                        )
-                    sink_rows[sink_name] = branch.count()
-                finally:
-                    combined.unpersist()
+            # count AFTER the branch writes: the cache is already built by
+            # the first write action, so this is a cheap cached scan, not
+            # the serial pre-materialization barrier run_batch avoids
+            rows_in = upstream.count()
         finally:
             upstream.unpersist()
-        _commit_group(spark, manifest_dir, g, rows_in, sink_rows, time.time() - t0)
+        _commit_group(spark, manifest_dir, g, n_groups, rows_in, sink_rows, time.time() - t0)
         processed.append(g)
         if fail_after_groups is not None and len(processed) >= fail_after_groups:
             raise InjectedFailure(f"injected failure after groups {processed}")

@@ -133,6 +133,38 @@ def build(
     return enriched, branches
 
 
+def drain_branch(
+    branch: DataFrame,
+    spec: sk.SinkSpec,
+    cfg: PipelineConfig,
+    out_dir: str,
+    sink_name: str,
+    suffix: str = "",
+    write_mode: str = "overwrite",
+) -> int:
+    """Write one sink branch's event files + its per-key aggregate tables;
+    returns the branch row count. Shared by `run_batch` and
+    `lineage.run_resumable` (which appends a `/group=N` suffix) so the
+    sink/aggregate layout cannot drift between the plain and resumable
+    paths."""
+    sk.WRITERS[spec.kind](
+        branch, f"{out_dir}/{sink_name}{suffix}", mode=write_mode, **spec.options
+    )
+    # per-sink aggregate tables (counts by role/tool/conv + bucket) —
+    # one GROUPING SETS shuffle for all keys, not one per key
+    combined, aggs = agg.window_counts_multi(
+        branch, list(cfg.agg_keys), cfg.bucket_seconds
+    )
+    try:
+        for key, adf in aggs.items():
+            adf.write.mode(write_mode).parquet(
+                f"{out_dir}/aggregates/{sink_name}/by_{key}{suffix}"
+            )
+        return branch.count()
+    finally:
+        combined.unpersist()
+
+
 def run_batch(
     spark: SparkSession,
     turns: DataFrame,
@@ -160,27 +192,14 @@ def run_batch(
 
     def drain(item: tuple[str, DataFrame]) -> tuple[str, dict]:
         sink_name, branch = item
-        spec = cfg.sinks[sink_name]
-        info: dict = {}
         if out_dir is not None:
-            path = f"{out_dir}/{sink_name}"
-            sk.WRITERS[spec.kind](branch, path, mode=write_mode, **spec.options)
-            # per-sink aggregate tables (counts by role/tool/conv + bucket)
-            # — one GROUPING SETS shuffle for all keys, not one per key
-            combined, aggs = agg.window_counts_multi(
-                branch, list(cfg.agg_keys), cfg.bucket_seconds
+            rows = drain_branch(
+                branch, cfg.sinks[sink_name], cfg, out_dir, sink_name,
+                write_mode=write_mode,
             )
-            try:
-                for key, adf in aggs.items():
-                    adf.write.mode(write_mode).parquet(
-                        f"{out_dir}/aggregates/{sink_name}/by_{key}"
-                    )
-                info["rows"] = branch.count()
-            finally:
-                combined.unpersist()
         else:
-            info["rows"] = branch.count()
-        return sink_name, info
+            rows = branch.count()
+        return sink_name, {"rows": rows}
 
     try:
         # NO materialization barrier before the fan-out: concurrent branch

@@ -89,7 +89,9 @@ def gate_hash(pct: float, seed: int = 42, bound: str = "lt") -> Column:
     """Production-deterministic gate: xxhash64 of the row key — uniform,
     seedable, stable across runs/cluster sizes (unlike rand())."""
     bucket = F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.lit(seed)), F.lit(10000))
-    thresh = F.lit(int(pct * 100))
+    # round, not truncate: int(8.2 * 100) is 819 under binary floats,
+    # silently shaving one of the 10000 buckets off the requested rate
+    thresh = F.lit(int(round(pct * 100)))
     return bucket <= thresh if bound == "le" else bucket < thresh
 
 
@@ -102,8 +104,6 @@ def gate_rand(pct: float, seed: int = 42, bound: str = "lt") -> Column:
 
 #: fixed seed for the ingest-side gate (parser.go:142,176 analog)
 INGEST_SEED = 1
-
-_GATES = {"arith": gate_arith, "rand": gate_rand}
 
 
 def route_seed(name: str) -> int:
@@ -151,7 +151,18 @@ def fan_out(
 ) -> dict[str, DataFrame]:
     """One buffer, N subscribers (buffer/buffer.go:52-68): every route gets
     its own branch over the SAME upstream DataFrame. Caller is expected to
-    `.persist()` the upstream so the scan+parse runs once."""
+    `.persist()` the upstream so the scan+parse runs once.
+
+    Duplicate sinks are rejected loudly: the dict is keyed by sink, so a
+    second route bound to the same sink would silently shadow the first —
+    the reference's own silent first-match bug (server.go:124-132) this
+    engine validates away (config_from_dict checks the YAML path; this
+    check covers programmatic Route lists)."""
+    seen: set[str] = set()
+    for r in routes:
+        if r.sink in seen:
+            raise ValueError(f"more than one route bound to sink {r.sink!r}")
+        seen.add(r.sink)
     return {r.sink: apply_route(df, r, sample_mode) for r in routes}
 
 

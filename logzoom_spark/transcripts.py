@@ -33,6 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 # Dual-dialect SQL (Spark SQL + DuckDB). Placeholders:
 #   {STR}    -> STRING (Spark) / VARCHAR (DuckDB)
 #   {events} -> events relation name
+#
+# conv_id padding: lpad TRUNCATES strings longer than the pad width in both
+# engines, which would collide user_id 1000000 with 100000 into one conv —
+# the CASE keeps ids ≥ 7 digits verbatim (zero-pad is cosmetic only).
 # ---------------------------------------------------------------------------
 
 _LEVEL_EXPR = (
@@ -42,7 +46,9 @@ _LEVEL_EXPR = (
 
 TURNS_SELECT_TEMPLATE = f"""
 SELECT
-  concat('conv-', lpad(cast(user_id AS {{STR}}), 6, '0')) AS conv_id,
+  concat('conv-',
+    CASE WHEN length(cast(user_id AS {{STR}})) > 6 THEN cast(user_id AS {{STR}})
+         ELSE lpad(cast(user_id AS {{STR}}), 6, '0') END) AS conv_id,
   cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
   CASE event_type
     WHEN 'error' THEN 'system'

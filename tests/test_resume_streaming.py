@@ -47,6 +47,27 @@ def test_resume_skips_completed_groups(spark, turns, tmp_path):
     assert per_group == 0
 
 
+def test_resume_rejects_changed_n_groups(spark, turns, tmp_path):
+    """Group ids under one modulus don't describe the same row sets under
+    another — resuming with a different n_groups must refuse loudly, not
+    silently lose/duplicate data."""
+    out = str(tmp_path / "resume_ng")
+    with pytest.raises(InjectedFailure):
+        run_resumable(spark, turns, out_dir=out, n_groups=8, fail_after_groups=2)
+    with pytest.raises(ValueError, match="n_groups"):
+        run_resumable(spark, turns, out_dir=out, n_groups=4)
+    # the original count resumes fine
+    res = run_resumable(spark, turns, out_dir=out, n_groups=8)
+    assert len(res["skipped"]) == 2 and len(res["processed"]) == 6
+
+
+def test_fan_out_rejects_duplicate_sinks(spark, turns):
+    from logzoom_spark.route import Route, fan_out
+
+    with pytest.raises(ValueError, match="more than one route"):
+        fan_out(turns, [Route("a", "s1", {}), Route("b", "s1", {})])
+
+
 def test_resumable_output_equals_single_batch(spark, turns, tmp_path):
     out_r = str(tmp_path / "r")
     out_b = str(tmp_path / "b")
