@@ -24,10 +24,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, key: str, validate: bool = False
+) -> DataFrame:
     """MERGE INTO target USING updates ON key: matched rows take the update
     row wholesale, unmatched update rows insert, unmatched target rows
-    persist. Schemas must agree by name."""
+    persist. Schemas must agree by name.
+
+    Contract (standard SQL MERGE semantics): ``updates`` must carry at
+    most ONE row per key — real MERGE raises
+    MERGE_CARDINALITY_VIOLATION on duplicates, while this lazy plan
+    would silently emit both rows. Pass ``validate=True`` to enforce the
+    contract eagerly (one extra aggregate job). NULL keys never match
+    (NULL = NULL is not true), so a NULL-key update row always inserts
+    alongside any NULL-key target row — exactly what MERGE ON t.k = s.k
+    does."""
+    if validate:
+        dups = (
+            updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dups:
+            raise ValueError(
+                f"updates has multiple rows for key {dups[0][0]!r} — MERGE "
+                "semantics require at most one source row per key"
+            )
     kept = target.join(updates.select(key), key, "left_anti")
     return kept.unionByName(updates.select(*target.columns))
 
@@ -42,7 +62,16 @@ def compaction_plan(
     """Assign each file-sized unit to an output bin per partition:
     bin = floor(running_bytes_before / target_bytes) over units ordered by
     (size desc, name) — deterministic, and large units land in their own
-    bins first like binPack's offer ordering. Output adds `bin` (bigint)."""
+    bins first like binPack's offer ordering. Output adds `bin` (bigint).
+
+    Approximation honesty: this is STREAMING cumulative binning, not
+    first-fit-decreasing — a bin can overshoot up to (target_bytes +
+    largest-file − 1) when a unit straddles a boundary (e.g. target 10
+    with sizes [9,9,9] puts the first two in one 18-byte bin where FFD
+    would split them). That is the right trade at planning scale: the
+    plan is a single window pass with no per-bin state, and output files
+    within ~2× target are exactly what Iceberg's binPack tolerates; use a
+    smaller target when tighter bounds matter."""
     w = (
         Window.partitionBy(partition_col)
         .orderBy(F.desc(bytes_col), F.asc(file_col))

@@ -36,21 +36,32 @@ def _ratio10k(num: Column, den: Column) -> Column:
     ).cast("bigint")
 
 
+def _stopword_hits(t: Column) -> Column:
+    """Count of DISTINCT stopwords present (space-delimited match) — the
+    one stopword signal, shared by quality_features / lang_id /
+    gopher_quality_filter so the matching rule cannot drift between
+    them."""
+    lower_t = F.lower(t)
+    hits = None
+    for w in STOPWORDS:
+        hit = F.when(lower_t.like(f"% {w} %"), 1).otherwise(0)
+        hits = hit if hits is None else hits + hit
+    return hits
+
+
 def quality_features(docs: DataFrame, col: str = "text") -> DataFrame:
-    """Per-document quality features: char/token counts, punctuation &
-    uppercase & digit & whitespace ratios, stopword hit count, mean token
-    length — the standard pre-training quality-filter signals."""
+    """Per-document quality features: char/token/punctuation counts,
+    punctuation / digit / whitespace ratios (×10k), and the stopword hit
+    count — the standard pre-training quality-filter signals. (Mean token
+    length and case ratios live in `gopher_quality_filter`, which turns
+    them into verdicts.)"""
     t = F.col(col)
     n_chars = F.length(t)
     n_tokens = token_count(t)
     punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
     digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
     spaces = F.length(t) - F.length(F.regexp_replace(t, r" ", ""))
-    lower_t = F.lower(t)
-    stop_hits = None
-    for w in STOPWORDS:
-        hit = F.when(lower_t.like(f"% {w} %"), 1).otherwise(0)
-        stop_hits = hit if stop_hits is None else stop_hits + hit
+    stop_hits = _stopword_hits(t)
     return docs.select(
         "doc_id",
         n_chars.cast("bigint").alias("n_chars"),
@@ -69,11 +80,7 @@ def lang_id(docs: DataFrame, col: str = "text") -> DataFrame:
     fastText model via pandas UDF; the routing/aggregation plumbing is
     identical.)"""
     t = F.col(col)
-    lower_t = F.lower(t)
-    stop_hits = None
-    for w in STOPWORDS:
-        hit = F.when(lower_t.like(f"% {w} %"), 1).otherwise(0)
-        stop_hits = hit if stop_hits is None else stop_hits + hit
+    stop_hits = _stopword_hits(t)
     has_cjk = F.regexp_count(t, F.lit(r"[一-鿿]")) > 0
     lang = (
         F.when(has_cjk, F.lit("cjk"))
@@ -84,9 +91,12 @@ def lang_id(docs: DataFrame, col: str = "text") -> DataFrame:
 
 
 def doc_fingerprint(docs: DataFrame, col: str = "text") -> DataFrame:
-    """Whitespace/case-normalized md5 content fingerprint per doc."""
-    normalized = F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
-    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+    """Whitespace/case-normalized md5 content fingerprint per doc — the
+    SAME normalization as dedup.fingerprint (imported, not re-written, so
+    fingerprints always agree with dedup_exact groups)."""
+    from .dedup import fingerprint
+
+    return docs.select("doc_id", fingerprint(col).alias("fingerprint"))
 
 
 def heavy_hitter_tokens(docs: DataFrame, k: int = 50, col: str = "text") -> DataFrame:
@@ -127,13 +137,16 @@ def redact_pii(docs: DataFrame, col: str = "text") -> DataFrame:
     recall floor, not a guarantee — a production pass layers an NER model
     behind the same column contract)."""
     red = F.col(col)
+    n_redacted = F.lit(0)
     for pat, tag in REDACTIONS.items():
+        # count matches in the text state BEFORE this stage's replacement:
+        # the exact number of replacements performed. Counting placeholder
+        # occurrences in the final text (the old formulation) counted
+        # pre-existing literal '<URL>'-style strings in the input as
+        # redactions and missed chained replacements (an email swallowed
+        # by a later URL replacement).
+        n_redacted = n_redacted + F.regexp_count(red, F.lit(pat))
         red = F.regexp_replace(red, pat, tag)
-    n_redacted = None
-    for tag in REDACTIONS.values():
-        # count placeholder occurrences in the redacted text
-        cnt = (F.length(red) - F.length(F.regexp_replace(red, F.lit(tag), F.lit("")))) / len(tag)
-        n_redacted = cnt if n_redacted is None else n_redacted + cnt
     return docs.select(
         "doc_id",
         red.alias("clean_text"),
@@ -186,11 +199,7 @@ def gopher_quality_filter(docs: DataFrame, col: str = "text") -> DataFrame:
     ).cast("bigint")
     symbols = F.length(t) - F.length(F.regexp_replace(t, r"[#…]", ""))
     symbol_ratio10k = _ratio10k(symbols, n_chars)
-    lower_t = F.lower(t)
-    stop_hits = None
-    for w in STOPWORDS:
-        hit = F.when(lower_t.like(f"% {w} %"), 1).otherwise(0)
-        stop_hits = hit if stop_hits is None else stop_hits + hit
+    stop_hits = _stopword_hits(t)
     f0 = ((n_tokens < GOPHER_MIN_TOKENS) | (n_tokens > GOPHER_MAX_TOKENS)).cast("bigint")
     f1 = (
         (mean_wl10k < GOPHER_MEAN_WORD_LEN_MIN10K)

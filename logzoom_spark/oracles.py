@@ -944,19 +944,27 @@ LIMIT 10
 
 # PII redaction: the SQL is GENERATED from ops.text.REDACTIONS, so the
 # pattern list and application order cannot drift between engines
-def _redact_sql() -> str:
+def _staged_redact_exprs(base: str) -> tuple[str, str]:
+    """(chained-replace expr, exact staged count expr) over ``base`` —
+    pattern i's matches are counted on the (i-1)-times-replaced text,
+    mirroring ops.text.redact_pii's F.regexp_count loop exactly (so
+    pre-existing literal tags in the input are NOT counted, and chained
+    replacements are counted once per stage that fired)."""
     from .ops.text import REDACTIONS
 
-    expr = "text"
+    expr = base
+    terms = []
     for pat, tag in REDACTIONS.items():
+        terms.append(f"len(regexp_extract_all({expr}, '{pat}'))")
         expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
-    counts = " + ".join(
-        f"(length(clean_text) - length(replace(clean_text, '{tag}', ''))) / {len(tag)}"
-        for tag in REDACTIONS.values()
-    )
+    return expr, " + ".join(terms)
+
+
+def _redact_sql() -> str:
+    expr, counts = _staged_redact_exprs("text")
     return f"""
-WITH r AS (SELECT doc_id, {expr} AS clean_text FROM documents)
-SELECT doc_id, clean_text, cast({counts} AS BIGINT) AS n_redacted FROM r
+SELECT doc_id, {expr} AS clean_text, cast({counts} AS BIGINT) AS n_redacted
+FROM documents
 """
 
 
@@ -1020,15 +1028,7 @@ def _curation_sql() -> str:
     """Independent SQL re-derivation of ops.curation.curate (md5 hasher):
     gopher keep → redact → exact dedup → minhash/LSH/cap/pairs → recursive
     connected components → canonical survivors."""
-    from .ops.text import REDACTIONS
-
-    red_expr = "text"
-    for pat, tag in REDACTIONS.items():
-        red_expr = f"regexp_replace({red_expr}, '{pat}', '{tag}', 'g')"
-    red_counts = " + ".join(
-        f"(length(text) - length(replace(text, '{tag}', ''))) / {len(tag)}"
-        for tag in REDACTIONS.values()
-    )
+    red_expr, red_counts = _staged_redact_exprs("d.text")
     return f"""
 WITH RECURSIVE
 gq AS (
@@ -1049,11 +1049,11 @@ gq AS (
          ELSE floor(symbols * 1.0 / n_chars * 10000) END) <= 1000
     AND stop_hits >= 1
 ),
-red AS (
-  SELECT d.doc_id, {red_expr} AS text
+redc AS (
+  SELECT d.doc_id, {red_expr} AS text,
+         cast({red_counts} AS BIGINT) AS n_redacted
   FROM documents d JOIN gq USING (doc_id)
 ),
-redc AS (SELECT doc_id, text, cast({red_counts} AS BIGINT) AS n_redacted FROM red),
 fp AS (
   SELECT doc_id, text, n_redacted,
          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f

@@ -70,14 +70,23 @@ def parse_turns(df: DataFrame, engine: str = "builtin", with_attrs: bool = True)
         cols = {
             name: _extract_field(text, kv, js) for name, (kv, js) in FIELD_PATTERNS.items()
         }
+        # latency is the one typed field: same extraction as the others
+        # (FIELD_PATTERNS is the single source for the regex/path — no
+        # hand-duplicated pattern to drift), wrapped in try_cast so a
+        # non-integral or overflowing value yields NULL, never an error
+        lat_kv, lat_js = FIELD_PATTERNS["latency_ms"]
+        lat_kv_sql = lat_kv.replace("\\", "\\\\")  # escape for the SQL literal
+        lat_expr = F.expr(
+            "try_cast(CASE WHEN text LIKE '{%' "
+            f"THEN get_json_object(text, '{lat_js}') "
+            f"ELSE nullif(regexp_extract(text, '{lat_kv_sql}', 1), '') "
+            "END AS BIGINT)"
+        )
         parsed = df.select(
             "*",
             cols["log_type"].alias("log_type"),
             cols["level"].alias("level"),
-            F.expr(
-                "try_cast(CASE WHEN text LIKE '{%' THEN get_json_object(text, '$.latency_ms') "
-                "ELSE nullif(regexp_extract(text, 'latency_ms=(-?\\\\d+)', 1), '') END AS BIGINT)"
-            ).alias("latency_ms"),
+            lat_expr.alias("latency_ms"),
             cols["msg"].alias("msg"),
         )
 
@@ -91,12 +100,25 @@ def parse_turns(df: DataFrame, engine: str = "builtin", with_attrs: bool = True)
     )
     if with_attrs:
         # dynamic-field carry-over of Event.Fields (buffer/buffer.go:23):
-        # every k=v pair on KV lines kept as a map<string,string>
+        # every k=v pair on KV lines kept as a map<string,string>.
+        # Built by folding tokens into the map with a remove-then-insert
+        # accumulator (LAST occurrence of a repeated key wins) rather than
+        # str_to_map, which THROWS [DUPLICATED_MAP_KEY] under the default
+        # mapKeyDedupPolicy=EXCEPTION — one hostile line with 'x=1 x=2'
+        # must not abort a 100 TB job under the counted-not-dropped
+        # policy. The msg strip anchors on start-of-line OR whitespace so
+        # a leading msg="..." cannot leak quoted-text fragments into the
+        # map.
         kv_pairs = F.expr(r"""
-            map_filter(
-              str_to_map(
-                regexp_replace(text, ' msg="[^"]*"', ''), ' ', '='),
-              (k, v) -> k rlike '^\\w+$' AND v IS NOT NULL)
+            aggregate(
+              filter(
+                split(regexp_replace(text, '(^|\\s)msg="[^"]*"', ' '), '\\s+'),
+                t -> t rlike '^\\w+=.*$'),
+              cast(map() AS map<string, string>),
+              (m, t) -> map_concat(
+                map_filter(m, (k, v) -> k != substring_index(t, '=', 1)),
+                map(substring_index(t, '=', 1),
+                    substring(t, length(substring_index(t, '=', 1)) + 2))))
         """)
         parsed = parsed.withColumn(
             "attrs",
@@ -110,14 +132,6 @@ def parse_turns(df: DataFrame, engine: str = "builtin", with_attrs: bool = True)
 # ---------------------------------------------------------------------------
 # Arrow-vectorized grok path (no per-row Python: pandas .str ops per batch)
 # ---------------------------------------------------------------------------
-
-_COMBINED_KV = re.compile(
-    r"(?:^|\s)level=(?P<level>\w+)(?=\s|$)"
-    r"|(?:^|\s)log_type=(?P<log_type>\w+)(?=\s|$)"
-    r"|(?:^|\s)latency_ms=(?P<latency_ms>-?\d+)(?=\s|$)"
-    r'|(?:^|\s)msg="(?P<msg>[^"]*)"'
-)
-
 
 def _parse_pandas(df: DataFrame) -> DataFrame:
     import pandas as pd  # noqa: F401  (executor-side import)
@@ -139,6 +153,15 @@ def _parse_pandas(df: DataFrame) -> DataFrame:
         pat_latency = re.compile(r"latency_ms=(-?\d+)", re.ASCII)
         pat_msg = re.compile(r'msg="([^"]*)"', re.ASCII)
 
+        def coerce_int64(lat: "pd.Series") -> "pd.Series":
+            # mirror builtin try_cast-to-BIGINT: non-integral and
+            # out-of-int64-range values become NULL — an Int64 astype on a
+            # float like 1e23 raises 'cannot safely cast' and kills the
+            # task otherwise. (2^63 as float is the one boundary value
+            # excluded here that exact string parsing would accept.)
+            ok = (lat.mod(1) == 0) & (lat >= -(2.0**63)) & (lat < 2.0**63)
+            return lat.where(ok).astype("Int64")
+
         for pdf in it:
             text = pdf["text"].astype("string")
             is_json = text.str.startswith("{").fillna(False)
@@ -146,25 +169,25 @@ def _parse_pandas(df: DataFrame) -> DataFrame:
             out = pdf.copy()
             out["log_type"] = text.str.extract(pat_log_type, expand=False)
             out["level"] = text.str.extract(pat_level, expand=False)
-            out["latency_ms"] = pd.to_numeric(
-                text.str.extract(pat_latency, expand=False), errors="coerce"
-            ).astype("Int64")
+            out["latency_ms"] = coerce_int64(
+                pd.to_numeric(text.str.extract(pat_latency, expand=False), errors="coerce")
+            )
             out["msg"] = text.str.extract(pat_msg, expand=False)
             if is_json.any():
-                # JSON rows are a small slice; parse them batch-wise
+                # JSON rows are a small slice; parse them batch-wise.
+                # _json_str renders non-string JSON scalars/containers the
+                # way get_json_object does ('5', 'true', '{"a":1}') — a raw
+                # int/bool assigned into a StringDtype column would raise
+                # and kill the task, and str(True) would render 'True'.
                 js = text[is_json].map(_safe_json_fields)
-                out.loc[is_json, "log_type"] = js.map(lambda d: d.get("log_type"))
-                out.loc[is_json, "level"] = js.map(lambda d: d.get("level"))
-                # to_numeric+integral-mask mirrors builtin try_cast-to-BIGINT
-                # (a JSON latency of 12.5 must yield null, not crash the job)
+                out.loc[is_json, "log_type"] = js.map(lambda d: _json_str(d.get("log_type")))
+                out.loc[is_json, "level"] = js.map(lambda d: _json_str(d.get("level")))
                 lat = pd.to_numeric(
                     pd.Series([d.get("latency_ms") for d in js], index=js.index),
                     errors="coerce",
                 )
-                out.loc[is_json, "latency_ms"] = lat.where(lat.mod(1) == 0).astype(
-                    "Int64"
-                )
-                out.loc[is_json, "msg"] = js.map(lambda d: d.get("message"))
+                out.loc[is_json, "latency_ms"] = coerce_int64(lat)
+                out.loc[is_json, "msg"] = js.map(lambda d: _json_str(d.get("message")))
             yield out[list(pdf.columns) + PARSED_FIELDS]
 
     return df.mapInPandas(batches, schema=out_schema).select(
@@ -180,6 +203,17 @@ def _safe_json_fields(s: str) -> dict:
         return d if isinstance(d, dict) else {}
     except (ValueError, TypeError):
         return {}
+
+
+def _json_str(v) -> str | None:
+    """Render a decoded JSON value the way Spark's get_json_object renders
+    it as a string: None stays null, strings pass through, everything else
+    (numbers, booleans, nested containers) gets its compact JSON text."""
+    import json
+
+    if v is None or isinstance(v, str):
+        return v
+    return json.dumps(v, separators=(",", ":"))
 
 
 def observe_parse_metrics(df: DataFrame, name: str = "parse") -> DataFrame:

@@ -575,6 +575,35 @@ def test_container_frame_bytes_are_genuine(spark):
     assert wav[36:40] == b"data"
 
 
+def test_redact_counts_are_exact_replacements(spark):
+    """n_redacted counts replacements actually performed: a pre-existing
+    literal <URL> tag is NOT counted, and an email+URL span counts one
+    per stage that fired."""
+    from logzoom_spark.ops.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "see <URL> above"),                 # literal tag, no PII
+            (2, "mail bob@x.com or visit https://y.io/a now"),
+            (3, "nothing to scrub"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1]["n_redacted"] == 0
+    assert out[2]["n_redacted"] == 2  # one email + one URL replacement
+    assert out[3]["n_redacted"] == 0
+
+
+def test_merge_upsert_validates_duplicate_source_keys(spark):
+    from logzoom_spark.ops.maintenance import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    dup_updates = spark.createDataFrame([(1, "x"), (1, "y")], "id bigint, v string")
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_upsert(target, dup_updates, "id", validate=True)
+
+
 def test_chunk_documents_shapes(spark):
     """Chunk boundaries: short doc → 1 chunk; exact fit → 1 chunk; one
     token over → 2 chunks with the overlap prefix; all tokens covered."""

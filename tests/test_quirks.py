@@ -183,3 +183,39 @@ def test_portable_hash_three_engine_parity(spark):
             con.execute(f"SELECT s, {portable_hash_sql('s', seed)} FROM t").fetchall()
         )
         assert got_duck == py, f"duckdb != python at seed {seed}"
+
+
+def test_hostile_rows_never_kill_the_job(spark):
+    """Job-abort regressions (review r3): duplicated KV keys must not trip
+    DUPLICATED_MAP_KEY in the attrs map (last wins), a leading msg= must
+    not leak quoted fragments into attrs, non-string JSON field values
+    must not crash the pandas engine (and must render like
+    get_json_object), and an overflowing latency must yield NULL in both
+    engines."""
+    import datetime as dt
+
+    from logzoom_spark.parse import parse_turns
+
+    rows = [
+        ("c1", 0, "user", 'log_type=app level=INFO x=1 x=2 msg="m"', None),
+        ("c1", 1, "user", 'msg="hello world" log_type=app level=INFO', None),
+        ("c1", 2, "user", '{"log_type":"app","level":5,"latency_ms":12.5,"message":true}', None),
+        ("c1", 3, "user", "log_type=app level=INFO latency_ms=99999999999999999999999", None),
+        ("c1", 4, "user", '{"log_type":"app","level":"INFO","latency_ms":77}', None),
+    ]
+    base_ts = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(c, i, r, t, tool, base_ts) for (c, i, r, t, tool) in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {r.turn_idx: r for r in parse_turns(df, with_attrs=True).collect()}
+    assert got[0]["attrs"]["x"] == "2"  # last occurrence wins, no job abort
+    assert "msg" not in got[1]["attrs"] and got[1]["attrs"]["log_type"] == "app"
+    assert got[3]["latency_ms"] is None  # try_cast overflow -> NULL
+
+    for engine in ("builtin", "pandas"):
+        out = {r.turn_idx: r for r in parse_turns(df, engine=engine, with_attrs=False).collect()}
+        assert out[2]["level"] == "5" and out[2]["msg"] == "true", engine
+        assert out[2]["latency_ms"] is None, engine  # 12.5 not integral
+        assert out[3]["latency_ms"] is None, engine
+        assert out[4]["latency_ms"] == 77, engine
