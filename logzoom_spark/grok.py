@@ -239,14 +239,12 @@ def apply_grok(
     for i, f_name in enumerate(cg.fields):
         c = F.nullif(F.regexp_extract(F.col(text_col), cg.regex, i + 1), F.lit(""))
         if f_name in cg.types:
-            c = F.expr(f"try_cast({_extract_sql(text_col, cg.regex, i + 1)} AS {cg.types[f_name]})")
+            # Column.try_cast keeps everything in the Column API — no
+            # hand-escaped SQL string to break on exotic column names or
+            # non-default parser escape settings
+            c = c.try_cast(cg.types[f_name])
         cols.append(c.alias(f_name))
     return df.select("*", *cols)
-
-
-def _extract_sql(text_col: str, regex: str, group: int) -> str:
-    esc = regex.replace("\\", "\\\\").replace("'", "\\'")
-    return f"nullif(regexp_extract({text_col}, '{esc}', {group}), '')"
 
 
 def _apply_grok_pandas(df: DataFrame, cg: CompiledGrok, text_col: str) -> DataFrame:

@@ -120,6 +120,7 @@ def contamination_pairs(
     n: int = 8,
     max_gram_df: int | None = DEFAULT_MAX_GRAM_DF,
     hasher: str = "xx",
+    max_doc_gram_df: int | None = None,
 ) -> DataFrame:
     """Benchmark-contamination detection: for each candidate training doc,
     the benchmark docs it shares ≥1 word n-gram with, and how many — the
@@ -129,8 +130,15 @@ def contamination_pairs(
     Plan: distinct n-gram hashes per side, equi-join on the hash, count per
     (doc, benchmark) pair. The shuffle carries (hash, id) pairs only;
     ``max_gram_df`` drops n-grams present in more than that many benchmark
-    docs (license headers, prompt boilerplate) before the join, bounding
-    the worst key exactly like the LSH bucket cap."""
+    docs (license headers, prompt boilerplate) before the join — so the
+    join's BUILD side holds ≤ cap rows per key. The candidate side is
+    deliberately NOT capped by default: a gram in many training docs but
+    few benchmark docs is legitimate per-doc contamination signal, and
+    probe-side skew on a hot gram is what AQE skew-join splitting handles
+    (the build side stays ≤ cap rows per key, so split probe partitions
+    are cheap). If a corpus carries pathological boilerplate and dropped
+    signal is acceptable, ``max_doc_gram_df`` applies the symmetric cap
+    to the candidate side."""
     bench_grams = ngram_hashes(benchmark, n=n, hasher=hasher).withColumnRenamed(
         "doc_id", "bench_id"
     )
@@ -143,6 +151,14 @@ def contamination_pairs(
         )
         bench_grams = bench_grams.join(busy, "gram_hash", "left_anti")
     doc_grams = ngram_hashes(docs, n=n, hasher=hasher)
+    if max_doc_gram_df is not None:
+        busy_docs = (
+            doc_grams.groupBy("gram_hash")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_gram_df)
+            .select("gram_hash")
+        )
+        doc_grams = doc_grams.join(busy_docs, "gram_hash", "left_anti")
     return (
         doc_grams.join(bench_grams, "gram_hash")
         .groupBy("doc_id", "bench_id")

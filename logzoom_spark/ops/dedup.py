@@ -123,6 +123,14 @@ def lsh_candidate_pairs(
     of stop-word removal. Exact duplicates inside such a bucket are still
     caught by ``dedup_exact``. Pass ``None`` to disable (small data only).
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # leftover signature rows would be silently ignored (weakening the
+        # requested signature), and bands > num_hashes would make empty
+        # bands — every doc in ONE bucket per band, which the bucket cap
+        # then drops wholesale: an empty result with no error
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} exactly"
+        )
     rows_per_band = num_hashes // bands
     h = _hash_fn(hasher)
     sigs = minhash_signatures(docs, num_hashes=num_hashes, n=n, hasher=hasher)

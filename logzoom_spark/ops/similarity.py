@@ -189,19 +189,32 @@ def ivf_topk(
     n_probe: int = 4,
     scale: int = 1000,
     assigned: DataFrame | None = None,
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF-style ANN probe: a query scores only its `n_probe` nearest
     cells. Pass ``assigned`` (a persisted/partitioned ``ivf_assign``
     output) to amortize the build across queries — the production shape;
     without it the index is built inline (one-shot convenience, costlier
-    than brute force for a single query by construction)."""
+    than brute force for a single query by construction).
+
+    ``centroids`` MUST be the same list the assignment was built with
+    when ``ivf_assign`` ran with explicit (e.g. trained) centroids —
+    probing derives cell ids from it, and probing default cells against
+    an assignment built from different ones would silently match
+    nothing."""
     v = quantize(F.col("embedding"), scale)
     base = emb.select("vec_id", v.alias("v"))
-    cents = base.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
-    )
+    if centroids is not None:
+        cents = emb.sparkSession.createDataFrame(
+            [(int(c["vec_id"]), [int(x) for x in c["v"]]) for c in centroids],
+            "cell bigint, cv array<bigint>",
+        )
+    else:
+        cents = base.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+        )
     if assigned is None:
-        assigned = ivf_assign(emb, n_cells=n_cells, scale=scale)
+        assigned = ivf_assign(emb, n_cells=n_cells, scale=scale, centroids=centroids)
     qrow = base.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
     probe = (
         cents.join(F.broadcast(qrow))
@@ -223,26 +236,13 @@ def lsh_assign(emb: DataFrame, planes: int = 8, scale: int = 1000) -> DataFrame:
     """LSH BUILD step: (vec_id, v, bucket) — sign of the dot with `planes`
     deterministic pseudo-random hyperplanes forms the bucket id. A pure
     zero-shuffle projection (planes are literals); write `partitionBy
-    (bucket)` once and probes prune to one bucket's files. Deterministic
-    planes: element j of plane p is the integer pattern
-    ((p*1315423911 + j*2654435761) mod 2001) - 1000 — reproducible in
-    pure SQL for the oracle."""
-    dims = 64  # embeddings.parquet vectors are fixed 64-d
-
-    def plane(p: int) -> Column:
-        return F.array(
-            *[
-                F.lit(((p * 1315423911 + j * 2654435761) % 2001) - 1000).cast("bigint")
-                for j in range(dims)
-            ]
-        )
-
+    (bucket)` once and probes prune to one bucket's files. Uses the SAME
+    `_hyperplane`/`_bucket_expr` helpers as cosine_dup_pairs, so build
+    buckets and near-dup buckets can never desynchronize."""
     qv = quantize(F.col("embedding"), scale)
-    bucket = None
-    for p in range(planes):
-        bit = F.when(dot(qv, plane(p)) >= 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket * 2 + bit
-    return emb.select("vec_id", qv.alias("v"), bucket.cast("bigint").alias("bucket"))
+    return emb.select(
+        "vec_id", qv.alias("v"), _bucket_expr(qv, planes).alias("bucket")
+    )
 
 
 def lsh_bucket_topk(

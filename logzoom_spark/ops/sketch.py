@@ -60,9 +60,14 @@ def kmv_distinct(
     single-window formulation for any n_salt — asserted by pytest — but
     no task ever sorts a whole group."""
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    hashed = df.select(
-        F.col(group_col).alias("grp"), portable_hash(v.cast("string")).alias("h")
-    ).withColumn("salt", F.pmod(F.col("h"), F.lit(n_salt)))
+    # NULL values are excluded up front (count-distinct semantics): a null
+    # hash would sort first, eat a sketch slot, and inflate exact_k while
+    # max('h') skipped it — shifting kth_min_hash to the (k-1)th minimum
+    hashed = (
+        df.filter(v.isNotNull())
+        .select(F.col(group_col).alias("grp"), portable_hash(v.cast("string")).alias("h"))
+        .withColumn("salt", F.pmod(F.col("h"), F.lit(n_salt)))
+    )
     # stage 1: per-shard dedup + top-k (hash mod salt ⇒ dup hashes share a
     # shard, so cross-shard duplicates cannot exist after this)
     w1 = Window.partitionBy("grp", "salt").orderBy("h")
@@ -124,11 +129,19 @@ def exact_percentiles_disc(
     ranked = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
         "n", F.sum("cnt").over(Window.partitionBy("grp"))
     )
+
+    def target_rank(p: float):
+        # integer-exact ceil(p·n): binary-float p overshoots for many
+        # (p, n) pairs — ceil(0.07 * 100) is 8, not 7. Rate is carried as
+        # an exact basis-point integer and the ceiling is integer div.
+        p10k = int(round(p * 10000))
+        return F.expr(f"(cast({p10k} AS BIGINT) * n + 9999) div 10000")
+
     agg_cols = [
         F.max(
             F.when(
-                (F.ceil(F.lit(p) * F.col("n")) > F.col("cum") - F.col("cnt"))
-                & (F.ceil(F.lit(p) * F.col("n")) <= F.col("cum")),
+                (target_rank(p) > F.col("cum") - F.col("cnt"))
+                & (target_rank(p) <= F.col("cum")),
                 F.col("val"),
             )
         ).alias(f"p{int(round(p * 100))}")  # round: int(0.29*100) is 28
@@ -154,7 +167,8 @@ def kmv_merge_rollup(
     (map-side) sketch aggregation is safe at 100 TB."""
     w_fine = Window.partitionBy(coarse_key, fine_key).orderBy("h")
     fine_sketch = (
-        df.select(
+        df.filter(F.col(value_col).isNotNull())  # count-distinct semantics
+        .select(
             coarse_key,
             fine_key,
             portable_hash(F.col(value_col).cast("string")).alias("h"),

@@ -536,7 +536,7 @@ ORACLES["kmv_distinct_users"] = f"""
 WITH h AS (
   SELECT DISTINCT event_type AS grp,
          {portable_hash_sql("cast(user_id AS VARCHAR)")} AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),
 t AS (SELECT grp, max(h) AS kth_min_hash, count(*) AS exact_k
@@ -564,8 +564,8 @@ r AS (
   FROM base
 )
 SELECT grp AS log_type,
-       max(CASE WHEN rn = ceil(0.5 * n) THEN val END) AS p50,
-       max(CASE WHEN rn = ceil(0.95 * n) THEN val END) AS p95
+       max(CASE WHEN rn = (5000 * n + 9999) // 10000 THEN val END) AS p50,
+       max(CASE WHEN rn = (9500 * n + 9999) // 10000 THEN val END) AS p95
 FROM r GROUP BY grp
 """
 
@@ -997,7 +997,7 @@ WITH base AS (
   SELECT DISTINCT event_type,
          cast(floor(epoch(ts) / 86400) AS BIGINT) AS day,
          {portable_hash_sql("cast(user_id AS VARCHAR)")} AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 fine_k AS (
   SELECT event_type, day, h FROM (

@@ -117,11 +117,33 @@ def run_streaming(
     return writer.start()
 
 
+def _discover_partition_cols(epoch_dir: str) -> tuple[str, ...]:
+    """Partition column names from an epoch dir's `name=value` directory
+    nesting (depth order) — so compaction reproduces the source layout by
+    default instead of silently flattening partition dirs into data
+    fields (mixed directory depths under one sink break Spark's partition
+    discovery)."""
+    import os
+
+    cols: list[str] = []
+    cur = epoch_dir
+    while True:
+        subs = [
+            e for e in os.listdir(cur)
+            if "=" in e and os.path.isdir(os.path.join(cur, e))
+        ]
+        if not subs:
+            return tuple(cols)
+        name = subs[0].split("=", 1)[0]
+        cols.append(name)
+        cur = os.path.join(cur, subs[0])
+
+
 def compact_epochs(
     spark: SparkSession,
     sink_dir: str,
     fmt: str = "json",
-    partition_cols: tuple[str, ...] = (),
+    partition_cols: tuple[str, ...] | None = None,
     keep_last: int = 1,
     compression: str | None = None,
 ) -> dict:
@@ -191,6 +213,8 @@ def compact_epochs(
         return {"compacted": [], "target": None, "rows": 0}
     target = max(to_merge)
     paths = [f"{sink_dir}/{prefix}{e}" for e in to_merge]
+    if partition_cols is None:
+        partition_cols = _discover_partition_cols(paths[0])
     reader = spark.read.format(fmt).option("basePath", sink_dir)
     df = reader.load(paths).drop("epoch")
     writer = df
@@ -267,7 +291,9 @@ def streaming_distinct_sources(
     )
 
 
-def stateful_sessionize(turns_stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def stateful_sessionize(
+    turns_stream: DataFrame, gap_seconds: int = 1800, state_ttl_minutes: int = 60
+) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: assign a
     per-conversation session id that survives ACROSS micro-batches (a gap
     > ``gap_seconds`` between consecutive turns starts a new session).
@@ -281,16 +307,30 @@ def stateful_sessionize(turns_stream: DataFrame, gap_seconds: int = 1800) -> Dat
 
     Rows are expected in turn_idx order within a group per batch (Spark
     delivers all of a group's batch rows together; the function sorts
-    defensively)."""
+    defensively).
+
+    State is BOUNDED: each conversation's (last_ts, counter) entry is
+    evicted after ``state_ttl_minutes`` of processing-time inactivity —
+    the unbounded-state trap of NoTimeout on an infinite key space (one
+    state row per conv_id ever seen) is exactly what the reference's
+    ticker-based 600 s map eviction avoids (websocket.go:119-138). A
+    conversation resuming after eviction restarts its session counter at
+    0 — acceptable for a gap-based sessionizer since any turn after the
+    TTL is also past `gap_seconds`, i.e. a new session anyway."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "conv_id string, turn_idx int, session_id bigint"
     state_schema = "last_ts double, sess long"
+    ttl_ms = state_ttl_minutes * 60 * 1000
 
     def assign(key, pdfs, state: GroupState):
         import pandas as pd
 
         (conv_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"conv_id": [], "turn_idx": [], "session_id": []})
+            return
         last_ts, sess = state.get if state.exists else (None, 0)
         frames = [pdf for pdf in pdfs]
         pdf = pd.concat(frames).sort_values("turn_idx")
@@ -302,6 +342,7 @@ def stateful_sessionize(turns_stream: DataFrame, gap_seconds: int = 1800) -> Dat
             last_ts = e
             out_sess.append(sess)
         state.update((last_ts, sess))
+        state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             {
                 "conv_id": conv_id,
@@ -314,7 +355,8 @@ def stateful_sessionize(turns_stream: DataFrame, gap_seconds: int = 1800) -> Dat
         turns_stream.select("conv_id", "turn_idx", "ts")
         .groupBy("conv_id")
         .applyInPandasWithState(
-            assign, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+            assign, out_schema, state_schema, "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
 

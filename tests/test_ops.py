@@ -295,17 +295,38 @@ def test_connected_components_string_ids_long_chain(spark):
     assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "z": "z"}
 
 
-def test_connected_components_warns_on_max_iter(spark):
+def test_connected_components_raises_on_max_iter(spark):
+    """Exhausting max_iter must raise by default (partial labels silently
+    split components); on_nonconverged='warn' downgrades to a warning."""
     import warnings as w
 
     from logzoom_spark.ops.cluster import connected_components
 
-    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "doc_a bigint, doc_b bigint")
-    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "doc_id bigint")
+    # a 24-node chain needs >1 round even with pointer jumping
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 24)], "doc_a bigint, doc_b bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 25)], "doc_id bigint")
+    with pytest.raises(RuntimeError, match="max_iter"):
+        connected_components(pairs, nodes, max_iter=1)
     with w.catch_warnings(record=True) as caught:
         w.simplefilter("always")
-        connected_components(pairs, nodes, max_iter=1).collect()
+        connected_components(pairs, nodes, max_iter=1, on_nonconverged="warn").collect()
     assert any("max_iter" in str(c.message) for c in caught)
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """Pointer jumping: a 200-node path converges well inside max_iter=10
+    (one-hop propagation would need ~199 rounds)."""
+    from logzoom_spark.ops.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 400)], "doc_a bigint, doc_b bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(200, 401)], "doc_id bigint")
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs, nodes, max_iter=10).collect()}
+    assert set(out.values()) == {200}
 
 
 def test_range_join_negative_epochs(spark):

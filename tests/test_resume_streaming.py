@@ -243,14 +243,16 @@ def test_compact_epochs_crash_recovery_no_loss(spark, turns, tmp_path, monkeypat
         if calls["n"] == 1:  # crash right after the FIRST source is deleted
             raise RuntimeError("injected crash mid-compaction")
 
+    # partition_cols deliberately omitted: compaction must auto-discover
+    # the index_day layout from the source epoch dirs
     monkeypatch.setattr("shutil.rmtree", crashing_rmtree)
     with pytest.raises(RuntimeError, match="injected crash"):
-        st.compact_epochs(spark, es_dir, fmt="json", partition_cols=("index_day",))
+        st.compact_epochs(spark, es_dir, fmt="json")
     monkeypatch.setattr("shutil.rmtree", orig_rmtree)
 
     # the deleted epoch's rows now live only in _compacting
     assert set(read_all()) < set(before)
-    res = st.compact_epochs(spark, es_dir, fmt="json", partition_cols=("index_day",))
+    res = st.compact_epochs(spark, es_dir, fmt="json")
     assert res["compacted"] and read_all() == before, "recovery lost rows"
 
 
