@@ -246,6 +246,12 @@ def main() -> None:
         "replicate": replicate,
         "notes": {
             "per_query_timing": "min of 2 post-warmup reps (3 total)",
+            "curation_pipeline": (
+                "single run INCLUDING warmup (the connected-components loop "
+                "materializes internally; a second rep would re-run minutes "
+                "of iterative work) — not comparable rep-for-rep with the "
+                "min-of-reps entries"
+            ),
             "parse_builtin_r02_regression": (
                 "resolved: code unchanged between rounds; the 0.87->1.48 s "
                 "delta was residual JVM warmup under the old last-of-2 "

@@ -26,7 +26,12 @@ def portable_hash(col: Column, seed: int = 0) -> Column:
 
 
 def portable_hash_sql(expr: str, seed: int = 0) -> str:
-    """DuckDB side: SQL text computing the identical value for `expr`."""
+    """DuckDB side: SQL text computing the identical value for `expr`.
+
+    The seed is appended with `||`, NOT concat(): DuckDB's concat() SKIPS
+    NULL arguments while Spark's F.concat propagates them — with concat a
+    NULL input hashed to a real bucket in the oracle while Spark produced
+    NULL, silently diverging every NULL-bearing gate/sketch."""
     return (
-        f"cast(concat('0x', substr(md5(concat({expr}, '#{seed}')), 1, 15)) AS BIGINT)"
+        f"cast('0x' || substr(md5(({expr}) || '#{seed}'), 1, 15) AS BIGINT)"
     )

@@ -142,28 +142,34 @@ def main() -> None:
 
     work = tempfile.mkdtemp(prefix="lz_scale_")
     turns_path = f"{work}/turns"
-    materialize_turns(args.sf_dir, args.replicate, turns_path)
+    try:
+        materialize_turns(args.sf_dir, args.replicate, turns_path)
 
-    all_reps: dict[int, list[float]] = {args.n: [], args.n4: []}
-    n_turns = 0
-    sessions = []
-    for _ in range(args.rounds):
-        for cpus in (args.n, args.n4):
-            r = run_session(cpus, turns_path, args.reps)
-            all_reps[cpus] += r["reps"]
-            n_turns = r["turns"]
-            sessions.append(r)
-            print(f"session local[{cpus}]: {[round(x,1) for x in r['reps']]}", flush=True)
-    shutil.rmtree(work, ignore_errors=True)
+        all_reps: dict[int, list[float]] = {args.n: [], args.n4: []}
+        n_turns = 0
+        sessions = []
+        for _ in range(args.rounds):
+            for cpus in (args.n, args.n4):
+                r = run_session(cpus, turns_path, args.reps)
+                all_reps[cpus] += r["reps"]
+                n_turns = r["turns"]
+                sessions.append(r)
+                print(f"session local[{cpus}]: {[round(x,1) for x in r['reps']]}", flush=True)
+    finally:
+        # multi-GB materialized parquet must not leak when a session dies
+        shutil.rmtree(work, ignore_errors=True)
 
+    ratio = args.n4 / args.n
     best = {c: min(v) for c, v in all_reps.items()}
     t_n = n_turns / best[args.n]
     t_4n = n_turns / best[args.n4]
-    eff = (t_4n / t_n) / (args.n4 / args.n)
+    eff = (t_4n / t_n) / ratio
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
-    med = {c: sorted(v)[len(v) // 2] for c, v in all_reps.items()}
+    import statistics
+
+    med = {c: statistics.median(v) for c, v in all_reps.items()}
     md = f"""# BENCH/BASELINE — measured throughput + scaling efficiency
 
 Generated {stamp} by scripts/bench_scaling.py. Sandbox proxy for the
@@ -187,8 +193,8 @@ for transparency. Host load at generation: {_load_now()}.
 | local[{args.n}] (N) | {best[args.n]:.2f} | {med[args.n]:.2f} | {t_n:,.0f} |
 | local[{args.n4}] (4N) | {best[args.n4]:.2f} | {med[args.n4]:.2f} | {t_4n:,.0f} |
 
-**Scaling efficiency = (T_4N / T_N) / 4 = ({t_4n:,.0f} / {t_n:,.0f}) / 4 =
-{eff:.3f}** (target ≥ 0.8)
+**Scaling efficiency = (T_hi / T_lo) / {ratio:g} = ({t_4n:,.0f} /
+{t_n:,.0f}) / {ratio:g} = {eff:.3f}** (target ≥ 0.8)
 
 All rep times (seconds):
 

@@ -27,8 +27,13 @@ def canon_value(v) -> str:
     if v is None:
         return "\x00NULL"
     if isinstance(v, float):
+        # NaN and infinities get their own sentinels: collapsing NaN into
+        # NULL would hide a real engine divergence (Spark 0.0/0.0 = NaN vs
+        # SQL NULL), and int(inf) raises OverflowError
         if math.isnan(v):
-            return "\x00NULL"
+            return "\x00NaN"
+        if math.isinf(v):
+            return "\x00+Inf" if v > 0 else "\x00-Inf"
         if v == int(v) and abs(v) < 2**53:
             return str(int(v))
         return f"{v:.6g}"
@@ -69,6 +74,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not yield a "0 pass, 0 fail" success
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        spark.stop()
+        return 2
     n_pass = n_fail = n_rowsonly = 0
     failures = []
     for name, fn in qs.items():
