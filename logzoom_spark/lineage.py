@@ -65,6 +65,16 @@ def completed_groups(
         raise
     done = mf.filter(F.col("status") == "done")
     if n_groups is not None:
+        if "n_groups" not in mf.columns:
+            # manifests written before n_groups tracking can't prove the
+            # modulus matches — same actionable error as a mismatch, not
+            # an unresolved-column AnalysisException
+            raise ValueError(
+                f"manifest at {manifest_dir} predates n_groups tracking; "
+                "cannot verify the group count matches. Re-run without the "
+                "n_groups check only if the original count is known equal, "
+                "or start a fresh out_dir."
+            )
         seen = {r[0] for r in done.select("n_groups").distinct().collect()}
         if seen and seen != {n_groups}:
             raise ValueError(

@@ -50,7 +50,11 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.split(F.trim(F.col(col)), r"\s+")
+    # coalesce: split(trim(NULL)) is NULL, and sequence/explode over NULL
+    # would silently DROP the row — every input doc must appear in the
+    # output (counted-not-dropped policy; a NULL-text doc yields one
+    # empty chunk, same as an empty-string doc)
+    toks = F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+")
     n = F.size(toks)
     n_chunks = F.ceil(F.greatest(n - overlap, F.lit(1)) / F.lit(stride)).cast("int")
     idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")

@@ -293,6 +293,10 @@ def parse_container_header(media: DataFrame, payload_col: str = "payload") -> Da
         .when(
             (F.hex(F.substring(p, 1, 4)) == "52494646")  # "RIFF"
             & (F.hex(F.substring(p, 9, 4)) == "57415645")  # "WAVE"
+            # require "fmt " as the FIRST chunk: the fixed-offset reads
+            # below assume it, and a WAV with a leading JUNK/LIST chunk
+            # (common encoder output) would otherwise decode garbage
+            & (F.hex(F.substring(p, 13, 4)) == "666D7420")
             & (plen >= 32),
             F.lit("wav"),
         )

@@ -166,6 +166,16 @@ def ivf_assign(
         if centroids is not None
         else base.filter(F.col("vec_id") < n_cells).collect()
     )
+    # the ord = dot·n_cells − cell tie-break is injective ONLY for cell ids
+    # in [0, n_cells); an explicit centroid list with ids outside that range
+    # could collide ord values and make assignment nondeterministic
+    bad = [int(c["vec_id"]) for c in cents if not 0 <= int(c["vec_id"]) < n_cells]
+    if bad:
+        raise ValueError(
+            f"centroid vec_ids {bad} outside [0, {n_cells}): renumber trained "
+            "centroids to dense ids 0..n_cells-1 (keeping your own mapping) so "
+            "the tie-free argmax stays deterministic"
+        )
     structs = [
         F.struct(
             (

@@ -109,14 +109,23 @@ def write_es(
     path: str,
     mode: str = "overwrite",
     max_records_per_file: int = 10000,
+    tasks_per_day: int = 8,
     **_: object,
 ) -> None:
-    # 10k = the reference's bulk flush size (elasticsearch.go:25).
-    # Cluster by index_day so each daily dir is written by one task
-    # (maxRecordsPerFile re-splits oversized days into bulk-sized files).
+    """Cluster by (index_day, salt) before the partitioned write: a plain
+    `repartition(index_day)` hashes ALL rows of one daily index into ONE
+    shuffle partition — at 100 TB one day = one writer task, regardless of
+    maxRecordsPerFile (which re-splits *files*, not *tasks*). The conv_id
+    salt spreads each day across `tasks_per_day` parallel writers, the
+    same layout `write_s3` uses via files_per_slice; maxRecordsPerFile
+    (10k = the reference's bulk flush size, elasticsearch.go:25) then
+    bounds each file to one bulk request."""
+    parts = [F.col("index_day")]
+    if tasks_per_day > 1:
+        parts.append(F.pmod(F.xxhash64("conv_id"), F.lit(tasks_per_day)))
     (
         es_project(df)
-        .repartition(F.col("index_day"))
+        .repartition(*parts)
         .write.mode(mode)
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("index_day")

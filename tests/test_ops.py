@@ -871,3 +871,54 @@ def test_new_ops_empty_and_degenerate_inputs(spark):
 
     empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
     assert curate(empty_docs).count() == 0
+
+
+def test_wav_with_leading_junk_chunk_not_misdecoded(spark):
+    """A real-world WAV whose first chunk is JUNK/LIST (padding many
+    encoders emit) must NOT decode channels/rate from the fixed fmt
+    offsets — round-3 advice: the sniff now requires 'fmt ' as the first
+    chunk, so these yield container=NULL like other unparseable headers."""
+    import struct
+
+    from logzoom_spark.ops import multimodal as mm
+
+    junk_first = (
+        struct.pack("<4sI4s", b"RIFF", 64, b"WAVE")
+        + struct.pack("<4sI", b"JUNK", 8) + b"\x00" * 8
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 44100, 176400, 4, 16)
+    )
+    rows = [(1, junk_first), (2, _real_wav(1, 8000))]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r["doc_id"]: r for r in mm.parse_container_header(df).collect()}
+    assert out[1]["container"] is None and out[1]["channels"] is None
+    assert (out[2]["container"], out[2]["channels"], out[2]["sample_rate"]) == (
+        "wav", 1, 8000,
+    )
+
+
+def test_chunk_documents_keeps_null_text_docs(spark):
+    """Counted-not-dropped: a NULL-text doc must still appear in the chunk
+    output (one empty chunk), exactly like an empty-string doc — explode
+    over split(NULL) would silently drop the row (round-3 advice)."""
+    from logzoom_spark.ops.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in chunk_documents(df, 64, 16).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].chunk_idx == 0 and out[1].chunk_text == out[2].chunk_text
+    assert out[3].n_chunk_tokens == 3
+
+
+def test_ivf_assign_rejects_out_of_range_centroids(spark, emb):
+    """Explicit trained centroids with vec_id outside [0, n_cells) would
+    break the injective ord = dot*n_cells - cell tie-break; the build must
+    refuse them rather than assign nondeterministically (round-3 advice)."""
+    from logzoom_spark.ops.similarity import ivf_assign
+
+    bad = [{"vec_id": 99, "v": [1] * 64}, {"vec_id": 0, "v": [2] * 64}]
+    with pytest.raises(ValueError, match="renumber"):
+        ivf_assign(emb, n_cells=16, centroids=bad)
+    ok = [{"vec_id": 0, "v": [1] * 64}, {"vec_id": 1, "v": [2] * 64}]
+    assert ivf_assign(emb, n_cells=2, centroids=ok).columns == ["vec_id", "v", "cell"]

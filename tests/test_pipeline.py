@@ -267,3 +267,47 @@ def test_turns_format_roundtrip(spark, turns, tmp_path):
     rows = p.collect()
     assert len(rows) == 1
     assert rows[0]["conv_id"] == "c9" and rows[0]["source_ok"] is False
+
+
+def test_write_es_salted_multi_file_days(spark, turns, tmp_path):
+    """The ES writer must not funnel a whole daily index through one task:
+    with tasks_per_day > 1 each index_day dir holds multiple files (salted
+    repartition — same layout write_s3 uses via files_per_slice), and the
+    rows round-trip intact."""
+    from logzoom_spark.sinks import write_es
+
+    df = turns.withColumn("source", F.lit("src1"))
+    out = str(tmp_path / "es_salted")
+    # at test scale AQE folds the tiny salted partitions back together
+    # (they're far below the 64 MB advisory size); at 100 TB a day is
+    # thousands of advisory units and the fanout survives. Disable
+    # coalescing here to observe the layout the salt produces.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        write_es(df, out, tasks_per_day=4, max_records_per_file=100000)
+    finally:
+        spark.conf.set(coalesce_key, old)
+    days = glob.glob(f"{out}/index_day=*")
+    assert days, "no daily index dirs written"
+    per_day = {d: len(glob.glob(f"{d}/part-*.json")) for d in days}
+    assert max(per_day.values()) > 1, f"one writer task per day: {per_day}"
+    back = spark.read.json(f"{out}")
+    assert back.count() == turns.count()
+
+
+def test_completed_groups_rejects_pre_upgrade_manifest(spark, tmp_path):
+    """A manifest written before n_groups tracking must fail the n_groups
+    check with the actionable ValueError, not an unresolved-column
+    AnalysisException (round-3 advice)."""
+    from logzoom_spark.lineage import completed_groups
+
+    mdir = str(tmp_path / "old_manifest")
+    spark.createDataFrame(
+        [(0, "es", "done")], "group_id int, sink string, status string"
+    ).write.parquet(mdir)
+    with pytest.raises(ValueError, match="predates n_groups"):
+        completed_groups(spark, mdir, n_groups=8)
+    # without the check the old manifest still resumes
+    assert completed_groups(spark, mdir) == {0}
