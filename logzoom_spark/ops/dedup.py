@@ -70,6 +70,46 @@ def dedup_exact_keep(docs: DataFrame) -> DataFrame:
     return docs.join(winners, "doc_id", "left_semi")
 
 
+def paragraph_dedup(docs: DataFrame, col: str = "text") -> DataFrame:
+    """C4-style corpus-wide paragraph dedup: split each doc on blank lines
+    (``\\n\\n``), drop every paragraph whose exact bytes occur earlier in the
+    corpus (keep the occurrence with min (doc_id, para_idx)), reassemble
+    the doc from its surviving paragraphs. Returns
+    (doc_id, text_md5, n_kept, n_removed) — text_md5 is the md5 of the
+    reassembled text ('' when every paragraph was removed; the doc still
+    appears: counted, not dropped).
+
+    Shuffle discipline: paragraph BODIES never enter the dedup decision —
+    the winner window shuffles (md5(para), doc_id, para_idx) digests only,
+    and the surviving index sets come back as integer arrays. Bodies move
+    at most once, in the doc_id equi-join that pairs each original row
+    with its keep-set; reassembly then re-splits the text in place and
+    picks the kept indices. At 100 TB that is one digest shuffle + one
+    digest groupBy + one body join — never two passes of paragraph text.
+    """
+    text = F.coalesce(F.col(col), F.lit(""))
+    ps = F.split(text, r"\n\n")
+    paras = docs.select(
+        "doc_id", F.posexplode(ps).alias("para_idx", "para")
+    ).select("doc_id", "para_idx", F.md5("para").alias("fp"))
+    w = Window.partitionBy("fp").orderBy("doc_id", "para_idx")
+    kept = paras.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    kept_sets = kept.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("para_idx")).alias("keep_idx")
+    )
+    out = docs.join(kept_sets, "doc_id", "left")
+    keep_idx = F.coalesce(F.col("keep_idx"), F.expr("array()"))
+    reassembled = F.concat_ws(
+        "\n\n", F.transform(keep_idx, lambda i: F.element_at(ps, i + 1))
+    )
+    return out.select(
+        "doc_id",
+        F.md5(reassembled).alias("text_md5"),
+        F.size(keep_idx).cast("bigint").alias("n_kept"),
+        (F.size(ps) - F.size(keep_idx)).cast("bigint").alias("n_removed"),
+    )
+
+
 def shingles(docs: DataFrame, n: int = 3, col: str = "text") -> DataFrame:
     """word n-gram shingle set per doc (foundation for MinHash/Jaccard).
     Built-in only: split → sliding slices via transform over indices."""

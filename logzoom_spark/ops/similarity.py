@@ -242,6 +242,123 @@ def ivf_topk(
     return out.orderBy(F.desc("dot"), F.asc("vec_id")).limit(k)
 
 
+def ivf_assign_join(
+    emb: DataFrame, centroids: DataFrame, n_cells: int, scale: int = 1000
+) -> DataFrame:
+    """IVF BUILD, large-codebook path: assignment via broadcast-join +
+    ``max_by`` argmax instead of ``ivf_assign``'s inlined literal argmax.
+
+    The inline path generates n_cells dot-product expressions per row —
+    ideal whole-stage-codegen up to ~64 cells, but a 4096-cell codebook
+    (the realistic 100 TB shape: n_cells ≈ √N) would blow up the generated
+    method. Here the centroid table (n_cells rows — KBs to MBs) broadcasts,
+    every vector scores its cells in a BroadcastNestedLoopJoin, and a
+    map-side-combinable ``max_by`` picks the winner: the only exchange
+    carries one (vec_id, v, cell) row per vector. Same tie-free
+    ord = dot·n_cells − cell as ``ivf_assign``; a pytest proves the two
+    paths produce identical assignments.
+
+    ``centroids``: DataFrame of (cell: bigint in [0, n_cells), cv:
+    array<bigint> quantized) — what a distributed k-means emits."""
+    v = quantize(F.col("embedding"), scale)
+    base = emb.select("vec_id", v.alias("v"))
+    scored = base.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "v",
+        "cell",
+        (dot(F.col("v"), F.col("cv")) * n_cells - F.col("cell")).alias("ord"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.first("v").alias("v"), F.max_by("cell", "ord").alias("cell")
+    )
+
+
+def knn_join(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    scale: int = 1000,
+    assigned: DataFrame | None = None,
+    centroids: list | None = None,
+) -> DataFrame:
+    """Batched ANN: top-k neighbors for EVERY query row against the IVF
+    index in ONE plan — the semantic-dedup / retrieval shape (M queries ×
+    index), not a per-query loop. Returns (query_id, vec_id, dot, rank)
+    with rank 1..k by quantized dot desc, vec_id asc (deterministic).
+
+    Plan, stage by stage:
+    1. probe-cell selection is a PURE PROJECTION on the query side: the
+       bounded centroid list is inlined as literal arrays and each query
+       sorts its n_cells (ord, cell) structs and keeps n_probe — no join,
+       no shuffle, same trick as ``ivf_assign``.
+    2. probes explode to (query_id, qv, cell) — n_probe rows per query —
+       and equi-join the assignment on ``cell``. With ``assigned`` read
+       from a cell-partitioned table this is the pruned-scan path; the
+       shuffle carries quantized vectors, never floats or text. Join-key
+       cardinality is n_cells, so size the codebook to ≥ a few × cluster
+       cores at scale (n_cells ≈ √N does this naturally); AQE skew-join
+       splits any hot cell.
+    3. per-query top-k via ``row_number() <= k`` — Spark's
+       WindowGroupLimit pushes a partial top-k below the exchange, so at
+       most k rows per query per input partition shuffle.
+
+    A vector lives in exactly one cell, so no (query, vec) pair is scored
+    twice and no distinct step is needed. Self-matches (query_id ==
+    vec_id, the corpus-vs-itself dedup case) are dropped.
+
+    ``centroids`` follows ``ivf_assign``'s contract (dense ids 0..n_cells-1);
+    for codebooks too large to inline, build with ``ivf_assign_join`` and
+    pass ``assigned`` + ``centroids`` explicitly."""
+    from pyspark.sql import Window
+
+    if assigned is None:
+        assigned = ivf_assign(emb, n_cells=n_cells, scale=scale, centroids=centroids)
+    v = quantize(F.col("embedding"), scale)
+    base = emb.select("vec_id", v.alias("v"))
+    cents = (
+        centroids
+        if centroids is not None
+        else base.filter(F.col("vec_id") < n_cells).collect()
+    )
+    qdf = (queries if queries is not None else emb).select(
+        F.col("vec_id").alias("query_id"),
+        quantize(F.col("embedding"), scale).alias("qv"),
+    )
+    # negated ord: sort_array is ascending, we want best (max ord) first
+    probe_structs = F.array(
+        *[
+            F.struct(
+                (
+                    -(
+                        dot(F.col("qv"), F.array(*[F.lit(int(x)) for x in c["v"]]))
+                        * n_cells
+                        - F.lit(int(c["vec_id"]))
+                    )
+                ).alias("negord"),
+                F.lit(int(c["vec_id"])).alias("cell"),
+            )
+            for c in cents
+        ]
+    )
+    cells = F.transform(
+        F.slice(F.sort_array(probe_structs), 1, n_probe), lambda s: s["cell"]
+    )
+    probes = qdf.select("query_id", "qv", F.explode(cells).alias("cell"))
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dot(F.col("v"), F.col("qv")).alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dot", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
 def lsh_assign(emb: DataFrame, planes: int = 8, scale: int = 1000) -> DataFrame:
     """LSH BUILD step: (vec_id, v, bucket) — sign of the dot with `planes`
     deterministic pseudo-random hyperplanes forms the bucket id. A pure

@@ -529,6 +529,75 @@ ORDER BY dot DESC, a.vec_id
 LIMIT 10
 """
 
+# C4-style paragraph dedup (ops.dedup.paragraph_dedup): corpus-wide
+# first-occurrence-wins on exact paragraph bytes, reassembled per doc.
+# Input composed as body + shared boilerplate + 40-char prefix (see
+# q_paragraph_dedup); '\n\n' == chr(10)chr(10)
+ORACLES["paragraph_dedup"] = """
+WITH d AS (
+  SELECT doc_id,
+    text || chr(10) || chr(10) || 'LICENSE: released under the public domain'
+         || chr(10) || chr(10) || substr(text, 1, 40) AS text
+  FROM documents
+),
+p0 AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10) || chr(10)) AS ps FROM d),
+pe AS (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i FROM p0),
+paras AS (SELECT doc_id, cast(i - 1 AS INT) AS para_idx, ps[i] AS para FROM pe),
+win AS (
+  SELECT doc_id, para_idx,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn
+  FROM paras
+),
+ks AS (
+  SELECT doc_id, list(para_idx ORDER BY para_idx) AS keep_idx
+  FROM win WHERE rn = 1 GROUP BY doc_id
+)
+SELECT p0.doc_id,
+  md5(array_to_string(
+    list_transform(coalesce(ks.keep_idx, []), i -> p0.ps[i + 1]),
+    chr(10) || chr(10))) AS text_md5,
+  cast(len(coalesce(ks.keep_idx, [])) AS BIGINT) AS n_kept,
+  cast(len(p0.ps) - len(coalesce(ks.keep_idx, [])) AS BIGINT) AS n_removed
+FROM p0 LEFT JOIN ks USING (doc_id)
+"""
+
+# Batched ANN k-NN join (ops.similarity.knn_join): every query (vec_id <
+# 100) probes its 4 best of 16 IVF cells, scores that cell subset, keeps
+# top-3 by quantized dot — same tie-free ord arithmetic as ann_ivf_topk
+ORACLES["ann_knn_join"] = f"""
+WITH qv AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
+cents AS (SELECT vec_id AS cell, q AS cv FROM qv WHERE vec_id < 16),
+ascored AS (
+  SELECT v.vec_id, v.q, c.cell,
+         cast(list_sum(list_transform(range(1, 65), i -> v.q[i] * c.cv[i])) AS BIGINT)
+           * 16 - c.cell AS ord
+  FROM qv v CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, q, arg_max(cell, ord) AS cell FROM ascored GROUP BY vec_id, q),
+queries AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < 100),
+probe AS (
+  SELECT query_id, qq, cell FROM (
+    SELECT qu.query_id, qu.qq, c.cell,
+           row_number() OVER (PARTITION BY qu.query_id ORDER BY
+             cast(list_sum(list_transform(range(1, 65), i -> c.cv[i] * qu.qq[i])) AS BIGINT)
+               * 16 - c.cell DESC) AS rn
+    FROM queries qu CROSS JOIN cents c
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         cast(list_sum(list_transform(range(1, 65), i -> a.q[i] * p.qq[i])) AS BIGINT) AS dot
+  FROM probe p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, dot, knn_rank FROM (
+  SELECT query_id, vec_id, dot,
+         cast(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id)
+              AS BIGINT) AS knn_rank
+  FROM cand
+) WHERE knn_rank <= 3
+"""
+
 # KMV distinct sketch (ops.sketch.kmv_distinct, k=64): kth-min of the
 # portable hash per group; estimate (k-1)*2^60 // kth_min via HUGEINT
 # (the product overflows BIGINT; Spark uses decimal(38,0) div)

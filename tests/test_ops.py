@@ -922,3 +922,80 @@ def test_ivf_assign_rejects_out_of_range_centroids(spark, emb):
         ivf_assign(emb, n_cells=16, centroids=bad)
     ok = [{"vec_id": 0, "v": [1] * 64}, {"vec_id": 1, "v": [2] * 64}]
     assert ivf_assign(emb, n_cells=2, centroids=ok).columns == ["vec_id", "v", "cell"]
+
+
+def test_knn_join_matches_per_query_ivf_probes(spark, emb):
+    """The batched k-NN join must return, for every query, exactly what the
+    single-query IVF probe returns — same index, same probe width."""
+    from logzoom_spark.ops.similarity import ivf_topk, knn_join
+
+    out = knn_join(
+        emb, queries=emb.filter("vec_id < 8"), k=5, n_cells=16, n_probe=4
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.dot))
+    assert set(got) == set(range(8))
+    for qid in (0, 3, 7):
+        single = ivf_topk(emb, query_vec_id=qid, k=5, n_cells=16, n_probe=4).collect()
+        expect = [(i + 1, r.vec_id, r.dot) for i, r in enumerate(single)]
+        assert sorted(got[qid]) == expect, qid
+
+
+def test_knn_join_plan_no_cartesian(spark, emb):
+    """The probe must be a cell equi-join: no CartesianProduct and no
+    unconditioned BroadcastNestedLoopJoin anywhere in the physical plan."""
+    from logzoom_spark.ops.similarity import knn_join
+
+    plan = (
+        knn_join(emb, queries=emb.filter("vec_id < 8"), k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assign_join_equals_inline(spark, emb):
+    """The broadcast-join build (large-codebook path) must produce the
+    identical cell assignment as the inlined-literal build."""
+    from logzoom_spark.ops.similarity import ivf_assign, ivf_assign_join, quantize
+    from pyspark.sql import functions as F
+
+    inline = {r.vec_id: r.cell for r in ivf_assign(emb, n_cells=16).collect()}
+    cents = emb.filter("vec_id < 16").select(
+        F.col("vec_id").alias("cell"), quantize(F.col("embedding")).alias("cv")
+    )
+    joined = {
+        r.vec_id: r.cell
+        for r in ivf_assign_join(emb, cents, n_cells=16).collect()
+    }
+    assert inline == joined and len(inline) > 100
+
+
+def test_paragraph_dedup_planted(spark):
+    """First occurrence (min doc_id, para_idx) survives; later exact
+    paragraphs are removed; a doc made entirely of dups reassembles to ''
+    but still appears (counted-not-dropped, NULL text included)."""
+    import hashlib
+
+    from logzoom_spark.ops.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha\n\nshared one\n\nbeta"),
+        (2, "shared one\n\ngamma\n\nshared one"),  # dup of doc1 + self-dup
+        (3, "shared one\n\nbeta"),                 # all paras seen before
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+
+    def m(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1].text_md5, out[1].n_kept, out[1].n_removed) == (
+        m("alpha\n\nshared one\n\nbeta"), 3, 0)
+    assert (out[2].text_md5, out[2].n_kept, out[2].n_removed) == (m("gamma"), 1, 2)
+    assert (out[3].text_md5, out[3].n_kept, out[3].n_removed) == (m(""), 0, 2)
+    # NULL text = one empty paragraph; '' is globally unique here so kept
+    assert (out[4].text_md5, out[4].n_kept, out[4].n_removed) == (m(""), 1, 0)
