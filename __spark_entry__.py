@@ -558,6 +558,21 @@ def q_ann_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "vec_id", "dot", F.col("rank").alias("knn_rank"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (delta) dedup: today's batch (doc_id % 5 == 0) checked
+    against the standing signature table built from the rest of the corpus
+    — signatures only, the standing side's text is never re-read. Verdicts
+    per new doc: exact-fp dup, LSH bucket hits, survives."""
+    docs = _read(spark, sf, "documents")
+    standing = dedup.build_signatures(
+        docs.filter(F.col("doc_id") % 5 != 0), hasher="md5"
+    )
+    verdicts, _sigs = dedup.dedup_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0), standing, hasher="md5"
+    )
+    return verdicts
+
+
 def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style paragraph-level exact dedup. The synthetic docs are
     single-paragraph, so compose a 3-paragraph corpus deterministically in
@@ -1031,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4: batched ANN + incremental/paragraph dedup
         "ann_knn_join": q_ann_knn_join,
         "paragraph_dedup": q_paragraph_dedup,
+        "dedup_incremental": q_dedup_incremental,
         # round 2/3 entries not yet in a driver CORRECTNESS file
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,

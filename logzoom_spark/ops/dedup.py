@@ -110,9 +110,12 @@ def paragraph_dedup(docs: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = 3, col: str = "text") -> DataFrame:
+def shingles(
+    docs: DataFrame, n: int = 3, col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """word n-gram shingle set per doc (foundation for MinHash/Jaccard).
-    Built-in only: split → sliding slices via transform over indices."""
+    Built-in only: split → sliding slices via transform over indices.
+    ``keep``: extra columns carried through the projection unchanged."""
     toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.when(
@@ -121,17 +124,21 @@ def shingles(docs: DataFrame, n: int = 3, col: str = "text") -> DataFrame:
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return docs.select("doc_id", sh.alias("shingles"))
+    return docs.select("doc_id", *keep, sh.alias("shingles"))
 
 
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 16, n: int = 3, hasher: str = "xx"
+    docs: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    hasher: str = "xx",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """MinHash signature per doc: for seed k, min over shingles of
     hash(shingle, k). One explode-free pass: array_min over a transform of
     the shingle array per seed — all JVM-side, whole-stage codegen."""
     h = _hash_fn(hasher)
-    sh = shingles(docs, n=n)
+    sh = shingles(docs, n=n, keep=keep)
 
     def seeded(k: int):
         # one-arg lambda: a two-arg lambda would make transform() pass the
@@ -142,7 +149,47 @@ def minhash_signatures(
         F.array_min(F.transform(F.col("shingles"), seeded(k))).alias(f"mh_{k}")
         for k in range(num_hashes)
     ]
-    return sh.select("doc_id", *sig_cols)
+    return sh.select("doc_id", *keep, *sig_cols)
+
+
+def band_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    hasher: str = "xx",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """LSH band rows per doc: (doc_id[, keep...], band_id, band_hash) —
+    `bands` rows per document, one zero-shuffle projection pipeline
+    (shingle → minhash → band-hash → explode). The join currency for both
+    full-corpus candidate pairs (``lsh_candidate_pairs``) and incremental
+    dedup against a standing signature table (``dedup_incremental``)."""
+    if bands < 1 or num_hashes % bands != 0:
+        # leftover signature rows would be silently ignored (weakening the
+        # requested signature), and bands > num_hashes would make empty
+        # bands — every doc in ONE bucket per band, which the bucket cap
+        # then drops wholesale: an empty result with no error
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes} exactly")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes=num_hashes, n=n, hasher=hasher, keep=keep)
+
+    def band_hash(b: int) -> Column:
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hasher == "md5":
+            # portable: md5 over the '|'-joined decimal strings (dual-dialect)
+            return portable_hash(F.concat_ws("|", *[c.cast("string") for c in cols]))
+        return F.xxhash64(*cols)
+
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), band_hash(b).alias("band_hash"))
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        "doc_id", *keep, F.explode(band_structs).alias("band")
+    ).select("doc_id", *keep, "band.band_id", "band.band_hash")
 
 
 def lsh_candidate_pairs(
@@ -163,34 +210,7 @@ def lsh_candidate_pairs(
     of stop-word removal. Exact duplicates inside such a bucket are still
     caught by ``dedup_exact``. Pass ``None`` to disable (small data only).
     """
-    if bands < 1 or num_hashes % bands != 0:
-        # leftover signature rows would be silently ignored (weakening the
-        # requested signature), and bands > num_hashes would make empty
-        # bands — every doc in ONE bucket per band, which the bucket cap
-        # then drops wholesale: an empty result with no error
-        raise ValueError(
-            f"bands={bands} must divide num_hashes={num_hashes} exactly"
-        )
-    rows_per_band = num_hashes // bands
-    h = _hash_fn(hasher)
-    sigs = minhash_signatures(docs, num_hashes=num_hashes, n=n, hasher=hasher)
-
-    def band_hash(b: int) -> Column:
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        if hasher == "md5":
-            # portable: md5 over the '|'-joined decimal strings (dual-dialect)
-            return portable_hash(F.concat_ws("|", *[c.cast("string") for c in cols]))
-        return F.xxhash64(*cols)
-
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(b).alias("band_id"), band_hash(b).alias("band_hash"))
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_hash"
-    )
+    banded = band_signatures(docs, num_hashes=num_hashes, bands=bands, n=n, hasher=hasher)
     if max_bucket_size is not None:
         # window count over the SAME key the self-join shuffles on — the
         # exchange is shared, so the cap costs no extra shuffle. Over-wide
@@ -213,6 +233,101 @@ def lsh_candidate_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def build_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    hasher: str = "xx",
+) -> DataFrame:
+    """The standing dedup-state table: (doc_id, fp, band_id, band_hash) —
+    `bands` rows per doc, exact fingerprint + LSH band hashes together.
+    One zero-shuffle projection over the corpus; persist it partitioned/
+    bucketed by band_hash and maintain it with ops.maintenance.merge_upsert
+    as batches arrive. Incremental dedup then never re-reads corpus text."""
+    d = docs.select("doc_id", fingerprint().alias("fp"), "text")
+    return band_signatures(
+        d, num_hashes=num_hashes, bands=bands, n=n, hasher=hasher, keep=("fp",)
+    )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    standing: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    hasher: str = "xx",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup TODAY'S batch against the standing signature table — the
+    100 TB operating mode, where re-minhashing the whole corpus per batch
+    (what ``dedup_exact``/``lsh_candidate_pairs`` do) is a non-starter.
+
+    ``standing``: (doc_id, fp, band_id, band_hash) from ``build_signatures``
+    — signatures only, corpus TEXT is never touched. Returns
+    ``(verdicts, survivor_sigs)``:
+
+    - verdicts: one row per new doc — (doc_id, is_exact_dup,
+      n_bucket_hits, survives). is_exact_dup covers both a standing-fp
+      match and an intra-batch dup (lowest batch doc_id wins);
+      n_bucket_hits counts distinct standing docs sharing ≥1 LSH band
+      (near-dup evidence); survives = neither.
+    - survivor_sigs: the survivors' signature rows, shaped for
+      ``ops.maintenance.merge_upsert`` into the standing table — the
+      read-check-merge cycle that keeps state size O(corpus), work
+      O(batch).
+
+    Plan shape: the batch derives its signatures in one projection; the
+    standing side contributes two digest equi-joins (fp; band) and is
+    scanned signatures-only — with the standing table bucketed by its join
+    key each probe touches ONLY the batch's buckets, and AQE handles a hot
+    band. No join ever carries text, and nothing rescans the corpus."""
+    new_sigs = build_signatures(
+        new_docs, num_hashes=num_hashes, bands=bands, n=n, hasher=hasher
+    )
+    new_fp = new_sigs.select("doc_id", "fp").distinct()
+    w = Window.partitionBy("fp")
+    flagged = (
+        new_fp.withColumn("min_batch_id", F.min("doc_id").over(w))
+        .join(
+            standing.select("fp").distinct().withColumn("_std", F.lit(1)),
+            "fp",
+            "left",
+        )
+        .select(
+            "doc_id",
+            (
+                F.col("_std").isNotNull() | (F.col("doc_id") > F.col("min_batch_id"))
+            ).cast("int").alias("is_exact_dup"),
+        )
+    )
+    hits = (
+        new_sigs.select("doc_id", "band_id", "band_hash")
+        .join(
+            standing.select(
+                F.col("doc_id").alias("std_id"), "band_id", "band_hash"
+            ),
+            ["band_id", "band_hash"],
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("std_id").alias("n_bucket_hits"))
+    )
+    verdicts = (
+        flagged.join(hits, "doc_id", "left")
+        .withColumn(
+            "n_bucket_hits", F.coalesce("n_bucket_hits", F.lit(0)).cast("bigint")
+        )
+        .withColumn(
+            "survives",
+            ((F.col("is_exact_dup") == 0) & (F.col("n_bucket_hits") == 0)).cast("int"),
+        )
+    )
+    survivor_sigs = new_sigs.join(
+        verdicts.filter(F.col("survives") == 1).select("doc_id"), "doc_id", "left_semi"
+    )
+    return verdicts, survivor_sigs
 
 
 def simhash(docs: DataFrame, bits: int = 64, hasher: str = "xx") -> DataFrame:

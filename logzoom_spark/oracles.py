@@ -714,6 +714,39 @@ WITH {_SHINGLE_CTES}, {_SIGS_CTE}, {_BANDED_CTE}, {_CAPPED_CTE}
 {_PAIRS_SQL}
 """
 
+# incremental dedup (ops.dedup.dedup_incremental): new batch (doc_id%5=0)
+# vs the standing signature table built from the rest — exact-fp match or
+# lower-batch-id intra dup flags exact; distinct standing docs sharing an
+# LSH band count as bucket hits; survivor = neither
+ORACLES["dedup_incremental"] = f"""
+WITH {_SHINGLE_CTES}, {_SIGS_CTE}, {_BANDED_CTE},
+fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+),
+new_fp AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+std_fp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0),
+new_b AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
+std_b AS (SELECT * FROM banded WHERE doc_id % 5 <> 0),
+exact AS (
+  SELECT n.doc_id,
+    (n.fp IN (SELECT fp FROM std_fp)
+     OR n.doc_id > min(n.doc_id) OVER (PARTITION BY n.fp)) AS is_dup
+  FROM new_fp n
+),
+hits AS (
+  SELECT nb.doc_id, count(DISTINCT sb.doc_id) AS n_bucket_hits
+  FROM new_b nb JOIN std_b sb
+    ON nb.band_id = sb.band_id AND nb.band_hash = sb.band_hash
+  GROUP BY nb.doc_id
+)
+SELECT e.doc_id, cast(e.is_dup AS INT) AS is_exact_dup,
+  cast(coalesce(h.n_bucket_hits, 0) AS BIGINT) AS n_bucket_hits,
+  cast((NOT e.is_dup AND coalesce(h.n_bucket_hits, 0) = 0) AS INT) AS survives
+FROM exact e LEFT JOIN hits h USING (doc_id)
+"""
+
 # exact n-gram Jaccard on LSH survivors; integer-exact jaccard10k
 ORACLES["ngram_jaccard_pairs"] = f"""
 WITH {_SHINGLE_CTES}, {_SIGS_CTE}, {_BANDED_CTE}, {_CAPPED_CTE},

@@ -999,3 +999,56 @@ def test_paragraph_dedup_planted(spark):
     assert (out[3].text_md5, out[3].n_kept, out[3].n_removed) == (m(""), 0, 2)
     # NULL text = one empty paragraph; '' is globally unique here so kept
     assert (out[4].text_md5, out[4].n_kept, out[4].n_removed) == (m(""), 1, 0)
+
+
+def test_dedup_incremental_batch_vs_standing(spark, tmp_path):
+    """Incremental dedup: verdicts against a standing signature table; the
+    standing side is a signatures-only parquet (no text column — nothing
+    can rescan the corpus), and maintaining state = appending the batch's
+    survivor signatures. A re-run of the same batch against the updated
+    state flags EVERYTHING as dup — state work is O(batch), with row-count
+    evidence that state grew only by the survivors' band rows."""
+    from logzoom_spark.ops.dedup import build_signatures, dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different content about spark scale out"),
+            (3, "a third unrelated document mentioning parquet files"),
+        ],
+        "doc_id bigint, text string",
+    )
+    std_path = str(tmp_path / "standing_sigs")
+    build_signatures(corpus).write.parquet(std_path)
+    standing = spark.read.parquet(std_path)
+    assert "text" not in standing.columns  # signatures only, ever
+
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+            (101, "the quick brown fox jumps over the lazy dog tonight"),  # near dup
+            (102, "entirely novel text that shares nothing with corpus docs"),
+            (103, "entirely novel text that shares nothing with corpus docs"),  # intra dup
+        ],
+        "doc_id bigint, text string",
+    )
+    verdicts, survivor_sigs = dedup_incremental(batch, standing)
+    v = {r.doc_id: r for r in verdicts.collect()}
+    assert set(v) == {100, 101, 102, 103}
+    assert v[100].is_exact_dup == 1 and v[100].survives == 0
+    assert v[101].is_exact_dup == 0 and v[101].n_bucket_hits >= 1 and v[101].survives == 0
+    assert v[102].is_exact_dup == 0 and v[102].n_bucket_hits == 0 and v[102].survives == 1
+    assert v[103].is_exact_dup == 1 and v[103].survives == 0  # intra-batch, 102 wins
+
+    # maintain state: append ONLY the survivors' signatures (4 band rows)
+    n_before = standing.count()
+    survivor_sigs.write.mode("append").parquet(std_path)
+    standing2 = spark.read.parquet(std_path)
+    assert standing2.count() == n_before + 4  # one survivor x 4 bands
+
+    # unchanged-corpus re-run: everything now a dup, nothing recomputed
+    verdicts2, survivor_sigs2 = dedup_incremental(batch, standing2)
+    assert {r.doc_id: r.survives for r in verdicts2.collect()} == {
+        100: 0, 101: 0, 102: 0, 103: 0,
+    }
+    assert survivor_sigs2.count() == 0
