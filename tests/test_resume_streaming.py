@@ -499,3 +499,50 @@ def test_streaming_response_join(spark, tmp_path):
     got = {(r["conv_id"], r["turn_idx"]): r["response_latency_s"]
            for r in spark.read.parquet(out).collect()}
     assert got == {("c1", 0): 30, ("c1", 2): 180}
+
+
+def test_streaming_processing_time_trigger(spark, turns, tmp_path):
+    """The deploy-mode trigger: a real processingTime trigger (the
+    reference's ES flush-interval parity, run_streaming's non-test path —
+    every other streaming test drains with availableNow). A bounded source
+    split across files must produce >=2 epochs across >=2 wall-clock
+    trigger firings, deliver every row exactly once, and report per-batch
+    rate metrics in the query progress."""
+    import json
+    import time
+
+    src = str(tmp_path / "pt_src")
+    out_s = str(tmp_path / "pt_out")
+    ckpt = str(tmp_path / "pt_ckpt")
+    turns.limit(600).repartition(6).write.parquet(src)
+
+    q = run_streaming(
+        spark, src, out_s, ckpt, available_now=False, processing_time="2 seconds"
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            epochs = glob.glob(f"{out_s}/sink_es/epoch=*")
+            if len(epochs) >= 2 and not q.status["isDataAvailable"]:
+                break
+            time.sleep(1)
+        # PySpark 4 returns StreamingQueryProgress objects; .json is the dict
+        progress = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()       # graceful stop (reference operator #23)
+        q.awaitTermination(60)
+
+    epochs = glob.glob(f"{out_s}/sink_es/epoch=*")
+    assert len(epochs) >= 2, epochs
+    # exactly-once delivery: ES sink ignores rules -> all 600 rows
+    rows = sum(
+        1
+        for fn in glob.glob(f"{out_s}/sink_es/epoch=*/index_day=*/*.json")
+        for _ in open(fn)
+    )
+    assert rows == 600
+    # >=2 data-carrying trigger firings with rate metrics
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 2
+    for p in data_batches:
+        assert p["processedRowsPerSecond"] > 0
