@@ -558,6 +558,26 @@ def q_ann_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "vec_id", "dot", F.col("rank").alias("knn_rank"))
 
 
+def q_inverted_postings(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index build, probed at three query terms: the relational
+    posting rows (token, doc_id, tf) a bucketed-by-token index stores."""
+    from logzoom_spark.ops.retrieval import build_postings
+
+    docs = _read(spark, sf, "documents")
+    return build_postings(docs).filter(
+        F.col("token").isin("spark", "vector", "scan")
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-10 for the bag-of-terms query {spark, vector, scan} —
+    integer fixed-point scoring (see ops/retrieval.py docstring)."""
+    from logzoom_spark.ops.retrieval import bm25_topk
+
+    docs = _read(spark, sf, "documents")
+    return bm25_topk(docs, ["spark", "vector", "scan"], k=10)
+
+
 def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental (delta) dedup: today's batch (doc_id % 5 == 0) checked
     against the standing signature table built from the rest of the corpus
@@ -1047,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_join": q_ann_knn_join,
         "paragraph_dedup": q_paragraph_dedup,
         "dedup_incremental": q_dedup_incremental,
+        "inverted_postings": q_inverted_postings,
+        "bm25_topk": q_bm25_topk,
         # round 2/3 entries not yet in a driver CORRECTNESS file
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,

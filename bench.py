@@ -290,6 +290,12 @@ def main() -> None:
         "latency_percentiles", lambda: _noop(se.q_latency_percentiles(spark, sf_dir))
     )
 
+    # round-4 operators
+    bench("ann_knn_join", lambda: _noop(se.q_ann_knn_join(spark, sf_dir)))
+    bench("paragraph_dedup", lambda: _noop(se.q_paragraph_dedup(spark, sf_dir)))
+    bench("dedup_incremental", lambda: _noop(se.q_dedup_incremental(spark, sf_dir)))
+    bench("bm25_topk", lambda: se.q_bm25_topk(spark, sf_dir).collect())
+
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
     # real sink files — measures sink I/O, which on this shared host is
     # dominated by neighbor disk load (see BENCH/BASELINE.md for a recorded

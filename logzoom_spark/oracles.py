@@ -529,6 +529,54 @@ ORDER BY dot DESC, a.vec_id
 LIMIT 10
 """
 
+# Inverted-index postings (ops.retrieval.build_postings) at the three
+# bm25 query terms
+ORACLES["inverted_postings"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks
+  FROM documents
+),
+posts AS (SELECT doc_id, unnest(toks) AS token FROM tk)
+SELECT token, doc_id, count(*) AS tf
+FROM posts WHERE token IN ('spark', 'vector', 'scan')
+GROUP BY token, doc_id
+"""
+
+# BM25 top-k (ops.retrieval.bm25_topk): integer fixed-point scoring with
+# k1=1.2, b=0.75 — contrib = (idf10k*tf*22*A) // (10*tf*A + 3*A + 90*dlen),
+# idf10k = floor(1e4*ln((2N+2)/(2df+1))), A = (10*T) // N
+ORACLES["bm25_topk"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks
+  FROM documents
+),
+lens AS (SELECT doc_id, cast(len(toks) AS BIGINT) AS dlen FROM tk),
+tot AS (
+  SELECT count(*) AS n_docs, (10 * sum(dlen)) // count(*) AS avg10 FROM lens
+),
+posts AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+cand AS (
+  SELECT token, doc_id, cast(count(*) AS BIGINT) AS tf
+  FROM posts WHERE token IN ('spark', 'vector', 'scan')
+  GROUP BY token, doc_id
+),
+stats AS (SELECT token, count(*) AS df FROM cand GROUP BY token),
+scored AS (
+  SELECT c.doc_id,
+    (cast(floor(ln(cast(2 * tot.n_docs + 2 AS DOUBLE) / (2 * s.df + 1)) * 10000)
+          AS BIGINT)
+     * c.tf * 22 * tot.avg10)
+    // (10 * c.tf * tot.avg10 + 3 * tot.avg10 + 90 * l.dlen) AS contrib
+  FROM cand c JOIN stats s USING (token) JOIN lens l USING (doc_id), tot
+)
+SELECT doc_id, cast(sum(contrib) AS BIGINT) AS bm25_scaled,
+       cast(count(*) AS BIGINT) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY bm25_scaled DESC, doc_id ASC LIMIT 10
+"""
+
 # C4-style paragraph dedup (ops.dedup.paragraph_dedup): corpus-wide
 # first-occurrence-wins on exact paragraph bytes, reassembled per doc.
 # Input composed as body + shared boilerplate + 40-char prefix (see

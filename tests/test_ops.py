@@ -1052,3 +1052,38 @@ def test_dedup_incremental_batch_vs_standing(spark, tmp_path):
         100: 0, 101: 0, 102: 0, 103: 0,
     }
     assert survivor_sigs2.count() == 0
+
+
+def test_bm25_ranking_sanity(spark):
+    """BM25 invariants on a planted corpus: a doc with more hits of a rare
+    term outranks fewer hits; a rare-term match outranks a common-term
+    match; docs without any query term never appear; shorter docs win
+    length normalization at equal tf."""
+    from logzoom_spark.ops.retrieval import bm25_topk, build_postings
+
+    rows = [
+        (1, "zebra zebra zebra common common common common common"),
+        (2, "zebra common common common common common common filler"),
+        (3, "common common common common common common common common"),
+        (4, "nothing relevant here at all in this document text pad"),
+        (5, "zebra pad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = bm25_topk(df, ["zebra", "common"], k=10).collect()
+    ranked = [r.doc_id for r in out]
+    assert 4 not in ranked
+    scores = {r.doc_id: r.bm25_scaled for r in out}
+    assert scores[1] > scores[2] > scores[3]   # rare-term tf dominates
+    hits = {r.doc_id: r.n_terms_hit for r in out}
+    assert hits[1] == 2 and hits[3] == 1 and hits[5] == 1
+
+    # length normalization: single-term query, equal tf — shorter doc wins
+    zonly = {r.doc_id: r.bm25_scaled for r in bm25_topk(df, ["zebra"], k=10).collect()}
+    assert zonly[5] > zonly[2]
+
+    # postings build: tf exact
+    posts = {
+        (r.token, r.doc_id): r.tf
+        for r in build_postings(df).filter("token = 'zebra'").collect()
+    }
+    assert posts == {("zebra", 1): 3, ("zebra", 2): 1, ("zebra", 5): 1}
