@@ -558,6 +558,78 @@ def q_ann_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "vec_id", "dot", F.col("rank").alias("knn_rank"))
 
 
+def q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+    (customers with zero orders must appear) with an ON-clause filter (the
+    synthetic schema has no o_comment; priority <> 1-URGENT stands in),
+    then a double aggregation. The outer join shuffles on custkey; the
+    second agg's key space is tiny (distinct counts)."""
+    c = _read(spark, sf, "customer")
+    o = _read(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): orders whose line quantity
+    sum exceeds 150, joined back to customer/order attributes. The HAVING
+    aggregate runs FIRST on lineitem (map-side partials on l_orderkey) so
+    only qualifying orderkeys reach the 3-way join."""
+    li = _read(spark, sf, "lineitem")
+    o = _read(spark, sf, "orders")
+    c = _read(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            _cents("o_totalprice").alias("total_cents"),
+            "sum_qty",
+        )
+    )
+
+
+def q_reservoir_sample_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 20-per-language uniform sample (hash-order rank):
+    the re-runnable reservoir — membership identical under any
+    partitioning or cluster size."""
+    from logzoom_spark.ops.corpus import reservoir_sample
+
+    docs = _read(spark, sf, "documents")
+    return reservoir_sample(docs, "lang", k=20).select("doc_id", "lang", "source")
+
+
+def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture recipe: per-language sampling rates to hit a 50k-token
+    budget at weights en 50% / zh 30% / other 5% — pure integer plan rows."""
+    from logzoom_spark.ops.corpus import mixture_plan
+
+    docs = _read(spark, sf, "documents")
+    return mixture_plan(docs, {"en": 5000, "zh": 3000}, 50000, default10k=500)
+
+
+def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """The mixture plan applied in the same DAG: broadcast the plan rows
+    back onto the corpus, keep docs whose hash gate clears their
+    language's computed rate."""
+    from logzoom_spark.ops.corpus import mixture_sample
+
+    docs = _read(spark, sf, "documents")
+    out = mixture_sample(docs, {"en": 5000, "zh": 3000}, 50000, default10k=500)
+    return out.select("doc_id", "lang", "source")
+
+
 def q_inverted_postings(spark: SparkSession, sf: str) -> DataFrame:
     """Inverted-index build, probed at three query terms: the relational
     posting rows (token, doc_id, tf) a bucketed-by-token index stores."""
@@ -1068,6 +1140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "dedup_incremental": q_dedup_incremental,
         "inverted_postings": q_inverted_postings,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q18": q_tpch_q18,
+        "reservoir_sample_lang": q_reservoir_sample_lang,
+        "mixture_plan": q_mixture_plan,
+        "mixture_sample": q_mixture_sample,
         "bm25_topk": q_bm25_topk,
         # round 2/3 entries not yet in a driver CORRECTNESS file
         "minhash_signatures": q_minhash_signatures,

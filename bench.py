@@ -295,6 +295,9 @@ def main() -> None:
     bench("paragraph_dedup", lambda: _noop(se.q_paragraph_dedup(spark, sf_dir)))
     bench("dedup_incremental", lambda: _noop(se.q_dedup_incremental(spark, sf_dir)))
     bench("bm25_topk", lambda: se.q_bm25_topk(spark, sf_dir).collect())
+    bench("tpch_q13", lambda: _noop(se.q_tpch_q13(spark, sf_dir)))
+    bench("tpch_q18", lambda: _noop(se.q_tpch_q18(spark, sf_dir)))
+    bench("mixture_sample", lambda: _noop(se.q_mixture_sample(spark, sf_dir)))
 
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
     # real sink files — measures sink I/O, which on this shared host is

@@ -91,6 +91,100 @@ def stratified_sample(
     return docs.filter(bucket < rate)
 
 
+def reservoir_sample(
+    docs: DataFrame,
+    group_col: str,
+    k: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic k-per-group uniform sample without replacement: rank
+    rows inside each group by portable_hash(id, seed) and keep the k
+    smallest — the distributed, re-runnable equivalent of per-group
+    reservoir sampling (hash order IS a uniform random order, but stable
+    across runs, partitionings and cluster sizes, unlike an actual
+    reservoir's arrival-order state). Spark's WindowGroupLimit pushes the
+    rank<=k below the exchange, so at most k rows per group per input
+    partition shuffle."""
+    from pyspark.sql import Window
+
+    h = portable_hash(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights10k: dict[str, int],
+    budget_tokens: int,
+    strata_col: str = "lang",
+    default10k: int = 0,
+) -> DataFrame:
+    """Data-mixing recipe: given target mixture weights (×10k) and a total
+    token budget, compute each stratum's sampling rate so the sampled
+    corpus hits the budget at the requested proportions. Returns one row
+    per stratum: (stratum, n_docs, stratum_tokens, target_tokens, rate10k)
+    with rate10k = min(10000, budget·w10k div stratum_tokens) — pure
+    integer arithmetic, one aggregation over the corpus (token counts are
+    map-side partials; output cardinality = #strata)."""
+    from .text import token_count
+
+    stats = (
+        docs.select(
+            F.col(strata_col).alias("stratum"), token_count(F.col("text")).alias("_nt")
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("stratum_tokens"),
+        )
+    )
+    w_of_stratum = None
+    for value, w10k in weights10k.items():
+        cond = F.col("stratum") == value
+        w_of_stratum = (
+            F.when(cond, w10k) if w_of_stratum is None else w_of_stratum.when(cond, w10k)
+        )
+    w_of_stratum = (
+        F.lit(default10k)
+        if w_of_stratum is None
+        else w_of_stratum.otherwise(F.lit(default10k))
+    )
+    return stats.withColumn("w10k", w_of_stratum.cast("bigint")).select(
+        "stratum",
+        "n_docs",
+        "stratum_tokens",
+        F.expr(f"({budget_tokens}L * w10k) div 10000").alias("target_tokens"),
+        F.least(
+            F.lit(10000).cast("bigint"),
+            F.expr(f"({budget_tokens}L * w10k) div greatest(stratum_tokens, 1L)"),
+        ).alias("rate10k"),
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights10k: dict[str, int],
+    budget_tokens: int,
+    strata_col: str = "lang",
+    default10k: int = 0,
+    seed: int = 0,
+) -> DataFrame:
+    """Apply a mixture plan in the same lazy DAG: broadcast-join the
+    #strata-row plan back onto the corpus and keep rows whose hash gate
+    clears their stratum's computed rate — plan + gate with no driver
+    round-trip, reproducible under any partitioning (same gate as
+    ``stratified_sample``)."""
+    plan = mixture_plan(docs, weights10k, budget_tokens, strata_col, default10k)
+    rates = plan.select(F.col("stratum").alias(strata_col), "rate10k")
+    bucket = F.pmod(portable_hash(F.col("doc_id").cast("string"), seed), F.lit(10000))
+    return docs.join(F.broadcast(rates), strata_col).filter(bucket < F.col("rate10k"))
+
+
 def ngram_hashes(
     docs: DataFrame,
     n: int = 8,

@@ -529,6 +529,89 @@ ORDER BY dot DESC, a.vec_id
 LIMIT 10
 """
 
+# TPC-H Q13 shape: left-join order counts per customer (ON-clause
+# priority filter), then the count distribution
+ORACLES["tpch_q13"] = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+"""
+
+# TPC-H Q18 shape: large-volume orders (sum qty > 150) joined to
+# order/customer attributes; integer cents
+ORACLES["tpch_q18"] = """
+WITH big AS (
+  SELECT l_orderkey, cast(sum(l_quantity) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING cast(sum(l_quantity) AS BIGINT) > 150
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       cast(round(o.o_totalprice * 100) AS BIGINT) AS total_cents, big.sum_qty
+FROM orders o
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+# deterministic per-group reservoir (ops.corpus.reservoir_sample): 20 per
+# lang by portable-hash rank
+ORACLES["reservoir_sample_lang"] = f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {portable_hash_sql("cast(doc_id AS VARCHAR)")} ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+# token-count expression shared by the mixture oracles (mirror of
+# ops.text.token_count)
+_NT = (
+  "CASE WHEN length(trim(text)) = 0 THEN 0 "
+  r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END"
+)
+
+# mixture recipe (ops.corpus.mixture_plan): rate10k =
+# min(10000, budget*w10k // stratum_tokens), budget 50000, en/zh/other
+ORACLES["mixture_plan"] = f"""
+WITH stats AS (
+  SELECT lang AS stratum, count(*) AS n_docs,
+         cast(sum({_NT}) AS BIGINT) AS stratum_tokens
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT *, cast(CASE stratum WHEN 'en' THEN 5000 WHEN 'zh' THEN 3000
+                 ELSE 500 END AS BIGINT) AS w10k
+  FROM stats
+)
+SELECT stratum, n_docs, stratum_tokens,
+       (50000 * w10k) // 10000 AS target_tokens,
+       least(10000, (50000 * w10k) // greatest(stratum_tokens, 1)) AS rate10k
+FROM w
+"""
+
+ORACLES["mixture_sample"] = f"""
+WITH stats AS (
+  SELECT lang AS stratum, cast(sum({_NT}) AS BIGINT) AS stratum_tokens
+  FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT stratum AS lang,
+         least(10000, (50000 * cast(CASE stratum WHEN 'en' THEN 5000
+                WHEN 'zh' THEN 3000 ELSE 500 END AS BIGINT))
+               // greatest(stratum_tokens, 1)) AS rate10k
+  FROM stats
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN rates r USING (lang)
+WHERE ({portable_hash_sql("cast(d.doc_id AS VARCHAR)")} % 10000) < r.rate10k
+"""
+
 # Inverted-index postings (ops.retrieval.build_postings) at the three
 # bm25 query terms
 ORACLES["inverted_postings"] = r"""

@@ -1087,3 +1087,46 @@ def test_bm25_ranking_sanity(spark):
         for r in build_postings(df).filter("token = 'zebra'").collect()
     }
     assert posts == {("zebra", 1): 3, ("zebra", 2): 1, ("zebra", 5): 1}
+
+
+def test_reservoir_sample_partition_independent(spark):
+    """Reservoir membership must be identical under different partitionings
+    (the property arrival-order reservoirs lack), exactly k per group when
+    the group has >= k rows, and uniform-ish across the id space."""
+    from logzoom_spark.ops.corpus import reservoir_sample
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    a = {(r.doc_id, r.lang) for r in reservoir_sample(df, "lang", 10).collect()}
+    b = {
+        (r.doc_id, r.lang)
+        for r in reservoir_sample(df.repartition(13), "lang", 10).collect()
+    }
+    assert a == b
+    per_group = {}
+    for _, g in a:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert per_group == {"g0": 10, "g1": 10, "g2": 10}
+
+
+def test_mixture_plan_and_sample_budget(spark):
+    """The mixture plan's integer arithmetic: rate caps at 10000 when the
+    budget exceeds a stratum's tokens; the sampled token mass approaches
+    each stratum's target; sample membership rides the plan's rates."""
+    from logzoom_spark.ops.corpus import mixture_plan, mixture_sample
+
+    rows = [(i, "en" if i < 400 else "zh", "w " * 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    # en: 400 docs x 50 tok = 20000; zh: 100 x 50 = 5000
+    plan = {r.stratum: r for r in
+            mixture_plan(df, {"en": 5000, "zh": 5000}, 12000).collect()}
+    assert plan["en"].stratum_tokens == 20000 and plan["zh"].stratum_tokens == 5000
+    assert plan["en"].target_tokens == 6000 and plan["zh"].target_tokens == 6000
+    assert plan["en"].rate10k == 3000       # 6000/20000
+    assert plan["zh"].rate10k == 10000      # capped: budget > stratum tokens
+    samp = mixture_sample(df, {"en": 5000, "zh": 5000}, 12000).collect()
+    n = {"en": 0, "zh": 0}
+    for r in samp:
+        n[r.lang] += 1
+    assert n["zh"] == 100                   # rate 10000 keeps everything
+    assert 80 <= n["en"] <= 160             # ~120 expected at rate 0.3
