@@ -600,6 +600,27 @@ def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    quantity is below 20% of their part's average — the correlated scalar
+    subquery workload, decorrelated into an agg + equi-join (what Catalyst
+    does to the subquery form). The 0.2·avg comparison is exact integer
+    arithmetic: qty·5·cnt < sum_qty (avg = sum/cnt), no float division."""
+    li = _read(spark, sf, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    )
+    joined = li.join(part_avg, li.l_partkey == part_avg.p_key)
+    small = joined.filter(
+        F.col("l_quantity").cast("bigint") * 5 * F.col("cnt_qty") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.sum(_cents("l_extendedprice")).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_small_items"),
+    )
+
+
 def q_reservoir_sample_lang(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 20-per-language uniform sample (hash-order rank):
     the re-runnable reservoir — membership identical under any
@@ -1143,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q18": q_tpch_q18,
         "reservoir_sample_lang": q_reservoir_sample_lang,
+        "tpch_q17": q_tpch_q17,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
         "bm25_topk": q_bm25_topk,

@@ -556,6 +556,20 @@ JOIN big ON o.o_orderkey = big.l_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
+# TPC-H Q17 shape: quantity below 0.2x the part average — integer-exact
+# comparison qty*5*cnt < sum (the decorrelated scalar-subquery form)
+ORACLES["tpch_q17"] = """
+WITH pa AS (
+  SELECT l_partkey AS p_key, cast(sum(l_quantity) AS BIGINT) AS sum_qty,
+         count(*) AS cnt_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT cast(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_small_items
+FROM lineitem l JOIN pa ON l.l_partkey = pa.p_key
+WHERE cast(l.l_quantity AS BIGINT) * 5 * pa.cnt_qty < pa.sum_qty
+"""
+
 # deterministic per-group reservoir (ops.corpus.reservoir_sample): 20 per
 # lang by portable-hash rank
 ORACLES["reservoir_sample_lang"] = f"""

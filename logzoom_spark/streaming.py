@@ -233,6 +233,84 @@ def compact_epochs(
     return {"compacted": to_merge, "target": target, "rows": n}
 
 
+DOCS_SCHEMA = "doc_id bigint, text string"
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    sig_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    hasher: str = "xx",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Continuous corpus curation: every micro-batch of documents is
+    dedup'd against the STANDING signature table (exact fingerprints +
+    LSH bands — ``ops.dedup.dedup_incremental``), survivors land in
+    ``out_dir``, and the survivors' signatures are committed to
+    ``sig_dir`` so the NEXT micro-batch dedups against them too. The
+    standing corpus' text is never re-read; per-batch work is O(batch).
+
+    Exactly-once file state via the same epoch-dir protocol as
+    ``foreach_batch_writer``: both the survivor docs and their signature
+    rows go to overwrite-mode ``epoch=<id>`` directories, so a crash
+    between the two writes re-runs the epoch idempotently — a re-delivered
+    epoch can never double-append signatures (the failure mode of a blind
+    append: every re-delivery would permanently shrink future batches'
+    survivor sets by their own ghosts).
+
+    Returns the StreamingQuery."""
+    import os
+
+    from .ops.dedup import build_signatures, dedup_incremental
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        if os.path.exists(sig_dir) and any(
+            e.startswith("epoch=") for e in os.listdir(sig_dir)
+        ):
+            standing = s.read.parquet(sig_dir).drop("epoch")
+        else:
+            standing = build_signatures(
+                s.createDataFrame([], DOCS_SCHEMA), hasher=hasher
+            )
+        batch_df = batch_df.persist()
+        try:
+            verdicts, survivor_sigs = dedup_incremental(
+                batch_df, standing, hasher=hasher
+            )
+            survivors = batch_df.join(
+                verdicts.filter(F.col("survives") == 1).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            survivors.write.mode("overwrite").parquet(
+                f"{out_dir}/epoch={int(epoch_id)}"
+            )
+            survivor_sigs.write.mode("overwrite").parquet(
+                f"{sig_dir}/epoch={int(epoch_id)}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    writer = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime="10 seconds")
+    )
+    return writer.start()
+
+
 def read_queue_stream(
     spark: SparkSession, input_dir: str, batch_files: int = 1
 ) -> DataFrame:

@@ -546,3 +546,59 @@ def test_streaming_processing_time_trigger(spark, turns, tmp_path):
     assert len(data_batches) >= 2
     for p in data_batches:
         assert p["processedRowsPerSecond"] > 0
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Continuous incremental dedup: batch 2 must be dedup'd against batch
+    1's survivors (cross-batch state via the signature table), intra-batch
+    dups collapse, and a checkpointed re-run reprocesses nothing."""
+    import os
+
+    from logzoom_spark.streaming import streaming_incremental_dedup
+
+    src = str(tmp_path / "sid_src")
+    sig = str(tmp_path / "sid_sigs")
+    out = str(tmp_path / "sid_out")
+    ckpt = str(tmp_path / "sid_ckpt")
+
+    b1 = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely different content about spark scale out"),
+        (3, "the quick brown fox jumps over the lazy dog today"),  # intra dup of 1
+    ]
+    b2 = [
+        (10, "completely different content about spark scale out"),  # dup of 2
+        (11, "the quick brown fox jumps over the lazy dog tonight"),  # near-dup of 1
+        (12, "entirely novel text that shares nothing with anything"),
+    ]
+    os.makedirs(src)
+    spark.createDataFrame(b1, "doc_id bigint, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # force file order: batch 1's file strictly older than batch 2's
+    import glob as g
+    import time as t
+
+    for fn in g.glob(f"{src}/*.parquet"):
+        os.utime(fn, (t.time() - 3600, t.time() - 3600))
+    spark.createDataFrame(b2, "doc_id bigint, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = streaming_incremental_dedup(spark, src, sig, out, ckpt)
+    q.awaitTermination(300)
+
+    epochs = sorted(os.listdir(out))
+    assert len([e for e in epochs if e.startswith("epoch=")]) == 2
+    survivors = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # batch1: 1 and 2 survive (3 intra-dups 1); batch2: only 12 survives
+    assert survivors == {1, 2, 12}
+
+    # signatures grew by exactly the survivors (3 docs x 4 bands)
+    assert spark.read.parquet(sig).count() == 12
+
+    # checkpointed restart: nothing reprocessed, nothing changed
+    q2 = streaming_incremental_dedup(spark, src, sig, out, ckpt)
+    q2.awaitTermination(300)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 12}
+    assert spark.read.parquet(sig).count() == 12
