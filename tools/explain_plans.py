@@ -55,6 +55,16 @@ def main() -> None:
         ("contamination (hash equi-join + df cap)", se.q_contamination_pairs),
         ("kmv distinct (salted two-stage, no whole-group window)", se.q_kmv_distinct_users),
         ("percentiles (histogram + cumulative rank)", se.q_latency_percentiles),
+        # round 4
+        ("knn join (cell equi-join + WindowGroupLimit, no cartesian)", se.q_ann_knn_join),
+        ("paragraph dedup (digest-only winner shuffle)", se.q_paragraph_dedup),
+        ("incremental dedup (digest equi-joins vs standing sigs)", se.q_dedup_incremental),
+        ("bm25 (broadcast query terms first, TakeOrdered finish)", se.q_bm25_topk),
+        ("tpch_q13 (outer join + double agg)", se.q_tpch_q13),
+        ("tpch_q17 (decorrelated scalar subquery)", se.q_tpch_q17),
+        ("tpch_q18 (HAVING agg feeds 3-way join)", se.q_tpch_q18),
+        ("reservoir sample (WindowGroupLimit rank<=k)", se.q_reservoir_sample_lang),
+        ("mixture sample (broadcast plan rows back onto corpus)", se.q_mixture_sample),
     ]:
         print("=" * 30, name)
         q(spark, sf).explain("formatted")
