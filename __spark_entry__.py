@@ -600,6 +600,13 @@ def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mean_pool_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk→doc embedding pooling: elementwise integer mean of each
+    4-vector group (long format: group_id, pos, pooled_val) — the bridge
+    from chunked embeddings back to one ANN-indexable vector per doc."""
+    return similarity.mean_pool(_read(spark, sf, "embeddings"))
+
+
 def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
     quantity is below 20% of their part's average — the correlated scalar
@@ -1165,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "reservoir_sample_lang": q_reservoir_sample_lang,
         "tpch_q17": q_tpch_q17,
+        "mean_pool_embeddings": q_mean_pool_embeddings,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
         "bm25_topk": q_bm25_topk,

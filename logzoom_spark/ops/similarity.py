@@ -359,6 +359,57 @@ def knn_join(
     )
 
 
+def mean_pool(
+    emb: DataFrame,
+    group: Column | None = None,
+    scale: int = 1000,
+) -> DataFrame:
+    """Pool chunk/turn embeddings into document embeddings by elementwise
+    mean — the bridge from ``ops.corpus.chunk_documents`` (docs → chunks →
+    embeddings) back to one vector per document for the ANN index.
+
+    Returns LONG format (group_id, pos, pooled_val): one row per dimension,
+    pooled_val = floor(Σ quantized / n). The shuffle carries each quantized
+    vector ONCE (one row per input vector, 64 ints); the elementwise sum
+    runs as a zip_with reduction over the grouped arrays — integer
+    addition, so the result is identical under any aggregation order
+    (float mean would drift with partitioning). Floor division is spelled
+    sign-safely ((s − ((s%n + n)%n)) div n) because Spark's `div`
+    truncates toward zero while the mean of negative quantized entries
+    must floor — the same expression is exact in any engine.
+
+    ``group``: grouping expression (default: vec_id div 4 — four chunks
+    per parent doc, the synthetic layout; pass e.g. F.col("doc_id") when
+    chunks carry their parent id). ``dims``: embedding width."""
+    g = group if group is not None else (F.col("vec_id") - F.col("vec_id") % 4) / 4
+    q = quantize(F.col("embedding"), scale)
+    grouped = (
+        emb.select(g.cast("bigint").alias("group_id"), q.alias("v"))
+        .groupBy("group_id")
+        .agg(F.collect_list("v").alias("vs"), F.count(F.lit(1)).alias("n"))
+    )
+    summed = F.aggregate(
+        F.col("vs"),
+        F.array_repeat(F.lit(0).cast("bigint"), 64),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    # (s - floor-mod) is exactly divisible by n and far below 2^53, so the
+    # double division is exact; cast back to bigint
+    pooled = F.transform(
+        summed,
+        lambda s: (
+            (s - ((s % F.col("n") + F.col("n")) % F.col("n"))) / F.col("n")
+        ).cast("bigint"),
+    )
+    return grouped.select(
+        "group_id", F.posexplode(pooled).alias("pos", "pooled_val")
+    ).select(
+        "group_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("pooled_val").cast("bigint").alias("pooled_val"),
+    )
+
+
 def lsh_assign(emb: DataFrame, planes: int = 8, scale: int = 1000) -> DataFrame:
     """LSH BUILD step: (vec_id, v, bucket) — sign of the dot with `planes`
     deterministic pseudo-random hyperplanes forms the bucket id. A pure

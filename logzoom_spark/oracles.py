@@ -743,6 +743,21 @@ SELECT query_id, vec_id, dot, knn_rank FROM (
 ) WHERE knn_rank <= 3
 """
 
+# chunk->doc mean pooling (ops.similarity.mean_pool): elementwise integer
+# mean of each 4-vector group; floor division spelled sign-safely
+ORACLES["mean_pool_embeddings"] = f"""
+WITH qv AS (
+  SELECT ((vec_id - vec_id % 4) // 4) AS group_id, {_QUANT} AS q
+  FROM embeddings
+),
+pe AS (SELECT group_id, q, unnest(range(1, 65)) AS i FROM qv),
+vals AS (SELECT group_id, cast(i - 1 AS BIGINT) AS pos, q[i] AS val FROM pe)
+SELECT group_id, pos,
+  cast((sum(val) - ((sum(val) % count(*) + count(*)) % count(*))) // count(*)
+       AS BIGINT) AS pooled_val
+FROM vals GROUP BY group_id, pos
+"""
+
 # KMV distinct sketch (ops.sketch.kmv_distinct, k=64): kth-min of the
 # portable hash per group; estimate (k-1)*2^60 // kth_min via HUGEINT
 # (the product overflows BIGINT; Spark uses decimal(38,0) div)

@@ -1130,3 +1130,26 @@ def test_mixture_plan_and_sample_budget(spark):
         n[r.lang] += 1
     assert n["zh"] == 100                   # rate 10000 keeps everything
     assert 80 <= n["en"] <= 160             # ~120 expected at rate 0.3
+
+
+def test_mean_pool_matches_numpy(spark, emb):
+    """Pooled vectors must equal numpy's floored elementwise mean of the
+    quantized group members, for every group and dimension."""
+    import numpy as np
+
+    from logzoom_spark.ops.similarity import mean_pool
+
+    rows = emb.collect()
+    groups = {}
+    for r in rows:
+        q = np.floor(np.array(r.embedding, dtype=np.float64) * 1000).astype(np.int64)
+        groups.setdefault(r.vec_id // 4, []).append(q)
+    want = {
+        (gid, pos): int(v)
+        for gid, vs in groups.items()
+        for pos, v in enumerate(np.floor_divide(np.sum(vs, axis=0), len(vs)))
+    }
+    got = {
+        (r.group_id, r.pos): r.pooled_val for r in mean_pool(emb).collect()
+    }
+    assert got == want
