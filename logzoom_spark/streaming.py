@@ -245,6 +245,7 @@ def streaming_incremental_dedup(
     hasher: str = "xx",
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    fault_hook=None,
 ):
     """Continuous corpus curation: every micro-batch of documents is
     dedup'd against the STANDING signature table (exact fingerprints +
@@ -268,10 +269,20 @@ def streaming_incremental_dedup(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         s = batch_df.sparkSession
-        if os.path.exists(sig_dir) and any(
-            e.startswith("epoch=") for e in os.listdir(sig_dir)
-        ):
-            standing = s.read.parquet(sig_dir).drop("epoch")
+        others = [
+            e
+            for e in (os.listdir(sig_dir) if os.path.exists(sig_dir) else [])
+            # exclude THIS epoch's dir: after a crash between the sig write
+            # and the checkpoint commit, the re-delivered epoch would
+            # otherwise find its own signatures in `standing`, flag every
+            # batch doc as a duplicate of itself, and overwrite the epoch
+            # with empty survivors — silently losing the whole batch
+            if e.startswith("epoch=") and e != f"epoch={int(epoch_id)}"
+        ]
+        if others:
+            standing = s.read.option("basePath", sig_dir).parquet(
+                *[f"{sig_dir}/{e}" for e in others]
+            ).drop("epoch")
         else:
             standing = build_signatures(
                 s.createDataFrame([], DOCS_SCHEMA), hasher=hasher
@@ -292,6 +303,10 @@ def streaming_incremental_dedup(
             survivor_sigs.write.mode("overwrite").parquet(
                 f"{sig_dir}/epoch={int(epoch_id)}"
             )
+            if fault_hook is not None:
+                # tests: raising here crashes AFTER both writes but BEFORE
+                # the checkpoint commit — the epoch re-delivers on restart
+                fault_hook(int(epoch_id))
         finally:
             batch_df.unpersist()
 

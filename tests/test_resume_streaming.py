@@ -602,3 +602,42 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     q2.awaitTermination(300)
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 12}
     assert spark.read.parquet(sig).count() == 12
+
+
+def test_streaming_incremental_dedup_redelivery_idempotent(spark, tmp_path):
+    """Crash AFTER an epoch's signature write but BEFORE the checkpoint
+    commit: the re-delivered epoch must NOT see its own previous attempt's
+    signatures in the standing table (it would flag every batch doc as a
+    dup of itself and overwrite the epoch with empty survivors — silent
+    loss of the whole batch)."""
+    import os
+
+    from logzoom_spark.streaming import streaming_incremental_dedup
+
+    src = str(tmp_path / "rid_src")
+    sig = str(tmp_path / "rid_sigs")
+    out = str(tmp_path / "rid_out")
+    ckpt = str(tmp_path / "rid_ckpt")
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely different content about spark scale out"),
+    ]
+    os.makedirs(src)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    def crash_once(epoch_id: int) -> None:
+        raise RuntimeError("injected post-write crash")
+
+    q = streaming_incremental_dedup(spark, src, sig, out, ckpt, fault_hook=crash_once)
+    with pytest.raises(Exception, match="injected post-write crash"):
+        q.awaitTermination(300)
+    # the sig write landed before the crash — the poisoned-standing setup
+    assert spark.read.parquet(sig).count() > 0
+
+    q2 = streaming_incremental_dedup(spark, src, sig, out, ckpt)
+    q2.awaitTermination(300)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+    assert spark.read.parquet(sig).count() == 8  # 2 survivors x 4 bands
