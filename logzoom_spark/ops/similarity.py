@@ -322,6 +322,16 @@ def knn_join(
         if centroids is not None
         else base.filter(F.col("vec_id") < n_cells).collect()
     )
+    # same injectivity requirement as ivf_assign — and it must hold even
+    # when a pre-built `assigned` skips that path, because the probe's
+    # ord sort uses the identical tie-break
+    bad = [int(c["vec_id"]) for c in cents if not 0 <= int(c["vec_id"]) < n_cells]
+    if bad:
+        raise ValueError(
+            f"centroid vec_ids {bad} outside [0, {n_cells}): renumber trained "
+            "centroids to dense ids 0..n_cells-1 so probe-cell selection "
+            "stays deterministic"
+        )
     qdf = (queries if queries is not None else emb).select(
         F.col("vec_id").alias("query_id"),
         quantize(F.col("embedding"), scale).alias("qv"),
@@ -380,7 +390,8 @@ def mean_pool(
 
     ``group``: grouping expression (default: vec_id div 4 — four chunks
     per parent doc, the synthetic layout; pass e.g. F.col("doc_id") when
-    chunks carry their parent id). ``dims``: embedding width."""
+    chunks carry their parent id). Embedding width is fixed at 64 (the
+    synthetic schema; the zip_with reduction itself is width-agnostic)."""
     g = group if group is not None else (F.col("vec_id") - F.col("vec_id") % 4) / 4
     q = quantize(F.col("embedding"), scale)
     grouped = (
