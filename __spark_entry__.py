@@ -600,6 +600,15 @@ def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM quality score: mean per-token surprisal (millinats) from
+    the corpus's own smoothed token frequencies — the cheap perplexity
+    filter of training-data pipelines, no external model."""
+    from logzoom_spark.ops.retrieval import unigram_surprisal
+
+    return unigram_surprisal(_read(spark, sf, "documents"))
+
+
 def q_mean_pool_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Chunk→doc embedding pooling: elementwise integer mean of each
     4-vector group (long format: group_id, pos, pooled_val) — the bridge
@@ -1173,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample_lang": q_reservoir_sample_lang,
         "tpch_q17": q_tpch_q17,
         "mean_pool_embeddings": q_mean_pool_embeddings,
+        "unigram_surprisal": q_unigram_surprisal,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
         "bm25_topk": q_bm25_topk,

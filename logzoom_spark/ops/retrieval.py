@@ -57,6 +57,62 @@ def doc_lengths(docs: DataFrame, col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.size(_tokens(col)).cast("bigint").alias("dlen"))
 
 
+def unigram_surprisal(
+    docs: DataFrame,
+    col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Perplexity-style quality score from a unigram language model fit on
+    the corpus itself: per doc, the mean token surprisal
+    −log p(token) with add-one smoothing, p(t) = (ct+1)/(T+V). High mean
+    surprisal = text unlike the corpus (gibberish, wrong language,
+    boilerplate-free noise); low = template/repetitive text. The standard
+    cheap LM filter of training-data pipelines, here from the corpus's own
+    statistics — no external model.
+
+    Returns (doc_id, n_tokens, surprisal_milli_sum, mean_surprisal_milli)
+    — total and mean per-token surprisal in millinats, BIGINT. Each
+    token's surprisal is floor-quantized at 1e-3 BEFORE the per-doc sum
+    (one ln per DISTINCT corpus token, not per occurrence), so results
+    are order-independent and engine-exact like the BM25 idf.
+
+    Plan: corpus token counts (the ``build_postings`` aggregate re-keyed
+    to token totals) join the per-doc token multiset on token — the join
+    carries (token, count) ints; per-doc sums are map-side combinable.
+    Empty docs surface with 0 tokens and NULL mean (counted, not
+    dropped)."""
+    if postings is None:
+        postings = build_postings(docs, col)
+    totals = postings.groupBy("token").agg(F.sum("tf").alias("ct"))
+    corpus = totals.agg(
+        F.sum("ct").alias("t_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    per_token = totals.crossJoin(F.broadcast(corpus)).select(
+        "token",
+        "ct",
+        F.floor(
+            -F.log((F.col("ct") + 1) / (F.col("t_tokens") + F.col("vocab"))) * 1000
+        ).cast("bigint").alias("surprisal_milli"),
+    )
+    doc_tokens = postings.join(per_token.select("token", "surprisal_milli"), "token")
+    sums = doc_tokens.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("surprisal_milli")).alias("surprisal_milli_sum"),
+    )
+    # left join back so zero-token docs appear (split('') yields [''] — a
+    # real token — so "empty" here means docs the tokenizer yields none
+    # for; keep the join anyway as the counted-not-dropped guard)
+    base = docs.select("doc_id")
+    return base.join(sums, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("surprisal_milli_sum", F.lit(0)).alias("surprisal_milli_sum"),
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN surprisal_milli_sum div n_tokens END"
+        ).alias("mean_surprisal_milli"),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

@@ -529,6 +529,39 @@ ORDER BY dot DESC, a.vec_id
 LIMIT 10
 """
 
+# unigram surprisal (ops.retrieval.unigram_surprisal): add-one-smoothed
+# corpus unigram LM; per-token surprisal floor-quantized to millinats
+# before the per-doc sum
+ORACLES["unigram_surprisal"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks
+  FROM documents
+),
+posts AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+ptf AS (
+  SELECT doc_id, token, cast(count(*) AS BIGINT) AS tf
+  FROM posts GROUP BY doc_id, token
+),
+totals AS (SELECT token, sum(tf) AS ct FROM ptf GROUP BY token),
+corpus AS (SELECT sum(ct) AS t_tokens, count(*) AS vocab FROM totals),
+per_token AS (
+  SELECT token,
+         cast(floor(-ln((ct + 1.0) / (t_tokens + vocab)) * 1000) AS BIGINT) AS sm
+  FROM totals, corpus
+),
+sums AS (
+  SELECT p.doc_id, sum(p.tf) AS n_tokens, sum(p.tf * pt.sm) AS s
+  FROM ptf p JOIN per_token pt USING (token) GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+  cast(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+  cast(coalesce(s, 0) AS BIGINT) AS surprisal_milli_sum,
+  CASE WHEN n_tokens > 0 THEN cast(s // n_tokens AS BIGINT) END
+    AS mean_surprisal_milli
+FROM documents d LEFT JOIN sums USING (doc_id)
+"""
+
 # TPC-H Q13 shape: left-join order counts per customer (ON-clause
 # priority filter), then the count distribution
 ORACLES["tpch_q13"] = """

@@ -1153,3 +1153,24 @@ def test_mean_pool_matches_numpy(spark, emb):
         (r.group_id, r.pos): r.pooled_val for r in mean_pool(emb).collect()
     }
     assert got == want
+
+
+def test_unigram_surprisal_orders_gibberish_above_common(spark):
+    """Tokens the corpus has never repeated carry higher surprisal than
+    corpus-common tokens; a doc of rare tokens scores a higher mean than a
+    doc of common ones; totals are exact multiples of per-token values."""
+    from logzoom_spark.ops.retrieval import unigram_surprisal
+
+    common = "alpha beta gamma " * 10
+    rows = [
+        (1, common.strip()),
+        (2, common.strip()),
+        (3, "zxqv wlrtk pmnb alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in unigram_surprisal(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3].mean_surprisal_milli > out[1].mean_surprisal_milli
+    assert out[1].mean_surprisal_milli == out[2].mean_surprisal_milli
+    assert out[1].n_tokens == 30 and out[3].n_tokens == 4
+    assert out[1].surprisal_milli_sum % 10 == 0  # 10 copies of 3 tokens
