@@ -203,6 +203,13 @@ All rep times (seconds):
 ```
 """
     path = os.path.join(REPO, args.out)
+    # regeneration must not destroy the per-round addenda appended after
+    # the generated block (capacity-probe dossier, campaign narratives)
+    if os.path.exists(path):
+        old = open(path).read()
+        i = old.find("\n## Round-")
+        if i != -1:
+            md = md.rstrip() + "\n" + old[i:]
     with open(path, "w") as f:
         f.write(md)
     print(f"efficiency={eff:.3f} written to {path}")
