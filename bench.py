@@ -299,6 +299,9 @@ def main() -> None:
     bench("tpch_q18", lambda: _noop(se.q_tpch_q18(spark, sf_dir)))
     bench("mixture_sample", lambda: _noop(se.q_mixture_sample(spark, sf_dir)))
     bench("unigram_surprisal", lambda: _noop(se.q_unigram_surprisal(spark, sf_dir)))
+    bench("pack_sequences", lambda: _noop(se.q_pack_sequences(spark, sf_dir)))
+    bench("tpch_q6", lambda: _noop(se.q_tpch_q6(spark, sf_dir)))
+    bench("tpch_q21", lambda: _noop(se.q_tpch_q21(spark, sf_dir)))
 
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
     # real sink files — measures sink I/O, which on this shared host is

@@ -262,3 +262,85 @@ def contamination_pairs(
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    n_buckets: int = 64,
+    col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Concat-and-split training-sequence packing: lay every document's
+    tokens end-to-end in a deterministic hash-shuffled global order, then
+    cut the tape into fixed ``budget_tokens`` sequences (documents may
+    straddle a cut — the standard GPT-style packing; nothing is padded or
+    dropped). Returns each document's placement: (doc_id, n_tokens,
+    tok_offset, first_seq, pos_in_first_seq, last_seq, n_seqs).
+
+    The global order is (portable_hash(doc_id, seed), doc_id) — a uniform
+    shuffle of the corpus that is reproducible across runs, partitionings
+    and cluster sizes, so every epoch and every resumed job cuts identical
+    sequences.
+
+    Scale plan — a distributed prefix sum, NOT a global-ORDER-BY window
+    (which Spark executes as a single-partition sort, one task holding the
+    whole corpus):
+    1. bucket = hash div (2^60/n_buckets) — buckets are contiguous ranges
+       of the order key, so bucket order extends the global order;
+    2. per-bucket token totals (map-side partial agg, n_buckets rows) and
+       their exclusive running sum via a window over the n_buckets-row
+       aggregate — bounded single-partition work, independent of corpus
+       size;
+    3. broadcast the bucket offsets back and add each row's within-bucket
+       exclusive cumsum (window partitioned by bucket — one shuffle of
+       (hash, id, n_tokens), never text).
+    Size ``n_buckets`` so one bucket's rows fit an executor (corpus_rows /
+    n_buckets ≈ a few million; the default 64 suits test scale)."""
+    from pyspark.sql import Window
+
+    from .text import token_count
+
+    if budget_tokens <= 0 or n_buckets <= 0:
+        raise ValueError("budget_tokens and n_buckets must be positive")
+    # portable_hash is 60-bit; ceil-width keeps bucket < n_buckets while
+    # preserving "bucket order == hash-range order"
+    width = (1 << 60) // n_buckets + (1 if (1 << 60) % n_buckets else 0)
+    h = portable_hash(F.col(id_col).cast("string"), seed)
+    # `div`, never `/`: float division of 60-bit hashes / 100-TB-scale
+    # token offsets loses bits past 2^53 and misassigns boundary rows
+    d = docs.select(
+        F.col(id_col),
+        h.alias("_h"),
+        # coalesce: one NULL-text doc must count 0, not poison every
+        # downstream offset through the running sum
+        token_count(F.coalesce(F.col(col), F.lit(""))).cast("bigint").alias("n_tokens"),
+    ).withColumn("_b", F.expr(f"_h div {width}L"))
+    btot = d.groupBy("_b").agg(F.sum("n_tokens").alias("_bt"))
+    w_buckets = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "_b", F.coalesce(F.sum("_bt").over(w_buckets), F.lit(0)).alias("_boff")
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = d.join(F.broadcast(boff), "_b").withColumn(
+        "tok_offset", F.col("_boff") + F.sum("n_tokens").over(w_in) - F.col("n_tokens")
+    )
+    # a zero-token doc sits AT its offset: first_seq == last_seq, n_seqs 1
+    bt = int(budget_tokens)
+    return placed.select(
+        id_col,
+        "n_tokens",
+        "tok_offset",
+        F.expr(f"tok_offset div {bt}L").alias("first_seq"),
+        F.expr(f"tok_offset % {bt}L").alias("pos_in_first_seq"),
+        F.expr(f"(tok_offset + greatest(n_tokens, 1L) - 1) div {bt}L").alias("last_seq"),
+        F.expr(
+            f"(tok_offset + greatest(n_tokens, 1L) - 1) div {bt}L"
+            f" - tok_offset div {bt}L + 1"
+        ).alias("n_seqs"),
+    )

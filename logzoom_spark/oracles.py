@@ -1580,3 +1580,166 @@ SELECT r.role, l.level, coalesce(c.c, 0) AS cnt
 FROM roles r CROSS JOIN lv l
 LEFT JOIN cnts c ON c.role = r.role AND c.level = l.level
 """
+
+# ---------------------------------------------------------------------------
+# round-4 (late): sequence packing + TPC-H decorrelation breadth
+# ---------------------------------------------------------------------------
+
+# concat-and-split packing (ops.corpus.pack_sequences, budget 512): global
+# token-tape offsets under the deterministic hash-shuffled order. The
+# oracle's single global window equals the engine's bucketed prefix sum
+# exactly because bucket ranges are contiguous in the hash order.
+ORACLES["pack_sequences"] = rf"""
+WITH t AS (
+  SELECT doc_id,
+    cast(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+         ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+      AS n_tokens,
+    {portable_hash_sql("cast(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+    cast(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+  cast(tok_offset // 512 AS BIGINT) AS first_seq,
+  cast(tok_offset % 512 AS BIGINT) AS pos_in_first_seq,
+  cast((tok_offset + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS last_seq,
+  cast((tok_offset + greatest(n_tokens, 1) - 1) // 512
+       - tok_offset // 512 + 1 AS BIGINT) AS n_seqs
+FROM o
+"""
+
+# TPC-H Q4 shape: EXISTS via semi join (returnflag R = qualifying lineitem)
+ORACLES["tpch_q4"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+# TPC-H Q6: pure filter+agg; revenue exact as cents x discount-percent
+ORACLES["tpch_q6"] = """
+SELECT
+  cast(sum(cast(round(l_extendedprice * 100) AS BIGINT)
+           * cast(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents_x100,
+  count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND cast(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+# TPC-H Q12 shape: fact-fact join + CASE-WHEN conditional counts
+ORACLES["tpch_q12"] = """
+SELECT l_returnflag,
+  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+# TPC-H Q16 shape: anti-join supplier blacklist + count distinct over the
+# observed lineitem (part, supplier) association
+ORACLES["tpch_q16"] = """
+WITH assoc AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       cast(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM assoc
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+# TPC-H Q21 shape: EXISTS + NOT-EXISTS decorrelated to flag rollups —
+# supplier with an R lineitem on a >=2-supplier order where nobody else
+# flagged R
+ORACLES["tpch_q21"] = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+per_o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(has_r) AS n_r_supp
+  FROM per_os GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM per_os
+JOIN per_o USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE has_r = 1 AND n_supp >= 2 AND n_r_supp = 1
+GROUP BY s_name
+"""
+
+# TPC-H Q22 shape: decorrelated scalar avg (integer-exact: bal*cnt > sum)
+# + NOT EXISTS anti-join on orders
+ORACLES["tpch_q22"] = """
+WITH seg AS (
+  SELECT * FROM customer
+  WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'BUILDING')
+),
+avgpos AS (
+  SELECT cast(sum(cast(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         count(*) AS cnt
+  FROM seg WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       cast(sum(cast(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM seg, avgpos
+WHERE cast(round(c_acctbal * 100) AS BIGINT) * cnt > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+# semantic dedup: recursive-CTE connected components over the embedding
+# cosine near-dup pairs (same pair derivation as embedding_dup_pairs)
+ORACLES["semantic_dedup"] = f"""
+WITH RECURSIVE qv AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
+wb AS (
+  SELECT vec_id, q,
+         cast(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS BIGINT) AS norm2,
+         ({_bucket_sql()}) AS bucket
+  FROM qv
+),
+capped AS (
+  SELECT vec_id, q, norm2, bucket FROM (
+    SELECT *, count(*) OVER (PARTITION BY bucket) AS bw FROM wb
+  ) WHERE bw <= 500
+),
+rawpairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.norm2 AS na, b.norm2 AS nb,
+         cast(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT) AS d
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT DISTINCT vec_a, vec_b FROM rawpairs
+  WHERE d >= 0 AND cast((d * d * 100) // (na * nb) AS BIGINT) >= 9
+),
+edges AS (
+  SELECT vec_a AS s, vec_b AS d FROM pairs
+  UNION
+  SELECT vec_b AS s, vec_a AS d FROM pairs
+),
+reach(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.node
+)
+SELECT node AS vec_id, min(label) AS cluster_id,
+       CASE WHEN node = min(label) THEN 1 ELSE 0 END AS is_canonical
+FROM reach GROUP BY node
+"""

@@ -1174,3 +1174,52 @@ def test_unigram_surprisal_orders_gibberish_above_common(spark):
     assert out[1].mean_surprisal_milli == out[2].mean_surprisal_milli
     assert out[1].n_tokens == 30 and out[3].n_tokens == 4
     assert out[1].surprisal_milli_sum % 10 == 0  # 10 copies of 3 tokens
+
+
+def test_pack_sequences_tape_invariants(spark):
+    """The packed tape is gapless and order-correct: offsets are the
+    exclusive prefix sums of token counts under the (hash, doc_id) global
+    order, seq ids follow from integer division, and a NULL-text doc
+    occupies zero tokens without shifting anything after it."""
+    from logzoom_spark.hashing import portable_hash
+    from logzoom_spark.ops.corpus import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 7))) for i in range(200)]
+    rows.append((200, None))  # NULL text → 0 tokens, still placed
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = pack_sequences(df, budget_tokens=10, n_buckets=8).collect()
+    assert len(out) == 201  # counted, not dropped
+
+    hashed = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", portable_hash(F.col("doc_id").cast("string"), 0).alias("h")
+        ).collect()
+    }
+    ordered = sorted(out, key=lambda r: (hashed[r.doc_id], r.doc_id))
+    run = 0
+    for r in ordered:
+        assert r.tok_offset == run, (r.doc_id, r.tok_offset, run)
+        run += r.n_tokens
+        assert r.first_seq == r.tok_offset // 10
+        assert r.pos_in_first_seq == r.tok_offset % 10
+        last = r.tok_offset + max(r.n_tokens, 1) - 1
+        assert r.last_seq == last // 10
+        assert r.n_seqs == r.last_seq - r.first_seq + 1
+    null_row = next(r for r in out if r.doc_id == 200)
+    assert null_row.n_tokens == 0 and null_row.n_seqs == 1
+
+    # bucketing is an implementation detail: same placement at any n_buckets
+    again = {
+        r.doc_id: r.tok_offset
+        for r in pack_sequences(df, budget_tokens=10, n_buckets=3).collect()
+    }
+    assert all(again[r.doc_id] == r.tok_offset for r in out)
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    from logzoom_spark.ops.corpus import pack_sequences
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget_tokens=0)
