@@ -1283,11 +1283,13 @@ def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity): customers in target
-    segments with above-average positive balance and NO orders — the
-    decorrelated scalar subquery (corpus-wide avg, a 1-row broadcast
+    segments with above-average positive balance and NO urgent orders —
+    the decorrelated scalar subquery (corpus-wide avg, a 1-row broadcast
     cross join) + NOT EXISTS anti-join workload (no c_phone in the
-    synthetic schema; c_mktsegment stands in for the country-code
-    substring)."""
+    synthetic schema: c_mktsegment stands in for the country-code
+    substring, and the anti-join side is urgent orders because every
+    synthetic customer has at least one order — the literal Q22 "no
+    orders" predicate would be trivially empty)."""
     c = _read(spark, sf, "customer").filter(
         F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY", "BUILDING")
     )
@@ -1297,7 +1299,11 @@ def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(_cents("c_acctbal")).alias("sum_cents"),
         F.count(F.lit(1)).alias("cnt"),
     )
-    o = _read(spark, sf, "orders").select("o_custkey")
+    o = (
+        _read(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return (
         c.crossJoin(F.broadcast(pos))
         .filter(_cents("c_acctbal") * F.col("cnt") > F.col("sum_cents"))

@@ -1701,7 +1701,9 @@ SELECT c_mktsegment, count(*) AS numcust,
          AS totacctbal_cents
 FROM seg, avgpos
 WHERE cast(round(c_acctbal * 100) AS BIGINT) * cnt > sum_cents
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment
 """
 
