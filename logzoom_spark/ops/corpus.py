@@ -344,3 +344,55 @@ def pack_sequences(
             f" - tok_offset div {bt}L + 1"
         ).alias("n_seqs"),
     )
+
+
+def write_packed_corpus(
+    docs: DataFrame,
+    out_dir: str,
+    budget_tokens: int = 2048,
+    seqs_per_shard: int = 1024,
+    n_buckets: int = 64,
+    col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    mode: str = "overwrite",
+    tasks_per_shard: int = 1,
+) -> DataFrame:
+    """Export the packed corpus as deterministic training shards: every doc
+    joined with its ``pack_sequences`` placement and written to
+    ``shard=K/`` parquet dirs, shard K = first_seq div seqs_per_shard.
+    A trainer streams shard dirs in order and rebuilds each sequence by
+    concatenating docs sorted on (tok_offset) — placement columns carry
+    everything needed to split at sequence boundaries.
+
+    Write layout follows sinks.write_es: cluster by (shard [, salt])
+    BEFORE partitionBy, so one shard never collapses into one writer task
+    — raise ``tasks_per_shard`` when shards outgrow a task (the 100 TB
+    case). Placement is a pure function of (doc_id, seed), so a re-run
+    (or a resumed overwrite) produces byte-identical shard assignment.
+
+    Returns the written DataFrame (lazy plan re-read is the caller's
+    choice; row count == input row count — nothing padded or dropped)."""
+    placed = pack_sequences(
+        docs, budget_tokens=budget_tokens, n_buckets=n_buckets,
+        col=col, id_col=id_col, seed=seed,
+    )
+    if seqs_per_shard <= 0:
+        raise ValueError("seqs_per_shard must be positive")
+    out = (
+        docs.join(placed, id_col)
+        .withColumn("shard", F.expr(f"first_seq div {int(seqs_per_shard)}L"))
+    )
+    parts = [F.col("shard")]
+    if tasks_per_shard > 1:
+        parts.append(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(tasks_per_shard))
+        )
+    (
+        out.repartition(*parts)
+        .sortWithinPartitions("tok_offset")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return out

@@ -65,6 +65,13 @@ def main() -> None:
         ("tpch_q18 (HAVING agg feeds 3-way join)", se.q_tpch_q18),
         ("reservoir sample (WindowGroupLimit rank<=k)", se.q_reservoir_sample_lang),
         ("mixture sample (broadcast plan rows back onto corpus)", se.q_mixture_sample),
+        # round 4 (late)
+        ("pack sequences (bucketed prefix sum, no global-sort window)", se.q_pack_sequences),
+        ("tpch_q4 (EXISTS as left semi)", se.q_tpch_q4),
+        ("tpch_q6 (pure pushdown scan, no shuffle past partial agg)", se.q_tpch_q6),
+        ("tpch_q16 (anti join + count distinct)", se.q_tpch_q16),
+        ("tpch_q21 (flag rollups, no correlated self-joins)", se.q_tpch_q21),
+        ("tpch_q22 (1-row broadcast scalar + anti join)", se.q_tpch_q22),
     ]:
         print("=" * 30, name)
         q(spark, sf).explain("formatted")
