@@ -199,3 +199,80 @@ def kmv_merge_rollup(
         .cast("bigint")
         .alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch: mergeable frequency estimation
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: Column | str,
+    depth: int = 4,
+    width: int = 1024,
+    seg_col: str | None = None,
+) -> DataFrame:
+    """Count-Min Sketch of ``key_col`` frequencies: ``depth`` hash rows ×
+    ``width`` counters, each counter = the number of input rows whose
+    seeded portable hash lands in that (row, bucket) cell.
+
+    Returns (seg?, row_i, bucket, cnt) — at most depth·width rows per
+    segment regardless of input size. Scale shape: the d bucket ids are
+    computed per input row JVM-side, posexploded, then hash-aggregated —
+    map-side combine collapses every partition to ≤ depth·width partial
+    rows BEFORE the shuffle, so shuffle bytes are bounded by
+    depth × width × partitions, never by the row count. Counters are
+    additive, so per-segment sketches merge by summing cells
+    (`cms_merge`) — the same partial-aggregation safety argument as the
+    KMV rollup, proven equal to a direct build by pytest.
+
+    NULL keys are excluded (frequency-of-value semantics, matching
+    kmv_distinct's NULL policy).
+    """
+    v = F.col(key_col) if isinstance(key_col, str) else key_col
+    buckets = F.array(
+        *[F.pmod(portable_hash(v.cast("string"), seed=i), F.lit(width)) for i in range(depth)]
+    )
+    segs = [F.col(seg_col).alias("seg")] if seg_col else []
+    exploded = (
+        df.filter(v.isNotNull())
+        .select(*segs, F.posexplode(buckets).alias("row_i", "bucket"))
+    )
+    keys = (["seg"] if seg_col else []) + ["row_i", "bucket"]
+    return exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(sketch: DataFrame) -> DataFrame:
+    """Merge per-segment CMS sketches into one: counters are additive, so
+    the merged sketch is the cell-wise sum over segments — bit-identical
+    to building one sketch over the union of the segments' rows."""
+    return sketch.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_point_estimates(
+    sketch: DataFrame,
+    keys_df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point frequency estimates for every row of ``keys_df``: the CMS
+    estimate is the MIN over the key's depth counters (classic
+    upper-bound estimator; never undercounts, overcounts only on
+    collisions). Keys absent from the sketch estimate 0 via the left
+    join + coalesce.
+
+    The sketch side is bounded (≤ depth·width rows) and broadcast — the
+    probe never shuffles the key set."""
+    v = F.col(key_col)
+    buckets = F.array(
+        *[F.pmod(portable_hash(v.cast("string"), seed=i), F.lit(width)) for i in range(depth)]
+    )
+    coords = keys_df.select(v.alias("qkey"), F.posexplode(buckets).alias("row_i", "bucket"))
+    joined = coords.join(F.broadcast(sketch), ["row_i", "bucket"], "left")
+    return (
+        joined.groupBy("qkey")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .select(F.col("qkey").alias(key_col), "est_count")
+    )

@@ -1707,6 +1707,209 @@ WHERE cast(round(c_acctbal * 100) AS BIGINT) * cnt > sum_cents
 GROUP BY c_mktsegment
 """
 
+# ---------------------------------------------------------------------------
+# round-4 (final): TPC-H complete — the remaining nine shapes.
+# partsupp stand-in (Q2/Q11/Q20): the observed lineitem (partkey, suppkey)
+# association; supplycost_cents = cheapest observed line price.
+# ---------------------------------------------------------------------------
+
+_DERIVED_PARTSUPP = """
+ps AS (
+  SELECT l_partkey, l_suppkey,
+         cast(min(cast(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS supplycost_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+"""
+
+ORACLES["tpch_q2"] = f"""
+WITH {_DERIVED_PARTSUPP},
+joined AS (
+  SELECT cast(round(s.s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+         s.s_name, n.n_name, p.p_partkey, p.p_brand, ps.supplycost_cents,
+         min(ps.supplycost_cents) OVER (PARTITION BY p.p_partkey)
+           AS min_cost_cents
+  FROM ps
+  JOIN part p ON ps.l_partkey = p.p_partkey
+  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE p.p_size <= 25 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+)
+SELECT s_acctbal_cents, s_name, n_name, p_partkey, p_brand, supplycost_cents
+FROM joined WHERE supplycost_cents = min_cost_cents
+"""
+
+ORACLES["tpch_q7"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  cast(year(l.l_shipdate) AS BIGINT) AS l_year,
+  cast(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)) AS BIGINT)
+    AS revenue_cents,
+  count(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+"""
+
+ORACLES["tpch_q8"] = """
+SELECT cast(year(o.o_orderdate) AS BIGINT) AS o_year,
+  cast(sum(CASE WHEN n1.n_name = 'NATION_3'
+    THEN cast(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+    ELSE 0 END) AS BIGINT) AS nation_cents,
+  cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+    AS BIGINT) AS total_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+JOIN region r ON n2.n_regionkey = r.r_regionkey
+WHERE p.p_type = 'ECONOMY' AND r.r_name = 'AMERICA'
+GROUP BY year(o.o_orderdate)
+"""
+
+ORACLES["tpch_q10"] = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+  cast(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)) AS BIGINT)
+    AS revenue_cents,
+  cast(max(cast(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+    AS acctbal_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_cents DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+ORACLES["tpch_q11"] = """
+WITH held AS (
+  SELECT l.l_partkey,
+    cast(sum(cast(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      AS value_cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_5'
+  GROUP BY l.l_partkey
+),
+total AS (SELECT cast(sum(value_cents) AS BIGINT) AS total_cents FROM held)
+SELECT l_partkey, value_cents
+FROM held, total
+WHERE value_cents * 1000 > total_cents
+"""
+
+ORACLES["tpch_q14"] = """
+SELECT
+  cast(sum(CASE WHEN p.p_type = 'PROMO'
+    THEN cast(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+    ELSE 0 END) AS BIGINT) AS promo_cents,
+  cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+    AS BIGINT) AS total_cents,
+  count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+ORACLES["tpch_q15"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+    cast(sum(round(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT)
+      AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT max(total_revenue_cents) AS max_revenue_cents FROM rev)
+SELECT s.s_suppkey, s.s_name, rev.total_revenue_cents
+FROM rev
+JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+CROSS JOIN mx
+WHERE rev.total_revenue_cents = mx.max_revenue_cents
+"""
+
+ORACLES["tpch_q19"] = """
+SELECT
+  cast(sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)) AS BIGINT)
+    AS revenue_cents,
+  count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLES["tpch_q20"] = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+    cast(sum(cast(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_all,
+    cast(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01'
+             THEN cast(round(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS qty_96
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE EXISTS (
+  SELECT 1 FROM per_ps
+  JOIN part p ON per_ps.l_partkey = p.p_partkey
+  WHERE per_ps.l_suppkey = s.s_suppkey
+    AND p.p_name LIKE 'small%'
+    AND per_ps.qty_96 = per_ps.qty_all AND per_ps.qty_all >= 40
+)
+"""
+
+# Count-Min Sketch: depth-3 x width-256 counters over seeded portable
+# hashes; point estimate = min over the key's three counters (0 when a
+# cell is empty). Collisions reproduce bit-for-bit across engines.
+_CMS_CELLS = "\nUNION ALL\n".join(
+    f"SELECT {i} AS row_i, ({portable_hash_sql('cast(user_id AS VARCHAR)', i)}) % 256 AS bucket\n"
+    "FROM events WHERE user_id IS NOT NULL"
+    for i in range(3)
+)
+_CMS_PROBES = "\nUNION ALL\n".join(
+    f"SELECT user_id, {i} AS row_i, ({portable_hash_sql('cast(user_id AS VARCHAR)', i)}) % 256 AS bucket\n"
+    "FROM q"
+    for i in range(3)
+)
+
+ORACLES["cms_user_counts"] = f"""
+WITH ex AS (
+{_CMS_CELLS}
+),
+sk AS (SELECT row_i, bucket, count(*) AS cnt FROM ex GROUP BY 1, 2),
+q AS (SELECT DISTINCT user_id FROM events WHERE user_id < 100),
+qc AS (
+{_CMS_PROBES}
+)
+SELECT qc.user_id,
+       cast(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_count
+FROM qc
+LEFT JOIN sk ON qc.row_i = sk.row_i AND qc.bucket = sk.bucket
+GROUP BY qc.user_id
+"""
+
 # semantic dedup: recursive-CTE connected components over the embedding
 # cosine near-dup pairs (same pair derivation as embedding_dup_pairs)
 ORACLES["semantic_dedup"] = f"""

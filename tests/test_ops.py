@@ -1254,3 +1254,36 @@ def test_write_packed_corpus_shards(spark, tmp_path):
         for r in spark.read.parquet(out_dir).select("doc_id", "shard").collect()
     }
     assert again == {d: s // 4 for d, s in placed.items()}
+
+
+def test_cms_estimates_upper_bound_and_merge(spark):
+    """Count-Min Sketch: (a) estimates never undercount and are exact in
+    a collision-free regime (width >> distinct keys); (b) per-segment
+    sketches merged cell-wise are bit-identical to one sketch built over
+    all rows (counter additivity — the mergeability contract)."""
+    from logzoom_spark.ops.sketch import cms_build, cms_merge, cms_point_estimates
+
+    rows = [(f"d{i % 3}", f"k{i % 50}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "day string, key string")
+    keys = df.select("key").distinct()
+
+    sk = cms_build(df, "key", depth=4, width=512)
+    est = {
+        r.key: r.est_count
+        for r in cms_point_estimates(sk, keys, "key", depth=4, width=512).collect()
+    }
+    exact = {r.key: r.cnt for r in df.groupBy("key").agg(F.count("*").alias("cnt")).collect()}
+    assert set(est) == set(exact)
+    for k, c in exact.items():
+        assert est[k] >= c
+    # width 512 vs 50 keys x 4 rows: expect exactness (no forced collisions)
+    assert est == exact
+
+    merged = cms_merge(cms_build(df, "key", depth=4, width=512, seg_col="day"))
+    direct = sorted(map(tuple, sk.collect()))
+    assert sorted(map(tuple, merged.collect())) == direct
+
+    # a key the sketch never saw estimates 0 via the left join
+    unseen = spark.createDataFrame([("nope",)], "key string")
+    out = cms_point_estimates(sk, unseen, "key", depth=4, width=512).collect()
+    assert out[0].est_count == 0
