@@ -756,6 +756,24 @@ def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
     return cms_point_estimates(sketch, qkeys, "user_id", depth=3, width=256)
 
 
+def q_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Histogram-sketch quantiles: p50/p95 upper bounds of events.value
+    per event_type from a width-10 fixed-bin sketch — the bounded-state
+    mergeable path for continuous measures (events.value has ~6.6k
+    distinct values in 10k rows at sf0.01; the exact-percentile path's
+    shuffle carries every distinct value, this one carries ≤ 50 bins per
+    group no matter the row count). Deterministic, so estimable
+    bit-identically in SQL — unlike t-digest/GK whose state is
+    order-dependent."""
+    from logzoom_spark.ops.sketch import hist_quantile_estimate, hist_quantile_sketch
+
+    ev = _read(spark, sf, "events")
+    sk = hist_quantile_sketch(ev, "event_type", "value", bin_width=10)
+    return hist_quantile_estimate(sk, bin_width=10).withColumnRenamed(
+        "grp", "event_type"
+    )
+
+
 def q_latency_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact discrete p50/p95 of parse latency per log_type via rank
     positions (no interpolation — engine-exact)."""
@@ -1651,8 +1669,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remainder are the 50 keys already green in CORRECTNESS_r03 (and all
     # entries stay green in tools/check_oracle.py — see COVERAGE.md).
     return {
-        # round 4 (final): mergeable Count-Min frequency sketch
+        # round 4 (final): mergeable Count-Min + histogram-quantile sketches
         "cms_user_counts": q_cms_user_counts,
+        "hist_quantiles": q_hist_quantiles,
         # round 4 (late): sequence packing + TPC-H decorrelation breadth
         "pack_sequences": q_pack_sequences,
         "semantic_dedup": q_semantic_dedup,
@@ -1667,7 +1686,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "dedup_incremental": q_dedup_incremental,
         "inverted_postings": q_inverted_postings,
-        "tpch_q13": q_tpch_q13,
         "tpch_q18": q_tpch_q18,
         "reservoir_sample_lang": q_reservoir_sample_lang,
         "tpch_q17": q_tpch_q17,
@@ -1720,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": q_tpch_q8,
         "tpch_q10": q_tpch_q10,
         "tpch_q11": q_tpch_q11,
+        "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
         "tpch_q15": q_tpch_q15,
         "tpch_q19": q_tpch_q19,

@@ -276,3 +276,91 @@ def cms_point_estimates(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
         .select(F.col("qkey").alias(key_col), "est_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch: bounded-state mergeable quantiles
+# ---------------------------------------------------------------------------
+
+
+def hist_quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: int,
+    seg_col: str | None = None,
+) -> DataFrame:
+    """Fixed-width histogram sketch of ``value_col`` per group: one
+    counter per occupied bin, bin = floor(value / bin_width).
+
+    The bounded-state complement to `exact_percentiles_disc`: that path's
+    shuffle carries one row per DISTINCT (group, value) — exact, but for
+    a continuous measure at 100 TB the distinct count approaches the row
+    count. This sketch's state is capped by the value RANGE / bin_width
+    regardless of row count, and bins are additive, so per-segment
+    sketches merge by summing (`hist_quantile_merge`) — the same
+    mergeability contract as KMV and CMS, pytest-proven equal to a
+    direct build. Deterministic (floor on integer-cast values), so the
+    estimate is bit-identical across engines, unlike t-digest/GK whose
+    state depends on input order.
+
+    Returns (seg?, grp, bin, cnt). NULL values are excluded.
+    """
+    v = F.col(value_col)
+    segs = [F.col(seg_col).alias("seg")] if seg_col else []
+    binned = (
+        df.filter(v.isNotNull())
+        .select(
+            *segs,
+            F.col(group_col).alias("grp"),
+            F.floor(v.cast("double") / F.lit(bin_width)).cast("bigint").alias("bin"),
+        )
+    )
+    keys = (["seg"] if seg_col else []) + ["grp", "bin"]
+    return binned.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hist_quantile_merge(sketch: DataFrame) -> DataFrame:
+    """Merge per-segment histogram sketches: cell-wise sum over segments,
+    bit-identical to one sketch built over the union of rows."""
+    return sketch.groupBy("grp", "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile_estimate(
+    sketch: DataFrame,
+    bin_width: int,
+    percentiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: the estimate for p is
+    the EXCLUSIVE UPPER EDGE of the bin containing 1-based rank
+    ceil(p·n) — (bin+1)·bin_width, the supremum of values that can fall
+    in the bin (bins hold real-valued data, so the inclusive integer
+    edge would undercut e.g. 249.25 in bin [240, 250)). Guarantee:
+    exact < estimate ≤ exact + bin_width where exact is the
+    percentile_disc value; integer-exact rank arithmetic (basis points,
+    integer ceil-div) as in exact_percentiles_disc. The cumulative
+    window runs over occupied bins — ≤ range/bin_width rows per group."""
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = sketch.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("grp"))
+    )
+
+    def target_rank(p: float):
+        p10k = int(round(p * 10000))
+        return F.expr(f"(cast({p10k} AS BIGINT) * n + 9999) div 10000")
+
+    agg_cols = [
+        F.max(
+            F.when(
+                (target_rank(p) > F.col("cum") - F.col("cnt"))
+                & (target_rank(p) <= F.col("cum")),
+                (F.col("bin") + 1) * bin_width,
+            )
+        ).alias(f"p{int(round(p * 100))}_ub")
+        for p in percentiles
+    ]
+    return ranked.groupBy("grp").agg(*agg_cols)

@@ -1910,6 +1910,32 @@ LEFT JOIN sk ON qc.row_i = sk.row_i AND qc.bucket = sk.bucket
 GROUP BY qc.user_id
 """
 
+# histogram quantile sketch: width-10 bins over events.value; estimate =
+# upper edge of the bin holding 1-based rank ceil(p*n) (integer basis-
+# point ceil-div, as in latency_percentiles)
+ORACLES["hist_quantiles"] = """
+WITH b AS (
+  SELECT event_type AS grp,
+         cast(floor(value / 10) AS BIGINT) AS bin, count(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+r AS (
+  SELECT grp, bin, cnt,
+    sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(cnt) OVER (PARTITION BY grp) AS n
+  FROM b
+)
+SELECT grp AS event_type,
+  cast(max(CASE WHEN (5000 * n + 9999) // 10000 > cum - cnt
+                 AND (5000 * n + 9999) // 10000 <= cum
+           THEN (bin + 1) * 10 END) AS BIGINT) AS p50_ub,
+  cast(max(CASE WHEN (9500 * n + 9999) // 10000 > cum - cnt
+                 AND (9500 * n + 9999) // 10000 <= cum
+           THEN (bin + 1) * 10 END) AS BIGINT) AS p95_ub
+FROM r GROUP BY grp
+"""
+
 # semantic dedup: recursive-CTE connected components over the embedding
 # cosine near-dup pairs (same pair derivation as embedding_dup_pairs)
 ORACLES["semantic_dedup"] = f"""

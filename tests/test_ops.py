@@ -1287,3 +1287,30 @@ def test_cms_estimates_upper_bound_and_merge(spark):
     unseen = spark.createDataFrame([("nope",)], "key string")
     out = cms_point_estimates(sk, unseen, "key", depth=4, width=512).collect()
     assert out[0].est_count == 0
+
+
+def test_hist_quantile_sketch_bounds_and_merge(spark):
+    """Histogram quantile sketch: (a) the p-estimate is within bin_width
+    above the exact percentile_disc value and never below it; (b)
+    per-segment sketches merged cell-wise equal the direct build."""
+    from logzoom_spark.ops.sketch import (
+        hist_quantile_estimate,
+        hist_quantile_merge,
+        hist_quantile_sketch,
+    )
+
+    rows = [(f"d{i % 2}", "g", float((i * 37) % 500) + 0.25) for i in range(2000)]
+    df = spark.createDataFrame(rows, "day string, grp_src string, v double")
+
+    sk = hist_quantile_sketch(df, "grp_src", "v", bin_width=10)
+    est = hist_quantile_estimate(sk, bin_width=10).collect()[0]
+
+    vals = sorted(r.v for r in df.select("v").collect())
+    import math
+
+    for p, got in ((0.5, est.p50_ub), (0.95, est.p95_ub)):
+        exact = vals[math.ceil(p * len(vals)) - 1]
+        assert exact < got <= exact + 10, (p, exact, got)
+
+    merged = hist_quantile_merge(hist_quantile_sketch(df, "grp_src", "v", bin_width=10, seg_col="day"))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
