@@ -91,6 +91,13 @@ print("RESULT " + json.dumps({{"cpus": cpus, "reps": reps, "turns": n_turns}}))
 """
 
 
+def _parse_result(out: subprocess.CompletedProcess, cpus: int) -> dict:
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"session cpus={cpus} failed:\n{out.stderr[-2000:]}")
+
+
 def run_session(cpus: int, turns_path: str, reps: int) -> dict:
     script = _SESSION_SCRIPT.format(
         repo=REPO, cpus=cpus, turns_path=turns_path, reps=reps
@@ -98,10 +105,50 @@ def run_session(cpus: int, turns_path: str, reps: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=1800
     )
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"session cpus={cpus} failed:\n{out.stderr[-2000:]}")
+    return _parse_result(out, cpus)
+
+
+def package_zip(dest_dir: str) -> str:
+    """Zip logzoom_spark for --py-files (same packaging as scripts/submit.sh)."""
+    import zipfile
+
+    zip_path = os.path.join(dest_dir, "logzoom_spark.zip")
+    pkg = os.path.join(REPO, "logzoom_spark")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                full = os.path.join(root, f)
+                zf.write(full, os.path.relpath(full, REPO))
+    return zip_path
+
+
+def run_session_submit(cpus: int, turns_path: str, reps: int, zip_path: str) -> dict:
+    """Same session, launched via spark-submit --py-files — the north rule's
+    literal cluster launch path. logzoom_spark is imported from the shipped
+    zip; master/memory/conf come from submit flags, as on a real cluster."""
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cpus}]",
+        "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        "--py-files", zip_path,
+        "--conf", f"spark.sql.shuffle.partitions={max(cpus, 8)}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.sql.autoBroadcastJoinThreshold=67108864",
+        # small-input split sizing so both levels actually fan out
+        "--conf", "spark.sql.files.maxPartitionBytes=4194304",
+        "--conf", "spark.sql.files.openCostInBytes=524288",
+        "--conf", "spark.ui.enabled=false",
+        os.path.join(REPO, "scripts", "submit_session.py"),
+        "--turns-path", turns_path,
+        "--reps", str(reps),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    return _parse_result(out, cpus)
 
 
 def materialize_turns(sf_dir: str, replicate: int, dest: str) -> None:
@@ -138,19 +185,29 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--out", default="BENCH/BASELINE.md")
+    ap.add_argument(
+        "--via-submit",
+        action="store_true",
+        help="launch each session via spark-submit --py-files (zip-packaged "
+        "logzoom_spark) — the north rule's literal cluster launch path",
+    )
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="lz_scale_")
     turns_path = f"{work}/turns"
     try:
         materialize_turns(args.sf_dir, args.replicate, turns_path)
+        zip_path = package_zip(work) if args.via_submit else None
 
         all_reps: dict[int, list[float]] = {args.n: [], args.n4: []}
         n_turns = 0
         sessions = []
         for _ in range(args.rounds):
             for cpus in (args.n, args.n4):
-                r = run_session(cpus, turns_path, args.reps)
+                if args.via_submit:
+                    r = run_session_submit(cpus, turns_path, args.reps, zip_path)
+                else:
+                    r = run_session(cpus, turns_path, args.reps)
                 all_reps[cpus] += r["reps"]
                 n_turns = r["turns"]
                 sessions.append(r)
@@ -172,7 +229,9 @@ def main() -> None:
     med = {c: statistics.median(v) for c, v in all_reps.items()}
     md = f"""# BENCH/BASELINE — measured throughput + scaling efficiency
 
-Generated {stamp} by scripts/bench_scaling.py. Sandbox proxy for the
+Generated {stamp} by scripts/bench_scaling.py
+(launch path: {"spark-submit --py-files logzoom_spark.zip" if args.via_submit else "in-process python"}).
+Sandbox proxy for the
 N vs 4N executor-cluster criterion (BASELINE.json): identical routing job
 (parse → broadcast enrich → route 6 sinks → grouping-sets aggregates, all
 branches materialized), identical input ({args.sf_dir}, replicate=

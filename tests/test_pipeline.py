@@ -7,6 +7,9 @@ import glob
 import gzip
 import hashlib
 import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
 
 from pyspark.sql import functions as F
 
@@ -295,6 +298,49 @@ def test_write_es_salted_multi_file_days(spark, turns, tmp_path):
     assert max(per_day.values()) > 1, f"one writer task per day: {per_day}"
     back = spark.read.json(f"{out}")
     assert back.count() == turns.count()
+
+
+def test_spark_submit_py_files_launch(tmp_path):
+    """The north rule's literal launch path: package logzoom_spark into a
+    zip and run the full batch pipeline via spark-submit --py-files
+    (scripts/submit.sh). Catches zip-packaging breaks (a module importable
+    from the checkout but missing from the wheel-less zip, or any hidden
+    dependency on the repo cwd) that the in-process suite can't see."""
+    import os
+    import subprocess
+
+    out_dir = tmp_path / "submit_out"
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_DRIVER_MEM="4g",
+    )
+    res = subprocess.run(
+        ["bash", str(REPO / "scripts" / "submit.sh"), str(out_dir)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(REPO),
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    # driver prints one JSON line: {sink: {"rows": N}}
+    payload = None
+    for line in res.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            payload = json.loads(line)
+    assert payload is not None, res.stdout[-2000:]
+    assert set(payload) == {
+        "sink_redis_a", "sink_redis_b", "sink_s3", "sink_es", "sink_tcp", "sink_ws",
+    }
+    # ES ignores rules (elasticsearch.go:146-153) ⇒ every parsed turn routed
+    assert payload["sink_es"]["rows"] > 0
+    # missing rule key ⇒ reject (s3.go:303) ⇒ tcp sink gets nothing
+    assert payload["sink_tcp"]["rows"] == 0
+    # sink files actually landed on disk from the submitted job
+    assert glob.glob(str(out_dir / "sink_es" / "**" / "*"), recursive=True)
 
 
 def test_completed_groups_rejects_pre_upgrade_manifest(spark, tmp_path):
