@@ -1,0 +1,120 @@
+"""Distributed k-means (Lloyd's algorithm) over the embeddings table — the
+clustering step of semantic-dedup / domain-discovery curation pipelines
+(SemDeDup-style: cluster embeddings, then dedup within clusters; our
+`semantic_dedup` consumes exactly this assignment shape).
+
+Spark-first plan, per Lloyd iteration:
+- **assign**: centroids are BOUNDED (k rows of dims ints), so they are
+  inlined as literals and the nearest-centroid argmin is a pure projection
+  inside whole-stage codegen — ZERO shuffle, one pass over the embedding
+  column (same driver-bounded-state pattern as ``similarity.ivf_assign``).
+- **update**: element-wise centroid means via per-dimension `sum` columns
+  under one `groupBy(cell)` — map-side partial aggregation collapses each
+  partition to k×(dims+1) longs before the shuffle, so the exchange carries
+  O(k·dims) per partition regardless of row count. The k result rows are
+  collected to the driver (bounded: k×dims ints) to build the next
+  iteration's literal centroids.
+
+Determinism (oracle-exact in any engine):
+- embeddings quantized to integer grids (floor(double(x)·scale)) so
+  distances are exact BIGINTs — no float accumulation-order drift;
+- argmin tie-break by LOWEST cell id via the injective ord = dist²·k + cell
+  encoding (dist² ≥ 0, cell ∈ [0, k) ⇒ min(ord) ⇔ (min dist², min cell));
+- centroid means floor-quantized: floor(sum / n) per dimension (exact —
+  sums fit a double's 53-bit mantissa at any realistic scale·dim);
+- init centroids = the stored vectors with vec_id ∈ [0, k) (deterministic,
+  SQL-expressible stand-in for k-means‖ seeding — swap in trained seeds via
+  the same bounded-literal path if needed).
+
+Empty clusters drop out of the update (standard Lloyd variant): a cell with
+no members contributes no mean row, and later iterations assign over the
+surviving centroids only.
+
+No reference analog (logzoom has no vector surface); this extends the
+training-data operator set mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import quantize
+
+
+def _assign(base: DataFrame, cents: list[tuple[int, list[int]]], k: int) -> DataFrame:
+    """(vec_id, v, cell, dist2): nearest centroid per row, ties to the
+    lowest cell id. Pure codegen projection — centroids are inlined
+    literals, no join, no shuffle."""
+    ords = []
+    for cell, cv in cents:
+        diff2 = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.array(*[F.lit(int(x)) for x in cv]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        ords.append(diff2 * k + F.lit(int(cell)))
+    best = F.least(*ords) if len(ords) > 1 else ords[0]
+    return base.select(
+        "vec_id",
+        "v",
+        F.pmod(best, F.lit(k)).cast("int").alias("cell"),
+        F.floor(best / F.lit(k)).cast("bigint").alias("dist2"),
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """(vec_id, cluster, dist2) after ``iters`` Lloyd assignment rounds with
+    a centroid-mean update between consecutive rounds.
+
+    ``iters=1`` is exactly the IVF coarse assignment; ``iters≥2`` refines
+    centroids toward the data. Driver state per iteration is k×dims ints;
+    everything row-scaled stays distributed (see module docstring for the
+    per-iteration plan shape).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    base = emb.select(
+        "vec_id", quantize(F.col("embedding"), scale).alias("v")
+    )
+    cents = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["v"]])
+        for r in base.filter(F.col("vec_id") < k).collect()
+    )
+    if not cents:
+        raise ValueError(f"no init centroids: no vec_id in [0, {k})")
+    assigned = _assign(base, cents, k)
+    for _ in range(iters - 1):
+        sums = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dims)],
+        )
+        # floor(sum/n) per dimension; k bounded rows reach the driver
+        cents = sorted(
+            (int(r["cell"]), [int(r[f"s{i}"]) // int(r["n"]) for i in range(dims)])
+            for r in sums.collect()
+        )
+        assigned = _assign(base, cents, k)
+    return assigned.select(
+        "vec_id", F.col("cell").alias("cluster"), "dist2"
+    )
+
+
+def cluster_sizes(assignment: DataFrame) -> DataFrame:
+    """(cluster, n_vecs, inertia) rollup of a kmeans_assign result —
+    the convergence/balance health signal (inertia = Σ dist²,
+    integer-exact)."""
+    return assignment.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("dist2").alias("inertia"),
+    )

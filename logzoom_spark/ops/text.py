@@ -119,6 +119,94 @@ def heavy_hitter_tokens(docs: DataFrame, k: int = 50, col: str = "text") -> Data
     )
 
 
+def bpe_pair_counts(docs: DataFrame, top_n: int = 30, col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent-symbol pair counts — the counting step of BPE
+    tokenizer training (one merge round over the character alphabet; the
+    merge loop re-runs this op on re-segmented symbols). Deterministic
+    tie-break: (count desc, pair asc).
+
+    Scale shape: pair counting runs over the DISTINCT-WORD table weighted
+    by word frequency, not over the raw corpus — the standard BPE-training
+    trick. Stage 1 (word counts) shuffles one (word, partial-count) row
+    per distinct word per partition (map-side combine); stage 2 explodes
+    each vocab word into its ≤len-1 pairs and hash-aggregates again.
+    Both exchanges carry the vocabulary, not the corpus. Final top-n is a
+    TakeOrdered, not a global sort. All built-ins — split, substr,
+    sequence — inside whole-stage codegen; per-position multiplicity
+    ('aaa' contains 'aa' twice) is counted exactly."""
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col(col))), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # sequence(1, len-1) only for len >= 2: Spark's sequence DESCENDS when
+    # start > stop, so an unguarded length-1 word would emit bogus indices
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            "cnt",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+            "word",
+        )
+        .select(F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"), "cnt")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top_n)
+    )
+
+
+def quality_prune_per_group(
+    docs: DataFrame, keep_pct: int = 30, group_col: str = "lang", col: str = "text"
+) -> DataFrame:
+    """Relative quality calibration: keep the top ``keep_pct`` percent of
+    documents PER GROUP (language/domain) by quality score — the
+    FineWeb-style alternative to one global absolute threshold, which
+    over-prunes low-resource domains. Emits every doc with its rank-derived
+    verdict so the caller can filter or audit.
+
+    Score here = stopword_hits·10⁶ + token count (integer-exact,
+    deterministic; a production pass swaps in a model-scored column through
+    the same contract). Ranking ties break by doc_id. Per-group kept count
+    = floor(n_group · keep_pct / 100).
+
+    Scale shape: one shuffle on the group key; within-group window sort is
+    per-domain, not global. Domains are few and fat — AQE skew-split
+    handles an oversized one, and a per-domain sort is the operation's
+    intrinsic cost (a quantile-sketch cutoff trades exactness for a
+    sort-free plan; this op is the exact variant)."""
+    from pyspark.sql import Window
+
+    t = F.col(col)
+    score = (
+        _stopword_hits(t).cast("bigint") * 1_000_000 + token_count(t).cast("bigint")
+    )
+    ranked = docs.select(
+        "doc_id", F.col(group_col).alias("grp"), score.alias("score")
+    ).select(
+        "doc_id",
+        "grp",
+        "score",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("doc_id"))
+        ).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n_grp"),
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("grp").alias(group_col),
+        "score",
+        (
+            F.col("rn") <= F.floor(F.col("n_grp") * keep_pct / 100)
+        ).cast("int").alias("kept"),
+    )
+
+
 #: redaction patterns (applied in dict order): public PII-shaped tokens
 REDACTIONS: dict[str, str] = {
     r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}": "<EMAIL>",

@@ -1974,3 +1974,82 @@ SELECT node AS vec_id, min(label) AS cluster_id,
        CASE WHEN node = min(label) THEN 1 ELSE 0 END AS is_canonical
 FROM reach GROUP BY node
 """
+
+# k-means (ops/kmeans.kmeans_assign, k=4, iters=2): unrolled Lloyd rounds —
+# init = vec_id<4, argmin by (dist², cell) via row_number, centroid update =
+# per-dimension floor(sum/n)
+ORACLES["kmeans_clusters"] = f"""
+WITH q AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cell, v AS cv FROM q WHERE vec_id < 4),
+d1 AS (
+  SELECT q.vec_id, c.cell,
+    cast(list_sum(list_transform(range(1, 65),
+         i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT) AS d
+  FROM q CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM d1) WHERE rn = 1
+),
+s1e AS (
+  SELECT a1.cell AS cell, q.v AS v, unnest(range(1, 65)) AS i
+  FROM a1 JOIN q USING (vec_id)
+),
+s1 AS (SELECT cell, i, sum(v[i]) AS s, count(*) AS n FROM s1e GROUP BY cell, i),
+c1 AS (
+  SELECT cell, list(cast(floor(cast(s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
+  FROM s1 GROUP BY cell
+),
+d2 AS (
+  SELECT q.vec_id, c.cell,
+    cast(list_sum(list_transform(range(1, 65),
+         i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT) AS d
+  FROM q CROSS JOIN c1 c
+)
+SELECT vec_id, cast(cell AS INT) AS cluster, d AS dist2 FROM (
+  SELECT vec_id, cell, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM d2) WHERE rn = 1
+"""
+
+# BPE pair counting (ops/text.bpe_pair_counts, top_n=30): frequency-weighted
+# adjacent character pairs over the distinct-word table
+ORACLES["bpe_pair_counts"] = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents
+),
+wc AS (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
+we AS (
+  SELECT word, cnt, unnest(range(1, length(word))) AS i
+  FROM wc WHERE length(word) >= 2
+),
+p AS (SELECT substr(word, i, 2) AS pair, cnt FROM we)
+SELECT pair, cast(sum(cnt) AS BIGINT) AS cnt
+FROM p GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 30
+"""
+
+# per-domain quality pruning (ops/text.quality_prune_per_group, keep_pct=30,
+# group=lang): score = stopword_hits*1e6 + token_count; keep floor(n*30/100)
+ORACLES["quality_prune_per_lang"] = f"""
+WITH f AS (
+  SELECT doc_id, lang,
+    cast({_STOP_HITS} AS BIGINT) * 1000000
+    + cast(CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+    AS score
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, score,
+    row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM f
+)
+SELECT doc_id, lang, score,
+  cast(CASE WHEN rn <= (n * 30) // 100 THEN 1 ELSE 0 END AS INT) AS kept
+FROM r
+"""

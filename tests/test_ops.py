@@ -1314,3 +1314,82 @@ def test_hist_quantile_sketch_bounds_and_merge(spark):
 
     merged = hist_quantile_merge(hist_quantile_sketch(df, "grp_src", "v", bin_width=10, seg_col="day"))
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
+
+
+def test_kmeans_inertia_monotone_and_assignment_shape(spark, emb):
+    """Lloyd guarantee: total inertia is non-increasing with more rounds;
+    cluster ids live in [0, k); every vector is assigned exactly once."""
+    from logzoom_spark.ops.kmeans import cluster_sizes, kmeans_assign
+
+    a1 = kmeans_assign(emb, k=4, iters=1)
+    a2 = kmeans_assign(emb, k=4, iters=2)
+    n = emb.count()
+    assert a1.count() == n and a2.count() == n
+    cells = {r.cluster for r in a2.select("cluster").distinct().collect()}
+    assert cells <= set(range(4))
+    i1 = cluster_sizes(a1).agg(F.sum("inertia")).first()[0]
+    i2 = cluster_sizes(a2).agg(F.sum("inertia")).first()[0]
+    assert i2 <= i1
+    assert a2.filter(F.col("dist2") < 0).count() == 0
+
+
+def test_kmeans_tie_breaks_to_lowest_cell(spark):
+    """Equidistant point must take the LOWEST cell id (the oracle's
+    row_number order), and init centroids get dist2=0 to themselves."""
+    from logzoom_spark.ops.kmeans import kmeans_assign
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [2.0, 0.0]),
+        (2, [1.0, 0.0]),  # exactly between centroids 0 and 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: (r.cluster, r.dist2) for r in
+           kmeans_assign(df, k=2, iters=1, dims=2).collect()}
+    assert out[0] == (0, 0)
+    assert out[1] == (1, 0)
+    assert out[2][0] == 0  # tie -> lowest cell
+
+
+def test_kmeans_rejects_bad_iters_and_missing_init(spark):
+    from logzoom_spark.ops.kmeans import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(10, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="iters"):
+        kmeans_assign(df, k=2, iters=0, dims=2)
+    with pytest.raises(ValueError, match="init centroids"):
+        kmeans_assign(df, k=2, iters=1, dims=2)  # no vec_id in [0, 2)
+
+
+def test_bpe_pair_counts_exact(spark):
+    """Hand-computed pair counts: within-word multiplicity ('aaa' -> 'aa'
+    twice), frequency weighting across docs, case folding, length-1 words
+    contributing nothing."""
+    rows = [(1, "aaa ab X"), (2, "AB aaa")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.pair: r.cnt for r in tx.bpe_pair_counts(df, top_n=10).collect()}
+    # words: aaa x2, ab x2 (AB folds), x1 ignored (len 1)
+    assert out == {"aa": 4, "ab": 2}
+
+
+def test_quality_prune_per_group_counts_and_order(spark, docs):
+    """Per-group kept count = floor(n*pct/100); every kept doc outranks
+    every dropped doc within its group under (score desc, doc_id asc)."""
+    out = tx.quality_prune_per_group(docs, keep_pct=30, group_col="lang")
+    rows = out.collect()
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    assert sum(len(v) for v in by_lang.values()) == docs.count()
+    for lang, rs in by_lang.items():
+        kept = [r for r in rs if r.kept == 1]
+        assert len(kept) == (len(rs) * 30) // 100
+        if kept:
+            worst_kept = min((r.score, -r.doc_id) for r in kept)
+            for r in rs:
+                if r.kept == 0:
+                    assert (r.score, -r.doc_id) < worst_kept

@@ -72,6 +72,10 @@ def main() -> None:
         ("tpch_q16 (anti join + count distinct)", se.q_tpch_q16),
         ("tpch_q21 (flag rollups, no correlated self-joins)", se.q_tpch_q21),
         ("tpch_q22 (1-row broadcast scalar + anti join)", se.q_tpch_q22),
+        # round 4 (final)
+        ("kmeans (zero-shuffle literal-centroid assign)", se.q_kmeans_clusters),
+        ("bpe pairs (vocab-sized shuffles + TakeOrdered)", se.q_bpe_pair_counts),
+        ("quality prune (one group-key shuffle, per-domain window)", se.q_quality_prune_per_lang),
     ]:
         print("=" * 30, name)
         q(spark, sf).explain("formatted")
