@@ -67,15 +67,20 @@ def _assign(base: DataFrame, cents: list[tuple[int, list[int]]], k: int) -> Data
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     emb: DataFrame,
     k: int = 4,
     iters: int = 2,
     dims: int = 64,
     scale: int = 1000,
-) -> DataFrame:
-    """(vec_id, cluster, dist2) after ``iters`` Lloyd assignment rounds with
-    a centroid-mean update between consecutive rounds.
+) -> tuple[DataFrame, list[dict]]:
+    """Run ``iters`` Lloyd assignment rounds (mean update between rounds);
+    return (assignment, centroids). The assignment is (vec_id, cluster,
+    dist2); the centroids are the ones the FINAL assignment used, as
+    ``[{"vec_id": cell, "v": [ints]}, ...]`` with dense ids in [0, k) —
+    directly valid as ``similarity.ivf_assign(..., centroids=...)`` /
+    ``knn_join(..., centroids=...)`` trained seeds (their id-density
+    validation is satisfied by construction).
 
     ``iters=1`` is exactly the IVF coarse assignment; ``iters≥2`` refines
     centroids toward the data. Driver state per iteration is k×dims ints;
@@ -105,9 +110,23 @@ def kmeans_assign(
             for r in sums.collect()
         )
         assigned = _assign(base, cents, k)
-    return assigned.select(
+    assignment = assigned.select(
         "vec_id", F.col("cell").alias("cluster"), "dist2"
     )
+    return assignment, [{"vec_id": c, "v": cv} for c, cv in cents]
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """(vec_id, cluster, dist2) after ``iters`` Lloyd rounds — see
+    ``kmeans_fit`` (this is its assignment half)."""
+    assignment, _ = kmeans_fit(emb, k=k, iters=iters, dims=dims, scale=scale)
+    return assignment
 
 
 def cluster_sizes(assignment: DataFrame) -> DataFrame:

@@ -1393,3 +1393,29 @@ def test_quality_prune_per_group_counts_and_order(spark, docs):
             for r in rs:
                 if r.kept == 0:
                     assert (r.score, -r.doc_id) < worst_kept
+
+
+def test_kmeans_centroids_train_ivf_index(spark, emb):
+    """Trained-seed composition: kmeans_fit centroids (dense ids in [0,k)
+    by construction) feed ivf_assign's centroids= injection, and the
+    resulting cells are the true max-dot argmax (ties to lowest cell) —
+    checked independently in Python over the collected vectors."""
+    from logzoom_spark.ops.kmeans import kmeans_fit
+
+    _, cents = kmeans_fit(emb, k=4, iters=2)
+    assert [c["vec_id"] for c in cents] == sorted(c["vec_id"] for c in cents)
+    assert all(0 <= c["vec_id"] < 4 for c in cents)
+    out = similarity.ivf_assign(emb, n_cells=4, centroids=cents)
+    got = {r.vec_id: r.cell for r in out.collect()}
+    vecs = {
+        r.vec_id: [int(x) for x in r.v]
+        for r in emb.select(
+            "vec_id", similarity.quantize(F.col("embedding")).alias("v")
+        ).collect()
+    }
+    for vid, v in vecs.items():
+        dots = [
+            (sum(a * b for a, b in zip(v, c["v"])), c["vec_id"]) for c in cents
+        ]
+        best = max(dots, key=lambda t: (t[0], -t[1]))[1]
+        assert got[vid] == best, vid
