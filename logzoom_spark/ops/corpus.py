@@ -180,9 +180,18 @@ def mixture_sample(
     round-trip, reproducible under any partitioning (same gate as
     ``stratified_sample``)."""
     plan = mixture_plan(docs, weights10k, budget_tokens, strata_col, default10k)
-    rates = plan.select(F.col("stratum").alias(strata_col), "rate10k")
+    rates = plan.select(F.col("stratum").alias("_stratum"), "rate10k")
     bucket = F.pmod(portable_hash(F.col("doc_id").cast("string"), seed), F.lit(10000))
-    return docs.join(F.broadcast(rates), strata_col).filter(bucket < F.col("rate10k"))
+    # eqNullSafe: mixture_plan computes a (default10k-weighted) rate for the
+    # NULL stratum too; a plain equi-join would silently drop every
+    # NULL-stratum doc, violating the counted-not-dropped policy
+    return (
+        docs.join(
+            F.broadcast(rates), F.col(strata_col).eqNullSafe(F.col("_stratum"))
+        )
+        .drop("_stratum")
+        .filter(bucket < F.col("rate10k"))
+    )
 
 
 def ngram_hashes(
@@ -207,9 +216,14 @@ def ngram_hashes(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return docs.select(
-        F.col(id_col), F.explode(grams).alias("_g")
-    ).select(id_col, h(F.col("_g")).alias("gram_hash"))
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("_g"))
+        # NULL/blank text collapses to a single '' gram — hashing it would
+        # make every empty doc "share a gram" with every other empty doc
+        # (contamination_pairs would then cross-join the blanks)
+        .filter(F.col("_g") != "")
+        .select(id_col, h(F.col("_g")).alias("gram_hash"))
+    )
 
 
 def contamination_pairs(

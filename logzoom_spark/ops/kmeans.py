@@ -45,8 +45,12 @@ from .similarity import quantize
 def _assign(base: DataFrame, cents: list[tuple[int, list[int]]], k: int) -> DataFrame:
     """(vec_id, v, cell, dist2): nearest centroid per row, ties to the
     lowest cell id. Pure codegen projection — centroids are inlined
-    literals, no join, no shuffle."""
-    ords = []
+    literals, no join, no shuffle. The argmin is array_min over
+    (dist², cell) structs (struct ordering is field-by-field, so the min
+    is (smallest dist², then smallest cell)) — exact BIGINT throughout,
+    no dist²·k+cell packing whose float-division unpacking would round
+    past 2^53."""
+    pairs = []
     for cell, cv in cents:
         diff2 = F.aggregate(
             F.zip_with(
@@ -57,13 +61,13 @@ def _assign(base: DataFrame, cents: list[tuple[int, list[int]]], k: int) -> Data
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
-        ords.append(diff2 * k + F.lit(int(cell)))
-    best = F.least(*ords) if len(ords) > 1 else ords[0]
+        pairs.append(F.struct(diff2.alias("d"), F.lit(int(cell)).alias("c")))
+    best = F.array_min(F.array(*pairs))
     return base.select(
         "vec_id",
         "v",
-        F.pmod(best, F.lit(k)).cast("int").alias("cell"),
-        F.floor(best / F.lit(k)).cast("bigint").alias("dist2"),
+        best["c"].cast("int").alias("cell"),
+        best["d"].cast("bigint").alias("dist2"),
     )
 
 
@@ -98,18 +102,35 @@ def kmeans_fit(
     )
     if not cents:
         raise ValueError(f"no init centroids: no vec_id in [0, {k})")
-    assigned = _assign(base, cents, k)
-    for _ in range(iters - 1):
-        sums = assigned.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dims)],
-        )
-        # floor(sum/n) per dimension; k bounded rows reach the driver
-        cents = sorted(
-            (int(r["cell"]), [int(r[f"s{i}"]) // int(r["n"]) for i in range(dims)])
-            for r in sums.collect()
-        )
+    # wrong dims would otherwise fail far from the cause: a too-large dims
+    # makes the update's out-of-range v[i] sums NULL (int(None) TypeError
+    # at collect), a too-small one NULL-pads zip_with and silently turns
+    # every dist²/cluster NULL
+    for _, cv in cents:
+        if len(cv) != dims:
+            raise ValueError(
+                f"dims={dims} but embeddings have {len(cv)} dimensions"
+            )
+    if iters > 1:
+        base = base.persist()  # each update collect + reassign re-reads base
+    try:
         assigned = _assign(base, cents, k)
+        for _ in range(iters - 1):
+            sums = assigned.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dims)],
+            )
+            # floor(sum/n) per dimension; k bounded rows reach the driver
+            cents = sorted(
+                (int(r["cell"]), [int(r[f"s{i}"]) // int(r["n"]) for i in range(dims)])
+                for r in sums.collect()
+            )
+            assigned = _assign(base, cents, k)
+    finally:
+        if iters > 1:
+            # lazy uncache: the returned plan stays valid, the final
+            # consumer just re-scans the source once
+            base.unpersist()
     assignment = assigned.select(
         "vec_id", F.col("cell").alias("cluster"), "dist2"
     )

@@ -130,6 +130,14 @@ def bm25_topk(
     sort. Pass a persisted ``postings`` (bucketed by token) to skip the
     index build and prune the scan to the query terms' buckets."""
     spark = docs.sparkSession
+    # normalize through the same fold the index applies (_tokens lowercases)
+    # and DEDUPE: a duplicate query term would double its cand rows, so df
+    # would count 2× the true document frequency — deflating (even negating)
+    # the idf and double-counting n_terms_hit
+    terms = sorted({t.strip().lower() for t in query_terms if t and t.strip()})
+    if not terms:
+        raise ValueError("query_terms must contain at least one non-empty term")
+    query_terms = terms
     if postings is None:
         postings = build_postings(docs)
     lens = doc_lengths(docs)

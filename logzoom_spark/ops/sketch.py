@@ -39,6 +39,26 @@ HASH_SPACE = 1 << 60
 DEFAULT_N_SALT = 32
 
 
+def _target_rank(p: float) -> Column:
+    """1-based percentile_disc target rank max(1, ceil(p·n)) as a column
+    over `n` — integer-exact: binary-float p overshoots for many (p, n)
+    pairs (ceil(0.07 * 100) is 8, not 7), so the rate is carried as an
+    exact basis-point integer and the ceiling is integer div. The
+    greatest(1, …) clamp makes p=0.0 the group MINIMUM (rank 1) instead
+    of rank 0, which no cumulative range contains. Shared by
+    exact_percentiles_disc and hist_quantile_estimate so the rank rule
+    cannot drift between the exact path and the sketch path."""
+    p10k = int(round(p * 10000))
+    return F.expr(f"greatest(1L, (cast({p10k} AS BIGINT) * n + 9999) div 10000)")
+
+
+def _rank_hits_bin(p: float) -> Column:
+    """True on the histogram row whose cumulative range
+    (cum - cnt, cum] contains the target rank for p."""
+    r = _target_rank(p)
+    return (r > F.col("cum") - F.col("cnt")) & (r <= F.col("cum"))
+
+
 def kmv_distinct(
     df: DataFrame,
     group_col: str,
@@ -129,22 +149,9 @@ def exact_percentiles_disc(
     ranked = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
         "n", F.sum("cnt").over(Window.partitionBy("grp"))
     )
-
-    def target_rank(p: float):
-        # integer-exact ceil(p·n): binary-float p overshoots for many
-        # (p, n) pairs — ceil(0.07 * 100) is 8, not 7. Rate is carried as
-        # an exact basis-point integer and the ceiling is integer div.
-        p10k = int(round(p * 10000))
-        return F.expr(f"(cast({p10k} AS BIGINT) * n + 9999) div 10000")
-
     agg_cols = [
-        F.max(
-            F.when(
-                (target_rank(p) > F.col("cum") - F.col("cnt"))
-                & (target_rank(p) <= F.col("cum")),
-                F.col("val"),
-            )
-        ).alias(f"p{int(round(p * 100))}")  # round: int(0.29*100) is 28
+        F.max(F.when(_rank_hits_bin(p), F.col("val")))
+        .alias(f"p{int(round(p * 100))}")  # round: int(0.29*100) is 28
         for p in percentiles
     ]
     return ranked.groupBy("grp").agg(*agg_cols).withColumnRenamed("grp", group_col)
@@ -300,21 +307,31 @@ def hist_quantile_sketch(
     regardless of row count, and bins are additive, so per-segment
     sketches merge by summing (`hist_quantile_merge`) — the same
     mergeability contract as KMV and CMS, pytest-proven equal to a
-    direct build. Deterministic (floor on integer-cast values), so the
-    estimate is bit-identical across engines, unlike t-digest/GK whose
-    state depends on input order.
+    direct build. Deterministic, so the estimate is bit-identical across
+    engines, unlike t-digest/GK whose state depends on input order:
+    integral value columns bin by PURE-INTEGER floor division
+    ((v − pmod(v, w)) div w — double division would lose bits past 2^53
+    and misbin boundary values, the corpus.py prefix-sum hazard), while
+    fractional columns bin by floor(v / w), IEEE-defined on doubles.
 
     Returns (seg?, grp, bin, cnt). NULL values are excluded.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     v = F.col(value_col)
+    w = int(bin_width)
+    if isinstance(df.schema[value_col].dataType, (ByteType, ShortType, IntegerType, LongType)):
+        # exact floor for any sign: v - pmod(v, w) is the largest multiple
+        # of w <= v, so the (truncating, integer) div is exact — `/` would
+        # route through double and round past 2^53
+        bin_expr = F.expr(f"(_v - pmod(_v, {w}L)) div {w}L")
+    else:
+        bin_expr = F.floor(F.col("_v") / F.lit(w)).cast("bigint")
     segs = [F.col(seg_col).alias("seg")] if seg_col else []
     binned = (
         df.filter(v.isNotNull())
-        .select(
-            *segs,
-            F.col(group_col).alias("grp"),
-            F.floor(v.cast("double") / F.lit(bin_width)).cast("bigint").alias("bin"),
-        )
+        .select(*segs, F.col(group_col).alias("grp"), v.alias("_v"))
+        .select(*(["seg"] if seg_col else []), "grp", bin_expr.alias("bin"))
     )
     keys = (["seg"] if seg_col else []) + ["grp", "bin"]
     return binned.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
@@ -348,19 +365,9 @@ def hist_quantile_estimate(
     ranked = sketch.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
         "n", F.sum("cnt").over(Window.partitionBy("grp"))
     )
-
-    def target_rank(p: float):
-        p10k = int(round(p * 10000))
-        return F.expr(f"(cast({p10k} AS BIGINT) * n + 9999) div 10000")
-
     agg_cols = [
-        F.max(
-            F.when(
-                (target_rank(p) > F.col("cum") - F.col("cnt"))
-                & (target_rank(p) <= F.col("cum")),
-                (F.col("bin") + 1) * bin_width,
-            )
-        ).alias(f"p{int(round(p * 100))}_ub")
+        F.max(F.when(_rank_hits_bin(p), (F.col("bin") + 1) * bin_width))
+        .alias(f"p{int(round(p * 100))}_ub")
         for p in percentiles
     ]
     return ranked.groupBy("grp").agg(*agg_cols)

@@ -655,7 +655,7 @@ rates AS (
   FROM stats
 )
 SELECT d.doc_id, d.lang, d.source
-FROM documents d JOIN rates r USING (lang)
+FROM documents d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
 WHERE ({portable_hash_sql("cast(d.doc_id AS VARCHAR)")} % 10000) < r.rate10k
 """
 
@@ -1542,7 +1542,7 @@ grams AS (
   FROM tk
 ),
 hashed AS (
-  SELECT doc_id, {portable_hash_sql("gram")} AS gram_hash FROM grams
+  SELECT doc_id, {portable_hash_sql("gram")} AS gram_hash FROM grams WHERE gram <> ''
 ),
 bench AS (SELECT doc_id AS bench_id, gram_hash FROM hashed WHERE doc_id % 7 = 0),
 busy AS (SELECT gram_hash FROM bench GROUP BY gram_hash HAVING count(*) > 100),

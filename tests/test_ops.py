@@ -1419,3 +1419,95 @@ def test_kmeans_centroids_train_ivf_index(spark, emb):
         ]
         best = max(dots, key=lambda t: (t[0], -t[1]))[1]
         assert got[vid] == best, vid
+
+
+def test_mixture_sample_keeps_null_stratum_docs(spark):
+    """mixture_plan rates the NULL stratum via default10k; the sample join
+    must be null-safe so NULL-stratum docs are gated, not silently dropped."""
+    from logzoom_spark.ops.corpus import mixture_sample
+
+    rows = [(i, "w " * 10, None if i % 2 else "en") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    samp = mixture_sample(df, {"en": 5000}, 10**9, default10k=10000)
+    langs = {r.lang for r in samp.collect()}
+    # rate10k saturates at 10000 for both strata under the huge budget:
+    # every doc, including every NULL-lang doc, must survive
+    assert samp.count() == 40 and None in langs
+    # and with default10k=0 the NULL stratum is gated out by RATE, not join
+    none_kept = mixture_sample(df, {"en": 5000}, 10**9, default10k=0)
+    assert none_kept.filter(F.col("lang").isNull()).count() == 0
+
+
+def test_hist_sketch_integral_bins_exact_past_2pow53(spark):
+    """Integer values bin by pure-integer floor division: 2^53+1 with
+    width 7 must land in the true floor bin (double division rounds the
+    value to 2^53 first), and negative values floor, not truncate."""
+    from logzoom_spark.ops.sketch import hist_quantile_sketch
+
+    big = (1 << 53) + 1
+    rows = [(1, big), (1, -7), (1, -1)]
+    df = spark.createDataFrame(rows, "grp int, v long")
+    out = {r.bin: r.cnt for r in hist_quantile_sketch(df, "grp", "v", 7).collect()}
+    assert out == {big // 7: 1, -1: 2}  # floor(-7/7)=-1, floor(-1/7)=-1
+
+
+def test_percentile_p0_is_group_minimum(spark):
+    """percentile_disc(0) = the smallest value (rank clamped to 1), in the
+    exact path and the histogram-sketch estimate alike."""
+    from logzoom_spark.ops.sketch import (
+        exact_percentiles_disc,
+        hist_quantile_estimate,
+        hist_quantile_sketch,
+    )
+
+    rows = [("a", v) for v in (5, 17, 23)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    exact = exact_percentiles_disc(df, "grp", "v", percentiles=(0.0, 1.0)).first()
+    assert exact.p0 == 5 and exact.p100 == 23
+    est = hist_quantile_estimate(
+        hist_quantile_sketch(df, "grp", "v", 10), 10, percentiles=(0.0,)
+    ).first()
+    assert est.p0_ub == 10  # min value 5 sits in bin [0,10): upper edge 10
+
+
+def test_bm25_normalizes_and_dedupes_query_terms(spark):
+    """Duplicate/uppercase query terms must not corrupt df (idf) or
+    n_terms_hit; all-empty query raises."""
+    from logzoom_spark.ops.retrieval import bm25_topk
+
+    rows = [(1, "apple pie"), (2, "apple tart"), (3, "no fruit here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    clean = {r.doc_id: r for r in bm25_topk(df, ["apple"], k=10).collect()}
+    dup = {r.doc_id: r for r in bm25_topk(df, ["Apple", "apple "], k=10).collect()}
+    assert set(dup) == set(clean) == {1, 2}
+    for d in clean:
+        assert dup[d].bm25_scaled == clean[d].bm25_scaled
+        assert dup[d].n_terms_hit == clean[d].n_terms_hit == 1
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(df, ["", "  "], k=10)
+
+
+def test_contamination_ignores_blank_docs(spark):
+    """Blank/NULL-text docs share no grams — they must not cross-join with
+    every other blank doc as 'contamination'."""
+    from logzoom_spark.ops.corpus import contamination_pairs
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "real shared content here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, ""), (101, "real shared content here")], "doc_id long, text string"
+    )
+    out = contamination_pairs(docs, bench, n=3).collect()
+    assert {(r.doc_id, r.bench_id) for r in out} == {(3, 101)}
+
+
+def test_kmeans_rejects_wrong_dims(spark):
+    from logzoom_spark.ops.kmeans import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dimensions"):
+        kmeans_assign(df, k=2, iters=2, dims=64)
