@@ -303,6 +303,16 @@ def main() -> None:
     bench("tpch_q6", lambda: _noop(se.q_tpch_q6(spark, sf_dir)))
     bench("tpch_q21", lambda: _noop(se.q_tpch_q21(spark, sf_dir)))
 
+    # round-4 final operators
+    bench("conv_dedup", lambda: _noop(se.q_conv_dedup(spark, sf_dir)))
+    bench("skew_key_stats", lambda: se.q_skew_key_stats(spark, sf_dir).collect())
+    bench("rp_rerank_topk", lambda: se.q_rp_rerank_topk(spark, sf_dir).collect())
+    bench("kmeans_clusters", lambda: _noop(se.q_kmeans_clusters(spark, sf_dir)))
+    bench("hist_quantiles", lambda: _noop(se.q_hist_quantiles(spark, sf_dir)))
+    # iterative (12 bounded collect rounds over the vocabulary table):
+    # single run, like curation_pipeline
+    bench("bpe_learn", lambda: se.q_bpe_learn_merges(spark, sf_dir).collect(), runs=1)
+
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
     # real sink files — measures sink I/O, which on this shared host is
     # dominated by neighbor disk load (see BENCH/BASELINE.md for a recorded

@@ -1,0 +1,182 @@
+"""Distributed BPE (byte-pair encoding) tokenizer training + application.
+
+The classic BPE training loop (Sennrich et al. 2016, public algorithm) is
+inherently iterative — each round merges the most frequent adjacent symbol
+pair — so, like k-means (`ops/kmeans.py`) and connected components
+(`ops/cluster.py`), it runs as a bounded driver loop over DataFrame rounds:
+
+- **Everything is vocabulary-sized, never corpus-sized.** Training runs
+  over the DISTINCT-WORD table weighted by word frequency (the standard
+  BPE trick; `ops/text.bpe_pair_counts` is the single-round primitive).
+  At 100 TB the corpus has ~10^12 tokens but the vocabulary is ~10^7 rows;
+  every shuffle, merge fold, and checkpoint here touches only the latter.
+- **One bounded collect per round**: the single winning pair (1 row).
+  Merge application is a pure codegen fold over each word's symbol array
+  (`F.aggregate` with an (arr, prev) accumulator — greedy left-to-right,
+  so 'aaa' + merge (a,a) → [aa, a], matching the reference algorithm).
+- **Lineage truncation per round** (`localCheckpoint`), the same guard as
+  the CC loop: M rounds would otherwise nest M fold lambdas in one plan.
+- **Encoding is a broadcast vocabulary join**, not per-doc Python: explode
+  doc words, join the learned word→pieces table (vocabulary-sized, hence
+  broadcastable), aggregate per doc. Out-of-vocabulary words fall back to
+  character count — counted, not dropped.
+
+Verification: pytest against an independent pure-Python reference
+implementation (same tie-breaks: count desc, then pair lexicographic asc);
+the queries() entries are driver rows-only checks (iterative, not
+SQL-expressible — the documented weaker-oracle class, like streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_counts(docs: DataFrame, col: str = "text") -> DataFrame:
+    """(word, cnt): frequency-weighted distinct vocabulary (lowercased,
+    whitespace-split — the same fold as `text.bpe_pair_counts`). One
+    map-side-combined shuffle carrying (word, partial-count) pairs."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _char_syms(word: Column) -> Column:
+    """Split a word into its initial character symbols (array<string>)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1))
+    )
+
+
+def sym_pair_counts(vocab: DataFrame) -> DataFrame:
+    """(a, b, cnt): corpus-weighted adjacent symbol-pair counts over the
+    current segmentation. Per-position multiplicity counts exactly
+    ('aaa' contributes (a,a) twice). Vocabulary-sized exchange only."""
+    pairs = vocab.filter(F.size("syms") >= 2).select(
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("a"),
+                    F.element_at(F.col("syms"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "cnt")
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _merge_expr(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) into a||b — a pure
+    codegen fold with an (arr, prev) accumulator; no UDF, no shuffle."""
+    merged = a + b
+    empty = F.expr("cast(array() AS array<string>)")
+    init = F.struct(
+        empty.alias("arr"), F.lit(None).cast("string").alias("prev")
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        hit = acc["prev"].eqNullSafe(F.lit(a)) & s.eqNullSafe(F.lit(b))
+        return F.when(
+            hit,
+            F.struct(
+                F.concat(acc["arr"], F.array(F.lit(merged))).alias("arr"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(acc["prev"].isNull(), acc["arr"])
+                .otherwise(F.concat(acc["arr"], F.array(acc["prev"])))
+                .alias("arr"),
+                s.alias("prev"),
+            )
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(acc["prev"].isNull(), acc["arr"]).otherwise(
+            F.concat(acc["arr"], F.array(acc["prev"]))
+        )
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def bpe_learn(
+    docs: DataFrame,
+    n_merges: int = 16,
+    col: str = "text",
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn up to ``n_merges`` BPE merges; returns (merges, vocab) where
+    vocab is (word, cnt, syms) under the final segmentation.
+
+    Tie-break is fully deterministic: highest count, then lexicographically
+    smallest (a, b). Stops early when no pair reaches ``min_pair_count``
+    (merging singleton pairs just memorizes whole words)."""
+    vocab = (
+        word_counts(docs, col)
+        .select("word", "cnt", _char_syms(F.col("word")).alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            sym_pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or int(top[0]["cnt"]) < min_pair_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        # localCheckpoint: materialize this round's segmentation and cut
+        # the lineage, or round M's plan nests M merge folds
+        vocab = vocab.withColumn(
+            "syms", _merge_expr(F.col("syms"), a, b)
+        ).localCheckpoint()
+    return merges, vocab
+
+
+def bpe_encode_counts(
+    docs: DataFrame, vocab: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens): per-document token counts under a
+    learned segmentation — the tokens-per-doc budget input to chunking and
+    sequence packing (`ops/corpus.py`).
+
+    Plan: explode doc words (row-local), broadcast-join the learned
+    word→pieces vocabulary (vocabulary-sized), sum per doc — one shuffle
+    on doc_id carrying (doc_id, int) rows. Out-of-vocabulary words fall
+    back to their character count (counted, not dropped)."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    pieces = vocab.select("word", F.size("syms").alias("n_pieces"))
+    return (
+        words.join(F.broadcast(pieces), "word", "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_pieces"), F.length("word")).alias("n_pieces"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_bpe_tokens"),
+        )
+    )

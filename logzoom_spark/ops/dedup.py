@@ -408,3 +408,54 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard10k") >= int(round(threshold * 10000))).select(
         "doc_a", "doc_b", "jaccard10k"
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversation-level dedup (the transcripts analog of document dedup)
+# ---------------------------------------------------------------------------
+
+
+def conv_fingerprints(turns: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, conv_fp): one exact content fingerprint per
+    conversation — md5 over the turn texts in stable (turn_idx) order,
+    joined with an \\x1f separator (reference semantics: per-turn text byte
+    equality under stable ordering, `SURVEY.md §2.1` quirk 7; the unit
+    of dedup for transcript corpora is the conversation, not the turn).
+
+    Scale shape: ONE shuffle on conv_id — which is the table's native
+    hash-partition key (north rule), so on a conv-bucketed layout the
+    exchange disappears entirely. The aggregate carries (turn_idx, text)
+    structs only within each conversation's partition and reduces every
+    conversation to a single 32-byte digest row; nothing conversation-sized
+    crosses the wire afterwards."""
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    return turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.md5(
+            F.concat_ws("\x1f", F.transform(ordered, lambda s: s["text"]))
+        ).alias("conv_fp"),
+    )
+
+
+def conv_dedup(turns: DataFrame) -> DataFrame:
+    """Exact conversation dedup: every conversation labeled with its
+    fingerprint group's canonical (lowest) conv_id and an is_canonical
+    verdict — counted, not dropped, like every verdict op here; the caller
+    filters `is_canonical = 1` to materialize the deduped corpus.
+
+    The canonicalization window partitions by conv_fp over DIGEST rows
+    (one row per conversation, three narrow columns) — the same
+    digest-only-shuffle discipline as `dedup_exact`. Duplicate groups are
+    tiny (a handful of copies of a conversation), so no group-width cap is
+    needed; the conv_fp exchange is the only second shuffle.
+    """
+    w = Window.partitionBy("conv_fp")
+    return (
+        conv_fingerprints(turns)
+        .withColumn("canonical_conv", F.min("conv_id").over(w))
+        .withColumn(
+            "is_canonical",
+            (F.col("conv_id") == F.col("canonical_conv")).cast("int"),
+        )
+        .select("conv_id", "conv_fp", "n_turns", "canonical_conv", "is_canonical")
+    )

@@ -502,3 +502,78 @@ def sq8_rerank_topk(
         .orderBy(F.desc("dot"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction (Johnson–Lindenstrauss index)
+# ---------------------------------------------------------------------------
+
+
+def random_project(
+    emb: DataFrame, out_dims: int = 16, scale: int = 1000, dims: int = 64
+) -> DataFrame:
+    """(vec_id, rv): project every embedding from `dims` to `out_dims`
+    integer coordinates — rv[j] = <quantized v, plane_j> with the same
+    deterministic integer hyperplanes as the LSH path (`_hyperplane`;
+    production swaps in seeded ±1 Rademacher or Gaussian rows through the
+    identical contract). JL: pairwise dot products are approximately
+    preserved, so the 4×-smaller projected table IS the stored ANN index;
+    full vectors are only fetched for rerank survivors.
+
+    Zero shuffle: the projection is a pure codegen projection (out_dims
+    inlined dot expressions per row, exact BIGINTs). At 100 TB the
+    projected index is what you persist, bucket, and probe — scans read
+    out_dims·8 bytes per row instead of the raw embedding column."""
+    v = quantize(F.col("embedding"), scale)
+    return emb.select(
+        "vec_id",
+        F.array(*[dot(v, _hyperplane(j, dims)) for j in range(out_dims)]).alias("rv"),
+    )
+
+
+def rp_rerank_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_candidates: int = 40,
+    out_dims: int = 16,
+    scale: int = 1000,
+    projected: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k by exact quantized dot, shortlisted in projected space:
+    rank ALL rows by the 16-int projected dot against the projected query
+    (TakeOrdered(n_candidates), no global sort), then fetch ONLY the
+    shortlist's full vectors (bounded broadcast semi-join back to the
+    embedding table) and rerank by the exact 64-dim dot.
+
+    The build/probe split mirrors `ivf_assign`/`ivf_topk`: pass a persisted
+    ``projected`` index to skip the projection scan. Unlike `sq8_rerank_topk`
+    (which carries both the coarse and exact vectors through one scan),
+    the coarse pass here never touches the full embedding column — the
+    100 TB shape where the raw vectors live in cold storage and only
+    n_candidates of them are ever fetched.
+
+    Returns (vec_id, approx_dot, dot) — shortlist score kept for recall
+    audits. Deterministic ties: (score desc, vec_id asc) at both stages."""
+    proj = projected if projected is not None else random_project(emb, out_dims, scale)
+    qp = proj.filter(F.col("vec_id") == query_vec_id).select(F.col("rv").alias("qrv"))
+    shortlist = (
+        proj.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(qp))
+        .select("vec_id", dot(F.col("rv"), F.col("qrv")).alias("approx_dot"))
+        .orderBy(F.desc("approx_dot"), F.asc("vec_id"))
+        .limit(n_candidates)
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        quantize(F.col("embedding"), scale).alias("qv")
+    )
+    full = emb.select("vec_id", quantize(F.col("embedding"), scale).alias("v"))
+    return (
+        # bounded (n_candidates rows) build side: broadcast so the fetch is
+        # a broadcast hash join over the embedding scan, never a shuffle
+        F.broadcast(shortlist).join(full, "vec_id")
+        .join(F.broadcast(q))
+        .select("vec_id", "approx_dot", dot(F.col("v"), F.col("qv")).alias("dot"))
+        .orderBy(F.desc("dot"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -2053,3 +2053,74 @@ SELECT doc_id, lang, score,
   cast(CASE WHEN rn <= (n * 30) // 100 THEN 1 ELSE 0 END AS INT) AS kept
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: conversation dedup, skew diagnostics, random projection
+# ---------------------------------------------------------------------------
+
+# Conversation-level exact dedup (ops/dedup.conv_dedup): md5 over turn texts
+# in stable turn_idx order, canonical = min conv_id per fingerprint.
+ORACLES["conv_dedup"] = f"""
+WITH {TURNS_CTE},
+fps AS (
+  SELECT conv_id, count(*) AS n_turns,
+         md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS conv_fp
+  FROM turns GROUP BY conv_id
+)
+SELECT conv_id, conv_fp, n_turns,
+       min(conv_id) OVER (PARTITION BY conv_fp) AS canonical_conv,
+       CAST(conv_id = min(conv_id) OVER (PARTITION BY conv_fp) AS INT) AS is_canonical
+FROM fps
+"""
+
+# Heavy-key diagnostic (route.skew_key_stats over conv_id, target=50/task):
+# exact share in basis points + the salt factor a salted repartition needs.
+ORACLES["skew_key_stats"] = f"""
+WITH {TURNS_CTE},
+counts AS (SELECT conv_id AS key, count(*) AS cnt FROM turns GROUP BY conv_id),
+tot AS (SELECT cast(sum(cnt) AS BIGINT) AS t FROM counts)
+SELECT key, cnt,
+       cnt * 10000 // t AS share10k,
+       (cnt + 49) // 50 AS salt_factor
+FROM counts, tot
+ORDER BY cnt DESC, key ASC
+LIMIT 20
+"""
+
+
+def _rp_oracle(out_dims: int = 32, k: int = 10, m: int = 100, dims: int = 64) -> str:
+    """Random-projection shortlist + exact rerank (ops/similarity.
+    rp_rerank_topk) with the projection matrix inlined as literals — the
+    identical deterministic integer hyperplanes as the Spark side."""
+    proj_exprs = []
+    for p in range(out_dims):
+        vals = [((p * 1315423911 + j * 2654435761) % 2001) - 1000 for j in range(dims)]
+        lit = "[" + ", ".join(str(v) for v in vals) + "]"
+        proj_exprs.append(
+            f"cast(list_sum(list_transform(range(1, {dims + 1}), "
+            f"i -> q[i] * ({lit})[i])) AS BIGINT)"
+        )
+    rv = "[" + ",\n    ".join(proj_exprs) + "]"
+    return f"""
+WITH qv AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
+proj AS (SELECT vec_id, {rv} AS rv FROM qv),
+short AS (
+  SELECT e.vec_id,
+         cast(list_sum(list_transform(range(1, {out_dims + 1}),
+              i -> e.rv[i] * b.rv[i])) AS BIGINT) AS approx_dot
+  FROM proj e, (SELECT rv FROM proj WHERE vec_id = 0) b
+  WHERE e.vec_id <> 0
+  ORDER BY approx_dot DESC, e.vec_id
+  LIMIT {m}
+)
+SELECT s.vec_id, s.approx_dot, {_DOT64} AS dot
+FROM short s
+JOIN qv e ON e.vec_id = s.vec_id,
+     (SELECT q FROM qv WHERE vec_id = 0) b
+ORDER BY dot DESC, s.vec_id
+LIMIT {k}
+"""
+
+
+ORACLES["rp_rerank_topk"] = _rp_oracle()

@@ -181,3 +181,52 @@ def repartition_salted(df: DataFrame, num_partitions: int, salt: int = 8) -> Dat
         F.col("conv_id"),
         F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(salt)),
     )
+
+
+def skew_key_stats(
+    df: DataFrame,
+    key_col: str,
+    target_rows_per_task: int = 1_000_000,
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-key diagnostic: top-N keys by row count with exact share
+    (basis points) and the salt factor a salted repartition would need to
+    keep every task under ``target_rows_per_task`` rows — the measurement
+    step that sizes `repartition_salted`'s salt and decides when AQE
+    skew-join thresholds need a manual override.
+
+    Output: (key, cnt, share10k = cnt·10000 div total, salt_factor =
+    ceil(cnt / target)). All integer arithmetic.
+
+    Scale shape: one map-side-combined shuffle on the key (partial counts,
+    never rows), a 1-row global total broadcast back over the bounded
+    per-key counts, and a TakeOrdered(top_n) — no global sort, nothing
+    driver-side. NULL keys count as a key of their own: at 100 TB the
+    null bucket IS the classic skew key, so hiding it would defeat the
+    diagnostic.
+
+    Plan-visible cost: the count subtree feeds both the total and the
+    top-N, so the source is scanned twice (both passes map-side-combine
+    before their exchange; AQE reuses the exchange when shapes match).
+    The deliberate alternative — attaching the total via a
+    ``Window.partitionBy()`` — would funnel every distinct key through ONE
+    task, which at 10^9 conversations is the exact straggler this
+    diagnostic exists to prevent. For a quick look at extreme scale, run
+    it over a hash-gated sample (``route.sample``) and scale
+    ``target_rows_per_task`` by the sample rate."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    t = int(target_rows_per_task)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            F.expr("cnt * 10000L div _total").alias("share10k"),
+            F.expr(f"(cnt + {t - 1}L) div {t}L").alias("salt_factor"),
+        )
+        .orderBy(F.desc("cnt"), F.asc_nulls_first("key"))
+        .limit(top_n)
+    )

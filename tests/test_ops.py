@@ -1511,3 +1511,129 @@ def test_kmeans_rejects_wrong_dims(spark):
     )
     with pytest.raises(ValueError, match="dimensions"):
         kmeans_assign(df, k=2, iters=2, dims=64)
+
+
+def _bpe_py(corpus_words: dict[str, int], n_merges: int, min_pair_count: int = 2):
+    """Independent pure-Python BPE reference: greedy left-to-right merges,
+    tie-break (count desc, pair lexicographic asc)."""
+    vocab = {w: [c for c in w] for w in corpus_words}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple, int] = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + corpus_words[w]
+                )
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        if counts[pair] < min_pair_count:
+            break
+        merges.append(pair)
+        a, b = pair
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    """Distributed BPE learn == independent pure-Python reference: same
+    merge sequence, same final segmentation, including the greedy-overlap
+    case ('aaaa') and count-tie lexicographic break."""
+    from logzoom_spark.ops.bpe import bpe_learn, word_counts
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low aaaa aaaa",
+        "banana bandana banana",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wc = {r.word: r.cnt for r in word_counts(docs).collect()}
+    want_merges, want_vocab = _bpe_py(wc, 10)
+    merges, vocab = bpe_learn(docs, n_merges=10)
+    assert merges == want_merges
+    got = {r.word: list(r.syms) for r in vocab.collect()}
+    assert got == want_vocab
+
+
+def test_bpe_encode_counts_and_oov_fallback(spark):
+    """Encoding joins the learned vocabulary; an out-of-vocabulary word
+    falls back to its character count (counted, not dropped)."""
+    from logzoom_spark.ops.bpe import bpe_encode_counts, bpe_learn
+
+    train = spark.createDataFrame(
+        [(1, "ab ab ab cd cd")], "doc_id long, text string"
+    )
+    merges, vocab = bpe_learn(train, n_merges=4)
+    assert ("a", "b") in merges
+    apply_to = spark.createDataFrame(
+        [(7, "ab cd zzz")], "doc_id long, text string"
+    )
+    row = bpe_encode_counts(apply_to, vocab).first()
+    # ab->1 piece, cd->1 piece, zzz (OOV)->3 chars
+    assert (row.doc_id, row.n_words, row.n_bpe_tokens) == (7, 3, 5)
+
+
+def test_conv_dedup_groups_and_null_text(spark):
+    """Identical conversations (same ordered turn texts) share a
+    fingerprint regardless of ingest order; canonical is the min conv_id;
+    a differing conversation stands alone."""
+    from logzoom_spark.ops.dedup import conv_dedup
+
+    rows = [
+        ("c2", 1, "world"), ("c2", 0, "hello"),   # duplicate of c1, shuffled
+        ("c1", 0, "hello"), ("c1", 1, "world"),
+        ("c3", 0, "hello"), ("c3", 1, "world!"),  # near-dup: different byte
+    ]
+    out = {r.conv_id: r for r in conv_dedup(
+        spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    ).collect()}
+    assert out["c1"].conv_fp == out["c2"].conv_fp != out["c3"].conv_fp
+    assert (out["c1"].is_canonical, out["c2"].is_canonical) == (1, 0)
+    assert out["c2"].canonical_conv == "c1" and out["c3"].is_canonical == 1
+
+
+def test_skew_key_stats_share_and_salt(spark):
+    from logzoom_spark.route import skew_key_stats
+
+    df = spark.createDataFrame(
+        [("hot",)] * 101 + [("warm",)] * 40 + [(None,)] * 9, "k string"
+    )
+    rows = {r.key: r for r in skew_key_stats(df, "k", target_rows_per_task=25).collect()}
+    assert rows["hot"].share10k == 101 * 10000 // 150
+    assert rows["hot"].salt_factor == 5          # ceil(101/25)
+    assert rows[None].cnt == 9 and rows[None].salt_factor == 1
+
+
+def test_rp_rerank_exact_over_shortlist(spark, emb):
+    """rp_rerank_topk with the shortlist widened to the full table must
+    equal brute force exactly (the projection only prunes, never rescores);
+    and the build/probe split (persisted projected index) changes nothing."""
+    from logzoom_spark.ops.similarity import (
+        brute_force_topk,
+        random_project,
+        rp_rerank_topk,
+    )
+
+    n = emb.count()
+    full = [(r.vec_id, r.dot) for r in rp_rerank_topk(emb, 0, k=5, n_candidates=n).collect()]
+    bf = [(r.vec_id, r.dot) for r in brute_force_topk(emb, 0, k=5).collect()]
+    assert full == bf
+    proj = random_project(emb, out_dims=16).persist()
+    try:
+        a = [(r.vec_id, r.dot) for r in rp_rerank_topk(emb, 0, k=5, n_candidates=40).collect()]
+        b = [(r.vec_id, r.dot) for r in rp_rerank_topk(emb, 0, k=5, n_candidates=40, projected=proj).collect()]
+        assert a == b
+    finally:
+        proj.unpersist()

@@ -76,6 +76,9 @@ def main() -> None:
         ("kmeans (zero-shuffle literal-centroid assign)", se.q_kmeans_clusters),
         ("bpe pairs (vocab-sized shuffles + TakeOrdered)", se.q_bpe_pair_counts),
         ("quality prune (one group-key shuffle, per-domain window)", se.q_quality_prune_per_lang),
+        ("conv dedup (conv_id shuffle + digest-only fingerprint window)", se.q_conv_dedup),
+        ("skew key stats (partial counts + 1-row total broadcast + TakeOrdered)", se.q_skew_key_stats),
+        ("rp rerank (projected-scan shortlist, broadcast fetch of m vectors)", se.q_rp_rerank_topk),
     ]:
         print("=" * 30, name)
         q(spark, sf).explain("formatted")
