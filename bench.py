@@ -312,6 +312,10 @@ def main() -> None:
     # iterative (12 bounded collect rounds over the vocabulary table):
     # single run, like curation_pipeline
     bench("bpe_learn", lambda: se.q_bpe_learn_merges(spark, sf_dir).collect(), runs=1)
+    bench(
+        "transcript_training_corpus",
+        lambda: _noop(se.q_transcript_training_corpus(spark, sf_dir)),
+    )
 
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
     # real sink files — measures sink I/O, which on this shared host is

@@ -410,3 +410,62 @@ def write_packed_corpus(
         .parquet(out_dir)
     )
     return out
+
+
+def conv_documents(turns: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, doc): assemble each conversation into one
+    training document — 'role: text' lines in stable turn_idx order
+    (reference quirk 7: byte equality under stable ordering). One shuffle
+    on conv_id, the table's native partition key."""
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text")))
+    return turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                # F.concat propagates NULL (the line drops out of
+                # concat_ws), matching string_agg's NULL-row skip in SQL
+                ordered,
+                lambda s: F.concat(s["role"], F.lit(": "), s["text"]),
+            ),
+        ).alias("doc"),
+    )
+
+
+def transcript_training_corpus(
+    turns: DataFrame,
+    budget_tokens: int = 512,
+    n_buckets: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """End-to-end transcripts → packed training corpus, one lazy plan:
+    assemble per-conversation documents, drop exact duplicate
+    conversations (md5 fingerprint, keep min conv_id — digest-only
+    window), then lay the survivors' tokens end-to-end and cut fixed
+    ``budget_tokens`` sequences (`pack_sequences`' distributed prefix
+    sum — no global-sort window). Returns each kept conversation's
+    placement: (conv_id, n_tokens, tok_offset, first_seq,
+    pos_in_first_seq, last_seq, n_seqs).
+
+    This is the transcripts twin of `ops/curation.curate`: the
+    composition a 100 TB transcript corpus actually runs before
+    tokenizer/trainer handoff. Every stage keeps its standalone scale
+    shape — conv_id shuffle (native key) → fingerprint-digest window →
+    bucketed prefix sum; conversation text crosses the wire exactly
+    once (into the groupBy)."""
+    from pyspark.sql import Window
+
+    docs = conv_documents(turns)
+    w = Window.partitionBy("_fp")
+    canon = (
+        docs.withColumn("_fp", F.md5(F.col("doc")))
+        .withColumn("_keep", F.min("conv_id").over(w))
+        .filter(F.col("conv_id") == F.col("_keep"))
+    )
+    placed = pack_sequences(
+        canon.select(F.col("conv_id").alias("doc_id"), F.col("doc").alias("text")),
+        budget_tokens=budget_tokens,
+        n_buckets=n_buckets,
+        seed=seed,
+    )
+    return placed.withColumnRenamed("doc_id", "conv_id")

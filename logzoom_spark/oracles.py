@@ -2124,3 +2124,45 @@ LIMIT {k}
 
 
 ORACLES["rp_rerank_topk"] = _rp_oracle()
+
+
+# Transcripts → packed training corpus (ops/corpus.transcript_training_corpus):
+# conv assembly (string_agg, NULL lines skipped like F.concat→concat_ws) →
+# exact dedup (md5, keep min conv_id) → ws token count → pack placement.
+# sf0.01 scale lets the oracle use the single-global-window prefix-sum twin.
+ORACLES["transcript_training_corpus"] = rf"""
+WITH {TURNS_CTE},
+docs AS (
+  SELECT conv_id,
+         string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc
+  FROM turns GROUP BY conv_id
+),
+canon AS (
+  SELECT conv_id, doc FROM (
+    SELECT conv_id, doc, min(conv_id) OVER (PARTITION BY md5(doc)) AS keep
+    FROM docs
+  ) WHERE conv_id = keep
+),
+t AS (
+  SELECT conv_id,
+    cast(CASE WHEN length(trim(coalesce(doc, ''))) = 0 THEN 0
+         ELSE length(regexp_split_to_array(trim(doc), '\s+')) END AS BIGINT)
+      AS n_tokens,
+    {portable_hash_sql("conv_id")} AS h
+  FROM canon
+),
+o AS (
+  SELECT conv_id, n_tokens,
+    cast(coalesce(sum(n_tokens) OVER (ORDER BY h, conv_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS tok_offset
+  FROM t
+)
+SELECT conv_id, n_tokens, tok_offset,
+  cast(tok_offset // 512 AS BIGINT) AS first_seq,
+  cast(tok_offset % 512 AS BIGINT) AS pos_in_first_seq,
+  cast((tok_offset + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS last_seq,
+  cast((tok_offset + greatest(n_tokens, 1) - 1) // 512
+       - tok_offset // 512 + 1 AS BIGINT) AS n_seqs
+FROM o
+"""

@@ -1637,3 +1637,30 @@ def test_rp_rerank_exact_over_shortlist(spark, emb):
         assert a == b
     finally:
         proj.unpersist()
+
+
+def test_transcript_training_corpus_dedups_and_packs_gapless(spark):
+    """Duplicate conversations are packed once; the surviving corpus lays
+    out as a gapless token tape; a straddling conversation spans seqs."""
+    from logzoom_spark.ops.corpus import transcript_training_corpus
+
+    rows = []
+    for conv, k in [("c1", 0), ("c2", 0), ("c3", 1), ("c4", 2)]:
+        rows += [(conv, i, "user", f"w{k} " * 5) for i in range(3)]
+    # c1 == c2 turn-for-turn (duplicates); c3/c4 unique
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r.conv_id: r for r in transcript_training_corpus(
+        turns, budget_tokens=10, n_buckets=4
+    ).collect()}
+    assert set(out) == {"c1", "c3", "c4"}  # c2 deduped (min conv_id kept)
+    # gapless tape: offsets are exactly the running sum of n_tokens
+    placed = sorted(out.values(), key=lambda r: r.tok_offset)
+    run = 0
+    for r in placed:
+        assert r.tok_offset == run
+        run += r.n_tokens
+    # each doc is 3 lines x ('user:' + 5 words) = 18 tokens > budget 10:
+    # every conversation straddles a sequence cut
+    assert all(r.n_seqs >= 2 for r in placed)
