@@ -2064,8 +2064,10 @@ FROM r
 ORACLES["conv_dedup"] = f"""
 WITH {TURNS_CTE},
 fps AS (
+  -- coalesce: all-NULL-text conversations hash the empty string, matching
+  -- Spark's concat_ws (which skips NULL elements and never returns NULL)
   SELECT conv_id, count(*) AS n_turns,
-         md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS conv_fp
+         md5(coalesce(string_agg(text, chr(31) ORDER BY turn_idx), '')) AS conv_fp
   FROM turns GROUP BY conv_id
 )
 SELECT conv_id, conv_fp, n_turns,
@@ -2133,8 +2135,12 @@ ORACLES["rp_rerank_topk"] = _rp_oracle()
 ORACLES["transcript_training_corpus"] = rf"""
 WITH {TURNS_CTE},
 docs AS (
+  -- coalesce: a conversation whose every line is NULL (role or text NULL
+  -- propagates through ||, and string_agg skips NULL rows) assembles to
+  -- '', matching Spark's concat_ws-over-transform
   SELECT conv_id,
-         string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc
+         coalesce(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx),
+                  '') AS doc
   FROM turns GROUP BY conv_id
 ),
 canon AS (

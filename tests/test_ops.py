@@ -1664,3 +1664,20 @@ def test_transcript_training_corpus_dedups_and_packs_gapless(spark):
     # each doc is 3 lines x ('user:' + 5 words) = 18 tokens > budget 10:
     # every conversation straddles a sequence cut
     assert all(r.n_seqs >= 2 for r in placed)
+
+
+def test_conv_dedup_all_null_text_conversation(spark):
+    """An all-NULL-text conversation fingerprints as md5('') — concat_ws
+    skips NULL elements — so two such conversations dedup together, and
+    the fingerprint is never NULL (a NULL fp would make every such conv
+    its own window partition in some engines, silently disabling dedup)."""
+    from logzoom_spark.ops.dedup import conv_dedup
+    import hashlib
+
+    rows = [("a", 0, None), ("a", 1, None), ("b", 0, None)]
+    out = {r.conv_id: r for r in conv_dedup(
+        spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    ).collect()}
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert out["a"].conv_fp == out["b"].conv_fp == empty_md5
+    assert out["a"].is_canonical == 1 and out["b"].canonical_conv == "a"
