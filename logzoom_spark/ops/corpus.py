@@ -285,6 +285,7 @@ def pack_sequences(
     col: str = "text",
     id_col: str = "doc_id",
     seed: int = 0,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-split training-sequence packing: lay every document's
     tokens end-to-end in a deterministic hash-shuffled global order, then
@@ -324,12 +325,20 @@ def pack_sequences(
     h = portable_hash(F.col(id_col).cast("string"), seed)
     # `div`, never `/`: float division of 60-bit hashes / 100-TB-scale
     # token offsets loses bits past 2^53 and misassigns boundary rows
+    # n_tokens_col: pack by PRECOMPUTED counts (a learned-tokenizer budget
+    # from bpe_encode_counts, or digest-only upstream plans that must not
+    # carry document text) instead of the whitespace count of `col`
+    nt = (
+        F.coalesce(F.col(n_tokens_col).cast("bigint"), F.lit(0))
+        if n_tokens_col is not None
+        # coalesce: one NULL-text doc must count 0, not poison every
+        # downstream offset through the running sum
+        else token_count(F.coalesce(F.col(col), F.lit(""))).cast("bigint")
+    )
     d = docs.select(
         F.col(id_col),
         h.alias("_h"),
-        # coalesce: one NULL-text doc must count 0, not poison every
-        # downstream offset through the running sum
-        token_count(F.coalesce(F.col(col), F.lit(""))).cast("bigint").alias("n_tokens"),
+        nt.alias("n_tokens"),
     ).withColumn("_b", F.expr(f"_h div {width}L"))
     btot = d.groupBy("_b").agg(F.sum("n_tokens").alias("_bt"))
     w_buckets = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
@@ -413,22 +422,28 @@ def write_packed_corpus(
 
 
 def conv_documents(turns: DataFrame) -> DataFrame:
-    """(conv_id, n_turns, doc): assemble each conversation into one
-    training document — 'role: text' lines in stable turn_idx order
-    (reference quirk 7: byte equality under stable ordering). One shuffle
-    on conv_id, the table's native partition key."""
+    """(conv_id, n_turns, doc, conv_fp): assemble each conversation into
+    one training document — 'role: text' lines in stable turn_idx order
+    (reference quirk 7: byte equality under stable ordering) — plus an
+    UNAMBIGUOUS content fingerprint. One shuffle on conv_id, the table's
+    native partition key.
+
+    The fingerprint is md5 over the concatenation of PER-TURN md5s
+    (each (role, text) turn contributes exactly one fixed-width 32-hex
+    block), NOT md5 of the assembled doc: turn texts can contain literal
+    newlines, so two different conversations can assemble to the same
+    'role: text\\n…' string — a one-turn conversation quoting
+    'hello\\nassistant: hi' must not dedup against the real two-turn
+    conversation it quotes."""
+    line = lambda s: F.concat(s["role"], F.lit(": "), s["text"])  # noqa: E731
+    # F.concat propagates NULL (the line/turn drops out of concat_ws),
+    # matching `role || ': ' || text` + string_agg's NULL-row skip in SQL
+    turn_fp = lambda s: F.md5(F.concat(s["role"], F.lit("\x1f"), s["text"]))  # noqa: E731
     ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text")))
     return turns.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
-        F.concat_ws(
-            "\n",
-            F.transform(
-                # F.concat propagates NULL (the line drops out of
-                # concat_ws), matching string_agg's NULL-row skip in SQL
-                ordered,
-                lambda s: F.concat(s["role"], F.lit(": "), s["text"]),
-            ),
-        ).alias("doc"),
+        F.concat_ws("\n", F.transform(ordered, line)).alias("doc"),
+        F.md5(F.concat_ws("", F.transform(ordered, turn_fp))).alias("conv_fp"),
     )
 
 
@@ -440,32 +455,40 @@ def transcript_training_corpus(
 ) -> DataFrame:
     """End-to-end transcripts → packed training corpus, one lazy plan:
     assemble per-conversation documents, drop exact duplicate
-    conversations (md5 fingerprint, keep min conv_id — digest-only
-    window), then lay the survivors' tokens end-to-end and cut fixed
-    ``budget_tokens`` sequences (`pack_sequences`' distributed prefix
-    sum — no global-sort window). Returns each kept conversation's
-    placement: (conv_id, n_tokens, tok_offset, first_seq,
+    conversations (per-turn-md5 fingerprint, keep min conv_id —
+    digest-only window), then lay the survivors' tokens end-to-end and
+    cut fixed ``budget_tokens`` sequences (`pack_sequences`' distributed
+    prefix sum — no global-sort window). Returns each kept
+    conversation's placement: (conv_id, n_tokens, tok_offset, first_seq,
     pos_in_first_seq, last_seq, n_seqs).
 
     This is the transcripts twin of `ops/curation.curate`: the
     composition a 100 TB transcript corpus actually runs before
     tokenizer/trainer handoff. Every stage keeps its standalone scale
     shape — conv_id shuffle (native key) → fingerprint-digest window →
-    bucketed prefix sum; conversation text crosses the wire exactly
-    once (into the groupBy)."""
+    bucketed prefix sum. Conversation text crosses the wire exactly once
+    (into the assembly groupBy): the token count is projected off the
+    assembled doc BEFORE the dedup window and the packer runs on the
+    precomputed counts (``n_tokens_col``), so the window and every later
+    exchange carry (conv_id, fp, n_tokens) digest rows only."""
     from pyspark.sql import Window
 
-    docs = conv_documents(turns)
+    from .text import token_count
+
+    docs = conv_documents(turns).select(
+        "conv_id",
+        F.col("conv_fp").alias("_fp"),
+        token_count(F.coalesce(F.col("doc"), F.lit(""))).cast("bigint").alias("n_tokens"),
+    )
     w = Window.partitionBy("_fp")
-    canon = (
-        docs.withColumn("_fp", F.md5(F.col("doc")))
-        .withColumn("_keep", F.min("conv_id").over(w))
-        .filter(F.col("conv_id") == F.col("_keep"))
+    canon = docs.withColumn("_keep", F.min("conv_id").over(w)).filter(
+        F.col("conv_id") == F.col("_keep")
     )
     placed = pack_sequences(
-        canon.select(F.col("conv_id").alias("doc_id"), F.col("doc").alias("text")),
+        canon.select(F.col("conv_id").alias("doc_id"), "n_tokens"),
         budget_tokens=budget_tokens,
         n_buckets=n_buckets,
         seed=seed,
+        n_tokens_col="n_tokens",
     )
     return placed.withColumnRenamed("doc_id", "conv_id")

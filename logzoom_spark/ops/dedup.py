@@ -417,10 +417,17 @@ def ngram_jaccard_pairs(
 
 def conv_fingerprints(turns: DataFrame) -> DataFrame:
     """(conv_id, n_turns, conv_fp): one exact content fingerprint per
-    conversation — md5 over the turn texts in stable (turn_idx) order,
-    joined with an \\x1f separator (reference semantics: per-turn text byte
-    equality under stable ordering, `SURVEY.md §2.1` quirk 7; the unit
-    of dedup for transcript corpora is the conversation, not the turn).
+    conversation — md5 over the CONCATENATED PER-TURN md5s in stable
+    (turn_idx) order (reference semantics: per-turn text byte equality
+    under stable ordering, `SURVEY.md §2.1` quirk 7; the unit of dedup
+    for transcript corpora is the conversation, not the turn).
+
+    Per-turn hashing, not separator-joined text: each turn contributes
+    exactly one fixed-width 32-hex block, so no byte sequence inside a
+    turn can fake a turn boundary — a one-turn conversation whose text
+    merely CONTAINS another conversation's joined serialization never
+    collides with it. NULL-text turns drop out of the chain (concat_ws /
+    string_agg both skip NULLs, engine-consistent).
 
     Scale shape: ONE shuffle on conv_id — which is the table's native
     hash-partition key (north rule), so on a conv-bucketed layout the
@@ -432,7 +439,7 @@ def conv_fingerprints(turns: DataFrame) -> DataFrame:
     return turns.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.md5(
-            F.concat_ws("\x1f", F.transform(ordered, lambda s: s["text"]))
+            F.concat_ws("", F.transform(ordered, lambda s: F.md5(s["text"])))
         ).alias("conv_fp"),
     )
 

@@ -18,8 +18,9 @@ Spark-first plan, per Lloyd iteration:
 Determinism (oracle-exact in any engine):
 - embeddings quantized to integer grids (floor(double(x)·scale)) so
   distances are exact BIGINTs — no float accumulation-order drift;
-- argmin tie-break by LOWEST cell id via the injective ord = dist²·k + cell
-  encoding (dist² ≥ 0, cell ∈ [0, k) ⇒ min(ord) ⇔ (min dist², min cell));
+- argmin tie-break by LOWEST cell id via array_min over (dist², cell)
+  structs — struct ordering is field-by-field, so the minimum is
+  (smallest dist², then smallest cell), exact BIGINT throughout;
 - centroid means floor-quantized: floor(sum / n) per dimension (exact —
   sums fit a double's 53-bit mantissa at any realistic scale·dim);
 - init centroids = the stored vectors with vec_id ∈ [0, k) (deterministic,
@@ -63,10 +64,15 @@ def _assign(base: DataFrame, cents: list[tuple[int, list[int]]], k: int) -> Data
         )
         pairs.append(F.struct(diff2.alias("d"), F.lit(int(cell)).alias("c")))
     best = F.array_min(F.array(*pairs))
+    # ragged row (embedding shorter than dims): zip_with NULL-pads, every
+    # dist² is NULL, and struct ordering sorts NULL `d` FIRST — so an
+    # unguarded best["c"] would silently assign such rows to the lowest
+    # cell. Null the cell out instead (the F.least-era behavior): NULL
+    # cluster, NULL dist2, and the update's groupBy drops the row.
     return base.select(
         "vec_id",
         "v",
-        best["c"].cast("int").alias("cell"),
+        F.when(best["d"].isNotNull(), best["c"]).cast("int").alias("cell"),
         best["d"].cast("bigint").alias("dist2"),
     )
 

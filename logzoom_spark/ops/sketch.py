@@ -318,15 +318,26 @@ def hist_quantile_sketch(
     """
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
+    if not float(bin_width) > 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width!r}")
     v = F.col(value_col)
-    w = int(bin_width)
-    if isinstance(df.schema[value_col].dataType, (ByteType, ShortType, IntegerType, LongType)):
+    integral_col = isinstance(
+        df.schema[value_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    )
+    integral_width = float(bin_width) == int(bin_width) and int(bin_width) >= 1
+    if integral_col and integral_width:
         # exact floor for any sign: v - pmod(v, w) is the largest multiple
         # of w <= v, so the (truncating, integer) div is exact — `/` would
         # route through double and round past 2^53
+        w = int(bin_width)
         bin_expr = F.expr(f"(_v - pmod(_v, {w}L)) div {w}L")
     else:
-        bin_expr = F.floor(F.col("_v") / F.lit(w)).cast("bigint")
+        # fractional width (or fractional column): IEEE double floor with
+        # the UNTRUNCATED width, so hist_quantile_estimate's
+        # (bin+1)*bin_width upper bounds line up with the bin edges
+        bin_expr = F.floor(F.col("_v").cast("double") / F.lit(float(bin_width))).cast(
+            "bigint"
+        )
     segs = [F.col(seg_col).alias("seg")] if seg_col else []
     binned = (
         df.filter(v.isNotNull())

@@ -2064,10 +2064,11 @@ FROM r
 ORACLES["conv_dedup"] = f"""
 WITH {TURNS_CTE},
 fps AS (
-  -- coalesce: all-NULL-text conversations hash the empty string, matching
-  -- Spark's concat_ws (which skips NULL elements and never returns NULL)
+  -- per-turn md5 chain (fixed-width blocks — no in-text byte sequence can
+  -- fake a turn boundary); coalesce: all-NULL-text conversations hash the
+  -- empty chain, matching Spark's concat_ws (which skips NULL elements)
   SELECT conv_id, count(*) AS n_turns,
-         md5(coalesce(string_agg(text, chr(31) ORDER BY turn_idx), '')) AS conv_fp
+         md5(coalesce(string_agg(md5(text), '' ORDER BY turn_idx), '')) AS conv_fp
   FROM turns GROUP BY conv_id
 )
 SELECT conv_id, conv_fp, n_turns,
@@ -2086,7 +2087,7 @@ SELECT key, cnt,
        cnt * 10000 // t AS share10k,
        (cnt + 49) // 50 AS salt_factor
 FROM counts, tot
-ORDER BY cnt DESC, key ASC
+ORDER BY cnt DESC, key ASC NULLS LAST
 LIMIT 20
 """
 
@@ -2135,17 +2136,21 @@ ORACLES["rp_rerank_topk"] = _rp_oracle()
 ORACLES["transcript_training_corpus"] = rf"""
 WITH {TURNS_CTE},
 docs AS (
-  -- coalesce: a conversation whose every line is NULL (role or text NULL
-  -- propagates through ||, and string_agg skips NULL rows) assembles to
-  -- '', matching Spark's concat_ws-over-transform
+  -- doc: assembled lines (NULL role/text propagates through || and the
+  -- line drops out — matching F.concat → concat_ws). fp: per-turn md5
+  -- chain over (role, text) — fixed-width blocks, so a turn whose text
+  -- contains a literal 'role: ...\n' line never collides with the real
+  -- multi-turn conversation it quotes. coalesce: all-NULL conv -> ''.
   SELECT conv_id,
          coalesce(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx),
-                  '') AS doc
+                  '') AS doc,
+         md5(coalesce(string_agg(md5(role || chr(31) || text), ''
+                                 ORDER BY turn_idx), '')) AS fp
   FROM turns GROUP BY conv_id
 ),
 canon AS (
   SELECT conv_id, doc FROM (
-    SELECT conv_id, doc, min(conv_id) OVER (PARTITION BY md5(doc)) AS keep
+    SELECT conv_id, doc, min(conv_id) OVER (PARTITION BY fp) AS keep
     FROM docs
   ) WHERE conv_id = keep
 ),

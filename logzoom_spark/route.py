@@ -227,6 +227,8 @@ def skew_key_stats(
             F.expr("cnt * 10000L div _total").alias("share10k"),
             F.expr(f"(cnt + {t - 1}L) div {t}L").alias("salt_factor"),
         )
-        .orderBy(F.desc("cnt"), F.asc_nulls_first("key"))
+        # nulls LAST to match SQL's default ASC NULLS LAST: on a count tie
+        # at the top_n boundary the two engines must cut the same row
+        .orderBy(F.desc("cnt"), F.asc_nulls_last("key"))
         .limit(top_n)
     )

@@ -1681,3 +1681,74 @@ def test_conv_dedup_all_null_text_conversation(spark):
     empty_md5 = hashlib.md5(b"").hexdigest()
     assert out["a"].conv_fp == out["b"].conv_fp == empty_md5
     assert out["a"].is_canonical == 1 and out["b"].canonical_conv == "a"
+
+
+def test_conv_fingerprint_immune_to_boundary_forgery(spark):
+    """Per-turn md5 chaining: a single turn whose text CONTAINS another
+    conversation's joined serialization must not share its fingerprint
+    (a separator-joined fingerprint would collide)."""
+    from logzoom_spark.ops.dedup import conv_dedup
+
+    rows = [
+        ("two", 0, "hello"), ("two", 1, "world"),
+        ("one", 0, "hello\x1fworld"),
+        ("nl", 0, "hello\nworld"),
+    ]
+    out = {r.conv_id: r for r in conv_dedup(
+        spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    ).collect()}
+    fps = {out[c].conv_fp for c in ("two", "one", "nl")}
+    assert len(fps) == 3 and all(r.is_canonical == 1 for r in out.values())
+
+
+def test_transcript_corpus_no_assembled_doc_collision(spark):
+    """A one-turn conversation quoting 'user: hello\\nassistant: hi' must
+    survive packing alongside the real two-turn conversation it quotes —
+    dedup keys on per-turn hashes, not on the ambiguous assembled doc."""
+    from logzoom_spark.ops.corpus import transcript_training_corpus
+
+    rows = [
+        ("real", 0, "user", "hello"), ("real", 1, "assistant", "hi"),
+        ("quoter", 0, "user", "hello\nassistant: hi"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r.conv_id: r for r in transcript_training_corpus(
+        turns, budget_tokens=8, n_buckets=2
+    ).collect()}
+    assert set(out) == {"real", "quoter"}
+    # token counts come off the assembled docs (identical text here)
+    assert out["real"].n_tokens == out["quoter"].n_tokens == 4
+
+
+def test_hist_sketch_fractional_bin_width(spark):
+    """Fractional widths keep the pre-integer-path semantics: bin =
+    floor(v / 2.5) with estimate bounds (bin+1)*2.5; width 0 raises."""
+    from logzoom_spark.ops.sketch import (
+        hist_quantile_estimate,
+        hist_quantile_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0), (1, 2), (1, 5), (1, 7)], "grp int, v long"
+    )
+    out = {r.bin: r.cnt for r in hist_quantile_sketch(df, "grp", "v", 2.5).collect()}
+    assert out == {0: 2, 2: 2}  # floor(0/2.5)=floor(2/2.5)=0; 5,7 -> 2
+    est = hist_quantile_estimate(
+        hist_quantile_sketch(df, "grp", "v", 2.5), 2.5, percentiles=(1.0,)
+    ).first()
+    assert est.p100_ub == 7.5  # (2+1)*2.5
+    with pytest.raises(ValueError, match="positive"):
+        hist_quantile_sketch(df, "grp", "v", 0)
+
+
+def test_kmeans_ragged_row_gets_null_cluster(spark):
+    """A row whose embedding is shorter than dims must get a NULL cluster
+    (struct-min would otherwise silently assign it to the lowest cell)."""
+    from logzoom_spark.ops.kmeans import kmeans_assign
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (9, [0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.cluster for r in kmeans_assign(df, k=2, iters=1, dims=2).collect()}
+    assert out[0] == 0 and out[1] == 1 and out[9] is None
