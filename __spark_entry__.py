@@ -1748,6 +1748,19 @@ def q_bpe_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_encode_counts(docs, vocab)
 
 
+def q_hll_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic HyperLogLog: estimated distinct user_id per
+    event_type from m=64 integer registers (portable-hash buckets,
+    bin-length rho, integer harmonic estimate — bit-identical across
+    engines, unlike approx_count_distinct). The bounded-state
+    (m registers/group) twin of `kmv_distinct_users`; mergeable by
+    per-bucket max (pytest-proven == direct build)."""
+    from logzoom_spark.ops.sketch import hll_distinct
+
+    ev = _read(spark, sf, "events")
+    return hll_distinct(ev, "event_type", "user_id", p=6)
+
+
 def q_transcript_training_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship transcripts→training-corpus composition: per-conversation
     document assembly (stable turn order) → exact conversation dedup
@@ -1772,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 (latest): conversation dedup, skew diagnostics, JL
         # projection ANN, BPE training/encode
         "conv_dedup": q_conv_dedup,
+        "hll_distinct_users": q_hll_distinct_users,
         "skew_key_stats": q_skew_key_stats,
         "rp_rerank_topk": q_rp_rerank_topk,
         "bpe_learn_merges": q_bpe_learn_merges,
@@ -1825,12 +1839,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_rollup_users": q_kmv_rollup_users,
         "curation_pipeline": q_curation_pipeline,
         "salted_join_revenue": q_salted_join_revenue,
-        "sq8_rerank_topk": q_sq8_rerank_topk,
         "scd2_order_intervals": q_scd2_order_intervals,
         "session_window_counts": q_session_window_counts,
-        # composition of two in-prefix ops (conv_dedup + pack_sequences) —
-        # compositionally covered, so it sits just past the prefix
+        # compositionally-covered overflow: transcript_training_corpus is a
+        # composition of in-prefix conv_dedup + pack_sequences;
+        # sq8_rerank_topk shares the coarse-shortlist + exact-rerank shape
+        # with in-prefix rp_rerank_topk
         "transcript_training_corpus": q_transcript_training_corpus,
+        "sq8_rerank_topk": q_sq8_rerank_topk,
         "sliding_rate_counts": q_sliding_rate_counts,
         "tpch_q4": q_tpch_q4,
         "tpch_q6": q_tpch_q6,

@@ -316,6 +316,7 @@ def main() -> None:
         "transcript_training_corpus",
         lambda: _noop(se.q_transcript_training_corpus(spark, sf_dir)),
     )
+    bench("hll_distinct", lambda: _noop(se.q_hll_distinct_users(spark, sf_dir)))
 
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
     # real sink files — measures sink I/O, which on this shared host is

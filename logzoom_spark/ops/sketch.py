@@ -382,3 +382,102 @@ def hist_quantile_estimate(
         for p in percentiles
     ]
     return ranked.groupBy("grp").agg(*agg_cols)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — the canonical mergeable distinct sketch, made
+# engine-deterministic (public algorithm: Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+
+
+def _hll_alpha_c(p: int) -> int:
+    """round(alpha_m · m²) as an exact integer constant (driver-side)."""
+    m = 1 << p
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    return int(round(alpha * m * m))
+
+
+def hll_sketch(
+    df: DataFrame, group_col: str, value_col: Column | str, p: int = 6
+) -> DataFrame:
+    """Per-group HLL registers: (grp, bucket, rho) with bucket = the
+    portable hash's top ``p`` bits and rho = leading-zero run (+1) of the
+    remaining 60-p bits — max-aggregated, so the register table is
+    mergeable by ``hll_merge`` (max is idempotent/commutative, the same
+    partial-agg-safety contract as KMV/CMS/histogram).
+
+    Fully deterministic and SQL-twinnable: rho comes from the binary
+    string length of the residue (``bin``), never from float log2 — the
+    whole sketch is a pure integer function of the portable md5 hash, so
+    Spark and DuckDB build bit-identical registers.
+
+    Scale shape: map-side max-combine collapses each partition to
+    ≤ groups × m register rows before the one exchange; state is m
+    (= 2^p) registers per group regardless of input rows."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    rbits = 60 - p
+    h = portable_hash(v.cast("string"))
+    d = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("grp"), h.alias("_h")
+    )
+    rest = F.expr(f"_h % {1 << rbits}L")
+    rho = F.when(rest == 0, F.lit(rbits + 1)).otherwise(
+        F.lit(rbits + 1) - F.length(F.bin(rest))
+    )
+    return (
+        d.select(
+            "grp",
+            F.expr(f"_h div {1 << rbits}L").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables (segments/epochs) by per-bucket max — proven
+    equal to a direct build by pytest, like the other sketch families."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("grp", "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 6) -> DataFrame:
+    """(grp, hll_est): the raw HLL harmonic-mean estimate from a register
+    table, in pure integer arithmetic so both engines agree bit-for-bit:
+    each register contributes S >> rho (S a power of two sized driver-side
+    so C·S < 2^62 never overflows), absent registers contribute S, and
+    the estimate is the single integer division (C·S) div Σterms with
+    C = round(alpha_m·m²). Truncation of terms with rho > log2(S) is
+    identical in both engines (deterministic, astronomically rare).
+
+    No small-range linear-counting branch: that needs ln(), whose last
+    bits differ across libm builds — `kmv_distinct` is this engine's
+    exact-small-group path; HLL here is the bounded-state
+    (m registers/group, vs KMV's k hashes) estimate for huge groups."""
+    m = 1 << p
+    c = _hll_alpha_c(p)
+    shift = 61 - c.bit_length()
+    s_unit = 1 << shift
+    agg = sketch.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum(F.expr(f"shiftright({s_unit}L, rho)")).alias("_sum"),
+    )
+    return agg.select(
+        "grp",
+        F.expr(
+            f"{c * s_unit}L div greatest(_sum + ({m}L - _nb) * {s_unit}L, 1L)"
+        ).alias("hll_est"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: Column | str, p: int = 6
+) -> DataFrame:
+    """Sketch + estimate in one call: (group_col, hll_est)."""
+    est = hll_estimate(hll_sketch(df, group_col, value_col, p), p)
+    return est.withColumnRenamed("grp", group_col)

@@ -2177,3 +2177,38 @@ SELECT conv_id, n_tokens, tok_offset,
        - tok_offset // 512 + 1 AS BIGINT) AS n_seqs
 FROM o
 """
+
+
+def _hll_oracle(p: int = 6) -> str:
+    """Deterministic-HLL twin (ops/sketch.hll_sketch/hll_estimate): same
+    integer register/rho/harmonic arithmetic from the same portable hash."""
+    from .ops.sketch import _hll_alpha_c
+
+    m = 1 << p
+    rbits = 60 - p
+    c = _hll_alpha_c(p)
+    shift = 61 - c.bit_length()
+    s_unit = 1 << shift
+    return f"""
+WITH h AS (
+  SELECT event_type, {portable_hash_sql("cast(user_id AS VARCHAR)")} AS hh
+  FROM events WHERE user_id IS NOT NULL
+),
+reg AS (
+  SELECT event_type, hh // {1 << rbits} AS bucket,
+         max(CASE WHEN hh % {1 << rbits} = 0 THEN {rbits + 1}
+             ELSE {rbits + 1} - length(bin(hh % {1 << rbits})) END) AS rho
+  FROM h GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type, count(*) AS nb, sum({s_unit} >> rho) AS sm
+  FROM reg GROUP BY event_type
+)
+SELECT event_type,
+       cast({c * s_unit} // greatest(sm + ({m} - nb) * {s_unit}, 1) AS BIGINT)
+         AS hll_est
+FROM agg
+"""
+
+
+ORACLES["hll_distinct_users"] = _hll_oracle()

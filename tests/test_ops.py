@@ -1752,3 +1752,29 @@ def test_kmeans_ragged_row_gets_null_cluster(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = {r.vec_id: r.cluster for r in kmeans_assign(df, k=2, iters=1, dims=2).collect()}
     assert out[0] == 0 and out[1] == 1 and out[9] is None
+
+
+def test_hll_merge_equals_direct_and_accuracy(spark):
+    """HLL registers merge by per-bucket max == direct build; the m=64
+    estimate lands within the sketch's expected error (<20%) for a
+    500-distinct group; NULL values are excluded."""
+    from logzoom_spark.ops.sketch import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    rows = [("g", f"user-{i % 500}") for i in range(4000)] + [("g", None)] * 10
+    df = spark.createDataFrame(rows, "k string, uid string")
+    est = hll_distinct(df, "k", "uid", p=6).first().hll_est
+    assert abs(est - 500) / 500 < 0.20, est
+    a = df.filter(F.col("uid") < "user-25"); b = df.subtract(a)
+    merged = hll_merge(
+        hll_sketch(a, "k", "uid", 6), hll_sketch(b, "k", "uid", 6)
+    )
+    direct = hll_sketch(df, "k", "uid", 6)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    assert hll_estimate(merged, 6).first().hll_est == est
+    with pytest.raises(ValueError, match="p must be"):
+        hll_sketch(df, "k", "uid", p=2)
