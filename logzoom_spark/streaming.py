@@ -22,7 +22,7 @@ the reference's ticker-based eviction (websocket.go:119-138).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import sinks as sk
@@ -516,3 +516,111 @@ def streaming_response_join(turns_stream: DataFrame, max_delay: str = "1 hour") 
             "response_latency_s"
         ),
     )
+
+
+def streaming_conv_fingerprints(
+    turns_stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of ``ops.dedup.conv_fingerprints``: a watermarked
+    session-window aggregate assembles each conversation's fingerprint —
+    the same per-turn md5 chain in stable (turn_idx) order, so a
+    streaming fingerprint is byte-identical to the batch one for the same
+    turns — and emits it once the conversation's session closes (no turn
+    for ``gap``). State is one in-flight chain per open conversation,
+    evicted by the watermark."""
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    return (
+        turns_stream.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.md5(
+                F.concat_ws("", F.transform(ordered, lambda s: F.md5(s["text"])))
+            ).alias("conv_fp"),
+        )
+    )
+
+
+def streaming_conv_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    fp_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    fault_hook=None,
+):
+    """Streaming conversation dedup: session-closed fingerprints
+    (`streaming_conv_fingerprints` — ONE stateful operator) flow into a
+    ``foreachBatch`` that anti-joins each batch against the STANDING
+    fingerprint table and commits survivors + their fingerprints to
+    epoch-idempotent ``epoch=<id>`` dirs — the exact protocol of
+    ``streaming_incremental_dedup`` (a crash between writes re-runs the
+    epoch idempotently; a re-delivered epoch never sees its own ghosts).
+
+    Deliberately NOT the chained-stateful formulation (session agg →
+    dropDuplicatesWithinWatermark in one query): measured here, the
+    downstream dedup's late-row filter silently DROPS sessions whose
+    end falls at/under the already-advanced watermark when they finally
+    emit — losing originals, not duplicates — and its key state expires
+    after the watermark delay, so a duplicate arriving later than the
+    delay slips through. The standing-table design has neither failure
+    mode: dedup state is the fingerprint table (digest-only, append-only,
+    compactable via ``compact_epochs``), and its horizon is unbounded.
+
+    Batch/stream delta (inherent): batch ``conv_dedup`` keeps the MIN
+    conv_id per fingerprint; a stream keeps the first-COMMITTED
+    conversation (within one batch, the min conv_id — deterministic).
+
+    Returns the StreamingQuery."""
+    import os
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        others = [
+            e
+            for e in (os.listdir(fp_dir) if os.path.exists(fp_dir) else [])
+            if e.startswith("epoch=") and e != f"epoch={int(epoch_id)}"
+        ]
+        batch_df = batch_df.persist()
+        try:
+            fresh = batch_df
+            if others:
+                standing = (
+                    s.read.option("basePath", fp_dir)
+                    .parquet(*[f"{fp_dir}/{e}" for e in others])
+                    .select("conv_fp")
+                )
+                fresh = batch_df.join(standing, "conv_fp", "left_anti")
+            # within-batch duplicates: keep min conv_id (batch-identical rule)
+            w = Window.partitionBy("conv_fp")
+            fresh = (
+                fresh.withColumn("_keep", F.min("conv_id").over(w))
+                .filter(F.col("conv_id") == F.col("_keep"))
+                .drop("_keep")
+            )
+            fresh.write.mode("overwrite").parquet(f"{out_dir}/epoch={int(epoch_id)}")
+            fresh.select("conv_fp").write.mode("overwrite").parquet(
+                f"{fp_dir}/epoch={int(epoch_id)}"
+            )
+            if fault_hook is not None:
+                fault_hook(int(epoch_id))
+        finally:
+            batch_df.unpersist()
+
+    stream = read_turns_stream(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    fps = streaming_conv_fingerprints(stream, gap, watermark)
+    writer = fps.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    writer = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime="10 seconds")
+    )
+    return writer.start()

@@ -641,3 +641,86 @@ def test_streaming_incremental_dedup_redelivery_idempotent(spark, tmp_path):
     q2.awaitTermination(300)
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
     assert spark.read.parquet(sig).count() == 8  # 2 survivors x 4 bands
+
+
+def test_streaming_conv_dedup_cross_batch(spark, tmp_path):
+    """Conversation fingerprints assemble per session window; duplicates
+    are dropped across micro-batches via the standing fingerprint table —
+    even when the duplicate arrives far beyond the event-time watermark
+    (the chained dropDuplicatesWithinWatermark design cannot promise
+    that). An injected crash after the epoch writes re-runs idempotently:
+    no originals lost, no duplicates admitted."""
+    import datetime as dt
+
+    from logzoom_spark.ops.dedup import conv_fingerprints
+    from logzoom_spark.streaming import streaming_conv_dedup
+
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    t2 = base + dt.timedelta(hours=5)  # way past the 1h watermark
+    b1 = [("orig", 0, "user", "hello", None, base),
+          ("orig", 1, "asst", "world", None, base + m)]
+    b2 = [("copy", 0, "user", "hello", None, t2),
+          ("copy", 1, "asst", "world", None, t2 + m),
+          ("other", 0, "user", "different", None, t2)]
+    b3 = [("sentinel", 0, "user", "zz", None, base + dt.timedelta(hours=12))]
+    import glob as g
+    import os
+    import time as t
+
+    src = str(tmp_path / "sconv_src")
+    os.makedirs(src)
+    for i, rows in enumerate((b1, b2, b3)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        # force discovery order: earlier batches strictly older
+        for fn in g.glob(f"{src}/*.parquet"):
+            if os.stat(fn).st_mtime > t.time() - 10:
+                os.utime(fn, (t.time() - 3600 + i * 60, t.time() - 3600 + i * 60))
+    fp_dir = str(tmp_path / "sconv_fp")
+    out_dir = str(tmp_path / "sconv_out")
+    ckpt = str(tmp_path / "sconv_ckpt")
+
+    crashed = {}
+
+    def fault_hook(epoch):
+        if epoch >= 1 and not crashed:
+            crashed[epoch] = True
+            raise RuntimeError("injected crash after epoch writes")
+
+    q = streaming_conv_dedup(spark, src, fp_dir, out_dir, ckpt, fault_hook=fault_hook)
+    try:
+        q.awaitTermination(300)
+    except Exception:
+        pass  # injected crash surfaces through the query
+    assert crashed, "fault hook never fired"
+    # restart from checkpoint: the crashed epoch re-delivers idempotently
+    q2 = streaming_conv_dedup(spark, src, fp_dir, out_dir, ckpt)
+    q2.awaitTermination(300)
+
+    got = spark.read.option("basePath", out_dir).parquet(out_dir)
+    rows = {r.conv_id: r for r in got.collect()}
+    # originals + the distinct conv survive; the far-future duplicate is
+    # dropped; the sentinel's own session never closes (nothing later
+    # advances the watermark past it), so it stays in state — expected
+    assert "orig" in rows and "other" in rows
+    assert "copy" not in rows
+    assert got.count() == 2, "crash re-delivery duplicated rows"
+    # streaming fingerprints == batch fingerprints for the same turns
+    batch_fp = {
+        r.conv_id: r.conv_fp
+        for r in conv_fingerprints(
+            spark.createDataFrame(
+                [(c, i, t, ts) for (c, i, _r, t, _tl, ts) in b1 + b2],
+                "conv_id string, turn_idx int, text string, ts timestamp",
+            )
+        ).collect()
+    }
+    assert rows["orig"].conv_fp == batch_fp["orig"] == batch_fp["copy"]
+    assert rows["other"].conv_fp == batch_fp["other"]
+    assert rows["orig"].n_turns == 2
