@@ -1761,6 +1761,24 @@ def q_hll_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     return hll_distinct(ev, "event_type", "user_id", p=6)
 
 
+def q_pack_by_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-budgeted sequence packing: learn merges, count real BPE tokens
+    per doc (broadcast vocabulary join), then pack the corpus by those
+    counts via `pack_sequences(n_tokens_col=...)` — the packer never
+    touches text. The learned-tokenizer twin of `pack_sequences`
+    (whitespace counts); rows-only driver check (learn is iterative),
+    pytest-verified composition."""
+    from logzoom_spark.ops.bpe import bpe_encode_counts, bpe_learn
+    from logzoom_spark.ops.corpus import pack_sequences
+
+    docs = _read(spark, sf, "documents")
+    _, vocab = bpe_learn(docs, n_merges=12)
+    counts = bpe_encode_counts(docs, vocab).select("doc_id", "n_bpe_tokens")
+    return pack_sequences(
+        counts, budget_tokens=512, n_tokens_col="n_bpe_tokens"
+    )
+
+
 def q_transcript_training_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship transcripts→training-corpus composition: per-conversation
     document assembly (stable turn order) → exact conversation dedup
@@ -1846,6 +1864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sq8_rerank_topk shares the coarse-shortlist + exact-rerank shape
         # with in-prefix rp_rerank_topk
         "transcript_training_corpus": q_transcript_training_corpus,
+        # pack_by_bpe_tokens composes in-prefix bpe_learn/encode + pack
+        "pack_by_bpe_tokens": q_pack_by_bpe_tokens,
         "sq8_rerank_topk": q_sq8_rerank_topk,
         "sliding_rate_counts": q_sliding_rate_counts,
         "tpch_q4": q_tpch_q4,

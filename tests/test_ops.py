@@ -1778,3 +1778,24 @@ def test_hll_merge_equals_direct_and_accuracy(spark):
     assert hll_estimate(merged, 6).first().hll_est == est
     with pytest.raises(ValueError, match="p must be"):
         hll_sketch(df, "k", "uid", p=2)
+
+
+def test_pack_sequences_by_precomputed_counts(spark):
+    """pack_sequences(n_tokens_col=...) packs by the provided counts —
+    the tape is gapless under the supplied budget and never reads text."""
+    from logzoom_spark.ops.corpus import pack_sequences
+
+    counts = spark.createDataFrame(
+        [(1, 7), (2, 3), (3, 12), (4, None)], "doc_id long, n_bpe_tokens int"
+    )
+    out = sorted(
+        pack_sequences(counts, budget_tokens=10, n_tokens_col="n_bpe_tokens").collect(),
+        key=lambda r: r.tok_offset,
+    )
+    run = 0
+    for r in out:
+        assert r.tok_offset == run
+        run += r.n_tokens
+    assert run == 22  # 7+3+12, NULL count coalesced to 0
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[4].n_tokens == 0 and by_id[4].n_seqs == 1
