@@ -117,6 +117,88 @@ def reservoir_sample(
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement, k per group
+    (Efraimidis–Spirakis A-ES): each row draws u ∈ (0,1) from the portable
+    hash of its id and ranks by key = ln(u)/w — the top-k keys are exactly
+    a weight-proportional without-replacement draw (maximising u^(1/w) ⇔
+    maximising ln(u)/w since ln is monotone and w > 0). The weighted
+    complement of ``reservoir_sample``: "sample documents proportional to
+    length/quality score" is the standard corpus-mixing step that uniform
+    hash-rank sampling can't express.
+
+    Rows with NULL or non-positive weight are excluded from the draw (a
+    zero-weight row must never be selected; A-ES is undefined there).
+
+    Determinism note: u is an exact dyadic rational ((h mod 2^52)+1)/(2^52+1)
+    and division is IEEE-exact, so the one cross-engine wobble is ln()'s
+    final ulp — rank order could only differ when two keys collide within
+    ~1e-16 relative at exactly the k-th boundary, which hash-spread keys
+    don't do. Ties (identical key) break by id ascending.
+
+    Scale shape: key computation is per-row projection (no shuffle); the
+    top-k per group is a window row_number that Spark pushes below the
+    exchange as WindowGroupLimit — at most k rows per (group, input
+    partition) shuffle, same as ``reservoir_sample``."""
+    from pyspark.sql import Window
+
+    two52 = 1 << 52
+    h = F.pmod(portable_hash(F.col(id_col).cast("string"), seed), F.lit(two52))
+    u = (h + 1) / F.lit(float(two52 + 1))
+    w_col = F.col(weight_col).cast("double")
+    key = F.log(u) / w_col
+    ranked = docs.filter(w_col > 0).withColumn("_es_key", key)
+    parts = [group_col] if group_col is not None else []
+    w = Window.partitionBy(*parts).orderBy(
+        F.desc("_es_key"), F.col(id_col).asc()
+    )
+    return (
+        ranked.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .withColumn("sample_rank", F.col("_rk").cast("bigint"))
+        .drop("_rk", "_es_key")
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    valid_bps: int = 500,
+    test_bps: int = 500,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/valid/test split assignment: bucket =
+    portable_hash(id) mod 10000; bucket < test_bps → 'test', next
+    valid_bps buckets → 'valid', rest → 'train'. The split every training
+    run needs pinned: hash-gated membership is disjoint and exhaustive by
+    construction, reproducible across runs, partitionings and cluster
+    sizes, and stable under corpus APPEND (a new doc lands in a split
+    without moving any existing doc — unlike rank- or count-based splits,
+    which reshuffle everything whenever N changes).
+
+    Returns docs + (split_bucket BIGINT, split STRING). Pure projection —
+    zero shuffle; the gate column prunes straight into a parquet filter
+    when a run reads only its own split."""
+    if valid_bps < 0 or test_bps < 0 or valid_bps + test_bps > 10000:
+        raise ValueError("valid_bps/test_bps must be ≥0 and sum ≤ 10000")
+    bucket = F.pmod(portable_hash(F.col(id_col).cast("string"), seed), F.lit(10000))
+    split = (
+        F.when(bucket < test_bps, "test")
+        .when(bucket < test_bps + valid_bps, "valid")
+        .otherwise("train")
+    )
+    return docs.withColumn("split_bucket", bucket.cast("bigint")).withColumn(
+        "split", split
+    )
+
+
 def mixture_plan(
     docs: DataFrame,
     weights10k: dict[str, int],

@@ -110,6 +110,67 @@ def paragraph_dedup(docs: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def dup_span_grams(
+    docs: DataFrame, k: int = 8, col: str = "text", hasher: str = "md5"
+) -> DataFrame:
+    """Substring-level duplicate detection (the approximation of
+    suffix-array training-data dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): fingerprint every
+    k-token window of every document, count each fingerprint corpus-wide,
+    and flag the positions whose window occurs ≥2 times anywhere in the
+    corpus (including intra-doc repeats — the suffix-array criterion is
+    total occurrence count, not distinct-doc count). Where doc-level
+    (``dedup_exact``) and paragraph-level (``paragraph_dedup``) dedup
+    miss boilerplate stitched into otherwise-unique pages, this measures
+    exactly the spans a substring-level cut would remove.
+
+    Returns one row PER INPUT DOC (counted, not dropped):
+    (doc_id, n_grams, dup_positions, dup_bps) — n_grams = max(0, n_tokens
+    − k + 1) sliding windows, dup_positions = windows whose fingerprint is
+    corpus-duplicated, dup_bps = floor(10000·dup/total) (NULL when the doc
+    is shorter than one window, n_grams = 0).
+
+    Scale shape: gram strings die inside the per-row ``transform`` — only
+    60-bit fingerprints are exploded, so the corpus-wide frequency count
+    is a map-side-combinable groupBy on a fixed-width integer (the same
+    digest-only-shuffle discipline as ``dedup_exact``), and the flagging
+    join carries (gh, doc_id) pairs against a (gh, cnt≥2) set. No
+    self-join, no pair blowup: cost is linear in total token count.
+    """
+    h = _hash_fn(hasher)
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    # guard: F.sequence(1, 0) would yield a DESCENDING [1, 0], not empty
+    idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: h(F.concat_ws(" ", F.slice(toks, i, k))))
+    per_pos = docs.select(
+        "doc_id", F.explode_outer(grams).alias("gh")
+    )  # explode_outer: short docs keep their row with gh = NULL
+    freq = (
+        per_pos.filter(F.col("gh").isNotNull())
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    flagged = per_pos.join(
+        freq.filter(F.col("cnt") >= 2).select("gh"), "gh", "left_semi"
+    )
+    dup = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dup_positions")
+    )
+    totals = docs.select("doc_id", n_grams.cast("bigint").alias("n_grams"))
+    return totals.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("dup_positions", F.lit(0)).cast("bigint").alias("dup_positions"),
+        F.expr(
+            "CASE WHEN n_grams > 0 THEN (10000 * coalesce(dup_positions, 0))"
+            " div n_grams END"
+        ).cast("bigint").alias("dup_bps"),
+    )
+
+
 def shingles(
     docs: DataFrame, n: int = 3, col: str = "text", keep: tuple[str, ...] = ()
 ) -> DataFrame:

@@ -171,3 +171,89 @@ def bm25_topk(
         F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
     )
     return agg.orderBy(F.desc("bm25_scaled"), F.asc("doc_id")).limit(k)
+
+
+def bm25_query_join(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Batched BM25: top-k docs for EVERY query in one plan — the lexical
+    twin of ``ops.similarity.knn_join`` (single-probe ``bm25_topk`` is the
+    interactive shape; a curation pipeline scores thousands of benchmark /
+    filter queries against the corpus at once, and running them one
+    Spark job each would pay the scan per query).
+
+    ``queries``: (query_id BIGINT, token STRING) rows — a bag of terms per
+    query (tokens are folded through the same lower() as the index and
+    deduped per query; a duplicate term would double-count df and
+    n_terms_hit exactly as documented on ``bm25_topk``).
+
+    Returns (query_id, doc_id, bm25_scaled, n_terms_hit, rank) with
+    rank = row_number per query by (score desc, doc_id asc), rank ≤ k.
+
+    Plan shape, in corpus-scan counts: ONE postings⋈terms equi-join on
+    `token` prunes to the union of all queries' terms (distinct-token df
+    stats are computed once on that slice, NOT per query — a term shared
+    by 500 queries aggregates its df a single time); the per-(query, doc)
+    sum is map-side combinable; the final top-k is a window row_number
+    per query_id that Spark pushes below the exchange as WindowGroupLimit,
+    so at most k rows per (query, input-partition) shuffle. Token-key skew
+    (a stopword in many queries) is AQE's skew-join case; the postings
+    build itself is the place to drop df-dominant terms if needed."""
+    from pyspark.sql import Window
+
+    qdf = (
+        queries.select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.lower(F.trim(F.col("token"))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    if postings is None:
+        postings = build_postings(docs)
+    lens = doc_lengths(docs)
+    totals = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dlen").alias("total_tokens")
+    ).select("n_docs", F.expr("(10 * total_tokens) div n_docs").alias("avg10"))
+    # corpus df per DISTINCT probed token, shared across queries
+    tokens = qdf.select("token").distinct()
+    hits = postings.join(F.broadcast(tokens), "token")
+    stats = hits.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf10k = F.floor(
+        F.log((2 * F.col("n_docs") + 2) / (2 * F.col("df") + 1)) * 10000
+    ).cast("bigint")
+    scored = (
+        hits.join(F.broadcast(qdf), "token")
+        .join(F.broadcast(stats), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("idf10k", idf10k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "(idf10k * tf * 22 * avg10) div (10 * tf * avg10 + 3 * avg10 + 90 * dlen)"
+            ).alias("contrib"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("bm25_scaled"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25_scaled"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25_scaled",
+            "n_terms_hit",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -119,6 +119,67 @@ def heavy_hitter_tokens(docs: DataFrame, k: int = 50, col: str = "text") -> Data
     )
 
 
+def vocab_stats(
+    docs: DataFrame, group_col: str = "lang", col: str = "text"
+) -> DataFrame:
+    """Per-group corpus vocabulary statistics — the profile a mixing /
+    pruning decision reads before touching any document: token volume,
+    vocabulary size, type-token ratio, and hapax share (fraction of the
+    vocabulary occurring exactly once — high hapax = noisy/OCR-ish text,
+    low = templated text; the classic corpus-linguistics diversity pair).
+
+    Returns (group, n_docs, n_tokens, vocab, ttr_bps, hapax, hapax_bps):
+    ttr_bps = floor(10000·vocab/n_tokens), hapax_bps = floor(10000·hapax/
+    vocab) — integer-exact. Groups whose docs are all empty surface with
+    zeros/NULL ratios (counted, not dropped).
+
+    Plan: one explode → (group, token) hash-agg with map-side partial
+    counts (each partition collapses its token stream to per-partition
+    distinct (group, token) rows before the shuffle — the shuffle is
+    vocabulary-sized, never corpus-sized), then a per-group rollup of
+    those counts. n_docs aggregates separately on the same group key and
+    broadcast-joins in (group cardinality = languages, tiny)."""
+    toks = F.explode(F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+"))
+    per_token = (
+        docs.select(F.col(group_col).alias("grp"), toks.alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    per_group = per_token.groupBy("grp").agg(
+        F.sum("ct").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("ct") == 1, 1).otherwise(0)).cast("bigint").alias("hapax"),
+    )
+    n_docs = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    # eqNullSafe: a NULL group must pair with its own token stats, not
+    # fall to the zero row
+    return (
+        n_docs.join(
+            F.broadcast(per_group.withColumnRenamed("grp", "pgrp")),
+            F.col("grp").eqNullSafe(F.col("pgrp")),
+            "left",
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("vocab", F.lit(0)).alias("vocab"),
+            F.expr(
+                "CASE WHEN coalesce(n_tokens, 0) > 0"
+                " THEN (10000 * vocab) div n_tokens END"
+            ).cast("bigint").alias("ttr_bps"),
+            F.coalesce("hapax", F.lit(0)).alias("hapax"),
+            F.expr(
+                "CASE WHEN coalesce(vocab, 0) > 0"
+                " THEN (10000 * hapax) div vocab END"
+            ).cast("bigint").alias("hapax_bps"),
+        )
+    )
+
+
 def bpe_pair_counts(docs: DataFrame, top_n: int = 30, col: str = "text") -> DataFrame:
     """Corpus-wide adjacent-symbol pair counts — the counting step of BPE
     tokenizer training (one merge round over the character alphabet; the

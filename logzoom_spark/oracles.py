@@ -707,6 +707,160 @@ FROM scored GROUP BY doc_id
 ORDER BY bm25_scaled DESC, doc_id ASC LIMIT 10
 """
 
+# Batched BM25 (ops.retrieval.bm25_query_join): same fixed-point scoring
+# as bm25_topk, per-term df computed ONCE over the union of query terms,
+# per-query top-5 by (score desc, doc_id asc)
+ORACLES["bm25_query_join"] = r"""
+WITH q(query_id, token) AS (VALUES
+  (1, 'spark'), (1, 'vector'), (1, 'scan'),
+  (2, 'join'), (2, 'shuffle'), (2, 'table'),
+  (3, 'query'), (3, 'filter')),
+tk AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks
+  FROM documents
+),
+lens AS (SELECT doc_id, cast(len(toks) AS BIGINT) AS dlen FROM tk),
+tot AS (
+  SELECT count(*) AS n_docs, (10 * sum(dlen)) // count(*) AS avg10 FROM lens
+),
+posts AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+hits AS (
+  SELECT token, doc_id, cast(count(*) AS BIGINT) AS tf
+  FROM posts WHERE token IN (SELECT DISTINCT token FROM q)
+  GROUP BY token, doc_id
+),
+stats AS (SELECT token, count(*) AS df FROM hits GROUP BY token),
+scored AS (
+  SELECT q.query_id, h.doc_id,
+    (cast(floor(ln(cast(2 * tot.n_docs + 2 AS DOUBLE) / (2 * s.df + 1)) * 10000)
+          AS BIGINT)
+     * h.tf * 22 * tot.avg10)
+    // (10 * h.tf * tot.avg10 + 3 * tot.avg10 + 90 * l.dlen) AS contrib
+  FROM hits h JOIN q USING (token) JOIN stats s USING (token)
+       JOIN lens l USING (doc_id), tot
+),
+agg AS (
+  SELECT query_id, doc_id, cast(sum(contrib) AS BIGINT) AS bm25_scaled,
+         cast(count(*) AS BIGINT) AS n_terms_hit
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT cast(query_id AS BIGINT) AS query_id, doc_id, bm25_scaled,
+         n_terms_hit,
+         cast(row_number() OVER (
+           PARTITION BY query_id ORDER BY bm25_scaled DESC, doc_id ASC
+         ) AS BIGINT) AS rank
+  FROM agg
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+# Substring-level duplicate spans (ops.dedup.dup_span_grams, k=8):
+# 8-token sliding-window fingerprints, position flagged when its window
+# occurs >=2 times corpus-wide (including intra-doc repeats)
+ORACLES["dup_span_grams"] = f"""
+WITH tk AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT tk.doc_id,
+         {portable_hash_sql("array_to_string(toks[i.i:i.i+7], ' ')")} AS gh
+  FROM tk, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i(i)
+),
+freq AS (SELECT gh, count(*) AS cnt FROM pos GROUP BY gh),
+dup AS (
+  SELECT p.doc_id, cast(count(*) AS BIGINT) AS dup_positions
+  FROM pos p JOIN freq f USING (gh) WHERE f.cnt >= 2 GROUP BY p.doc_id
+),
+tot AS (
+  SELECT doc_id, cast(greatest(len(toks) - 7, 0) AS BIGINT) AS n_grams
+  FROM tk
+)
+SELECT t.doc_id, t.n_grams,
+       cast(coalesce(d.dup_positions, 0) AS BIGINT) AS dup_positions,
+       cast(CASE WHEN t.n_grams > 0
+            THEN (10000 * coalesce(d.dup_positions, 0)) // t.n_grams
+            END AS BIGINT) AS dup_bps
+FROM tot t LEFT JOIN dup d USING (doc_id)
+"""
+
+# Efraimidis-Spirakis weighted sampling (ops.corpus.weighted_sample):
+# u = ((portable_hash(doc_id) mod 2^52) + 1) / (2^52 + 1), key = ln(u)/w,
+# top-15 keys per language. 2^52 = 4503599627370496.
+ORACLES["weighted_sample_lang"] = f"""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         ln((({portable_hash_sql("cast(doc_id AS VARCHAR)")} % 4503599627370496)
+             + 1) / cast(4503599627370497 AS DOUBLE))
+           / cast(n_chars AS DOUBLE) AS es_key
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         cast(row_number() OVER (
+           PARTITION BY lang ORDER BY es_key DESC, doc_id ASC
+         ) AS BIGINT) AS sample_rank
+  FROM keyed
+)
+SELECT lang, doc_id, n_chars, sample_rank FROM ranked WHERE sample_rank <= 15
+"""
+
+# Train/valid/test split profile (ops.corpus.split_assign, 10%/10%):
+# bucket = portable_hash(doc_id) mod 10000; <1000 test, <2000 valid
+ORACLES["split_assign_counts"] = f"""
+WITH s AS (
+  SELECT lang, n_chars, doc_id,
+         ({portable_hash_sql("cast(doc_id AS VARCHAR)")} % 10000) AS b
+  FROM documents
+),
+a AS (
+  SELECT lang,
+         CASE WHEN b < 1000 THEN 'test'
+              WHEN b < 2000 THEN 'valid'
+              ELSE 'train' END AS split,
+         n_chars, doc_id
+  FROM s
+)
+SELECT lang, split, cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS sum_chars,
+       cast(min(doc_id) AS BIGINT) AS min_doc_id,
+       cast(max(doc_id) AS BIGINT) AS max_doc_id
+FROM a GROUP BY lang, split
+"""
+
+# Per-language vocabulary statistics (ops.text.vocab_stats)
+ORACLES["vocab_stats_lang"] = r"""
+WITH tk AS (
+  SELECT lang,
+         unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'))
+           AS token
+  FROM documents
+),
+pt AS (
+  SELECT lang, token, count(*) AS ct
+  FROM tk WHERE token <> '' GROUP BY lang, token
+),
+pg AS (
+  SELECT lang, cast(sum(ct) AS BIGINT) AS n_tokens,
+         cast(count(*) AS BIGINT) AS vocab,
+         cast(count(*) FILTER (WHERE ct = 1) AS BIGINT) AS hapax
+  FROM pt GROUP BY lang
+),
+nd AS (SELECT lang, cast(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang)
+SELECT nd.lang, nd.n_docs,
+       coalesce(pg.n_tokens, 0) AS n_tokens,
+       coalesce(pg.vocab, 0) AS vocab,
+       cast(CASE WHEN coalesce(pg.n_tokens, 0) > 0
+            THEN (10000 * pg.vocab) // pg.n_tokens END AS BIGINT) AS ttr_bps,
+       coalesce(pg.hapax, 0) AS hapax,
+       cast(CASE WHEN coalesce(pg.vocab, 0) > 0
+            THEN (10000 * pg.hapax) // pg.vocab END AS BIGINT) AS hapax_bps
+FROM nd LEFT JOIN pg ON nd.lang IS NOT DISTINCT FROM pg.lang
+"""
+
 # C4-style paragraph dedup (ops.dedup.paragraph_dedup): corpus-wide
 # first-occurrence-wins on exact paragraph bytes, reassembled per doc.
 # Input composed as body + shared boilerplate + 40-char prefix (see

@@ -1799,3 +1799,160 @@ def test_pack_sequences_by_precomputed_counts(spark):
     assert run == 22  # 7+3+12, NULL count coalesced to 0
     by_id = {r.doc_id: r for r in out}
     assert by_id[4].n_tokens == 0 and by_id[4].n_seqs == 1
+
+
+def test_dup_span_grams_planted(spark):
+    """Substring-span detection on a planted corpus: a shared 8-token span
+    is flagged at every site (cross-doc AND intra-doc — the suffix-array
+    criterion is total occurrences), junction windows spanning two copies
+    stay unique, sub-window docs report n_grams=0 with NULL dup_bps."""
+    from logzoom_spark.ops.dedup import dup_span_grams
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (1, shared + " unique1 tail1 one two"),           # 12 toks, 5 grams
+        (2, "lead2 " + shared + " other stuff here"),     # 12 toks, 5 grams
+        (3, "completely different words that never repeat anywhere at all"),
+        (4, "short doc"),                                 # < 8 tokens
+        (5, shared + " " + shared),                       # intra-doc repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in dup_span_grams(df, k=8).collect()}
+    assert len(out) == 5  # counted, not dropped
+    assert (out[1].n_grams, out[1].dup_positions, out[1].dup_bps) == (5, 1, 2000)
+    assert (out[2].n_grams, out[2].dup_positions) == (5, 1)
+    assert (out[3].n_grams, out[3].dup_positions, out[3].dup_bps) == (2, 0, 0)
+    assert (out[4].n_grams, out[4].dup_positions) == (0, 0)
+    assert out[4].dup_bps is None
+    # doc 5: both copies flagged, the 7 junction windows unique
+    assert (out[5].n_grams, out[5].dup_positions) == (9, 2)
+
+    # both hashers agree on which positions are duplicated
+    xx = {r.doc_id: r.dup_positions for r in dup_span_grams(df, k=8, hasher="xx").collect()}
+    assert xx == {d: r.dup_positions for d, r in out.items()}
+
+
+def test_bm25_query_join_matches_single_query(spark):
+    """Batched BM25 must equal bm25_topk query-by-query: same docs, same
+    fixed-point scores, same order — the df stats shared across queries
+    cannot drift from the single-probe path."""
+    from logzoom_spark.ops.retrieval import bm25_query_join, bm25_topk
+
+    rows = [
+        (1, "zebra zebra zebra common common common common common"),
+        (2, "zebra common common common common common common filler"),
+        (3, "common common common common common common common common"),
+        (4, "nothing relevant here at all in this document text pad"),
+        (5, "zebra pad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    qdf = spark.createDataFrame(
+        [(7, "zebra"), (7, "common"), (8, "zebra"), (8, "ZEBRA ")],
+        "query_id bigint, token string",
+    )
+    out = bm25_query_join(df, qdf, k=10).collect()
+    got7 = [(r.doc_id, r.bm25_scaled, r.n_terms_hit)
+            for r in sorted((r for r in out if r.query_id == 7),
+                            key=lambda r: r.rank)]
+    want7 = [(r.doc_id, r.bm25_scaled, r.n_terms_hit)
+             for r in bm25_topk(df, ["zebra", "common"], k=10).collect()]
+    assert got7 == want7
+    # query 8's duplicate term ('ZEBRA ' folds to 'zebra') must not
+    # double-count df or hits
+    got8 = [(r.doc_id, r.bm25_scaled, r.n_terms_hit)
+            for r in sorted((r for r in out if r.query_id == 8),
+                            key=lambda r: r.rank)]
+    want8 = [(r.doc_id, r.bm25_scaled, r.n_terms_hit)
+             for r in bm25_topk(df, ["zebra"], k=10).collect()]
+    assert got8 == want8
+    # rank is dense 1..n per query
+    assert [r.rank for r in sorted((r for r in out if r.query_id == 7),
+                                   key=lambda r: r.rank)] == list(
+        range(1, len(got7) + 1))
+
+
+def test_weighted_sample_exact_and_partition_independent(spark):
+    """A-ES weighted sampling: membership matches an independent pure-
+    Python computation of the same keys, is identical under repartition,
+    and never selects non-positive/NULL weights."""
+    import hashlib
+    import math
+
+    from logzoom_spark.ops.corpus import weighted_sample
+
+    rows = [(i, "g%d" % (i % 2), float(1 + (i * 7) % 50)) for i in range(400)]
+    rows += [(1000, "g0", 0.0), (1001, "g1", None)]  # never sampled
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, w double")
+
+    def key(doc_id, w):
+        h = int(hashlib.md5(f"{doc_id}#0".encode()).hexdigest()[:15], 16)
+        u = ((h % (1 << 52)) + 1) / float((1 << 52) + 1)
+        return math.log(u) / w
+
+    expect = set()
+    for g in ("g0", "g1"):
+        cand = [(key(i, w), i) for i, gg, w in rows if gg == g and w]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        expect |= {(i, g) for _, i in cand[:12]}
+
+    got = {(r.doc_id, r.lang)
+           for r in weighted_sample(df, "w", k=12, group_col="lang").collect()}
+    assert got == expect
+    assert 1000 not in {d for d, _ in got} and 1001 not in {d for d, _ in got}
+
+    again = {(r.doc_id, r.lang)
+             for r in weighted_sample(
+                 df.repartition(17), "w", k=12, group_col="lang").collect()}
+    assert again == got
+
+
+def test_split_assign_disjoint_stable(spark):
+    """Hash splits: every row lands in exactly one split, shares track the
+    requested bps, and membership is append-stable (the same doc keeps its
+    split when computed over any subset)."""
+    import pytest as _pytest
+
+    from logzoom_spark.ops.corpus import split_assign
+
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(2000)], "doc_id bigint, lang int"
+    )
+    out = split_assign(df, valid_bps=1000, test_bps=1000).collect()
+    assert len(out) == 2000
+    shares = {}
+    for r in out:
+        assert r.split in ("train", "valid", "test")
+        assert (r.split == "test") == (r.split_bucket < 1000)
+        assert (r.split == "valid") == (1000 <= r.split_bucket < 2000)
+        shares[r.split] = shares.get(r.split, 0) + 1
+    assert abs(shares["test"] / 2000 - 0.10) < 0.03
+    assert abs(shares["valid"] / 2000 - 0.10) < 0.03
+
+    sub = split_assign(df.filter("doc_id < 100"), valid_bps=1000, test_bps=1000)
+    full = {r.doc_id: r.split for r in out}
+    for r in sub.collect():
+        assert r.split == full[r.doc_id]
+
+    with _pytest.raises(ValueError):
+        split_assign(df, valid_bps=6000, test_bps=6000)
+
+
+def test_vocab_stats_exact(spark):
+    """Vocabulary stats are integer-exact on a hand-counted fixture; a
+    group whose docs tokenize to nothing reports zeros with NULL ratios."""
+    from logzoom_spark.ops.text import vocab_stats
+
+    rows = [
+        (1, "a", "x x y"),
+        (2, "a", "y z"),
+        (3, "b", ""),
+        (4, "b", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = {r.lang: r for r in vocab_stats(df).collect()}
+    a = out["a"]
+    assert (a.n_docs, a.n_tokens, a.vocab, a.hapax) == (2, 5, 3, 1)
+    assert a.ttr_bps == 6000 and a.hapax_bps == 3333
+    b = out["b"]
+    assert (b.n_docs, b.n_tokens, b.vocab, b.hapax) == (2, 0, 0, 0)
+    assert b.ttr_bps is None and b.hapax_bps is None
