@@ -141,7 +141,10 @@ def weighted_sample(
     and division is IEEE-exact, so the one cross-engine wobble is ln()'s
     final ulp — rank order could only differ when two keys collide within
     ~1e-16 relative at exactly the k-th boundary, which hash-spread keys
-    don't do. Ties (identical key) break by id ascending.
+    don't do. Ties (identical key) break by id ascending. The hash input
+    is salted with an op tag ('es|' + id), so at default seeds this draw
+    is independent of the `reservoir_sample` / `stratified_sample` /
+    `split_assign` gates — composing them never reuses one hash stream.
 
     Scale shape: key computation is per-row projection (no shuffle); the
     top-k per group is a window row_number that Spark pushes below the
@@ -150,7 +153,8 @@ def weighted_sample(
     from pyspark.sql import Window
 
     two52 = 1 << 52
-    h = F.pmod(portable_hash(F.col(id_col).cast("string"), seed), F.lit(two52))
+    salted = F.concat(F.lit("es|"), F.col(id_col).cast("string"))
+    h = F.pmod(portable_hash(salted, seed), F.lit(two52))
     u = (h + 1) / F.lit(float(two52 + 1))
     w_col = F.col(weight_col).cast("double")
     key = F.log(u) / w_col
@@ -183,12 +187,20 @@ def split_assign(
     without moving any existing doc — unlike rank- or count-based splits,
     which reshuffle everything whenever N changes).
 
+    The hash input is salted with an op tag ('split|' + id): at default
+    seeds the split gate is INDEPENDENT of the sampling gates
+    (`stratified_sample`/`reservoir_sample`/`weighted_sample`) — without
+    the salt, a 10% stratified sample at seed 0 would select exactly the
+    test split, silently contaminating any train/eval separation composed
+    from these primitives.
+
     Returns docs + (split_bucket BIGINT, split STRING). Pure projection —
     zero shuffle; the gate column prunes straight into a parquet filter
     when a run reads only its own split."""
     if valid_bps < 0 or test_bps < 0 or valid_bps + test_bps > 10000:
         raise ValueError("valid_bps/test_bps must be ≥0 and sum ≤ 10000")
-    bucket = F.pmod(portable_hash(F.col(id_col).cast("string"), seed), F.lit(10000))
+    salted = F.concat(F.lit("split|"), F.col(id_col).cast("string"))
+    bucket = F.pmod(portable_hash(salted, seed), F.lit(10000))
     split = (
         F.when(bucket < test_bps, "test")
         .when(bucket < test_bps + valid_bps, "valid")

@@ -113,6 +113,37 @@ def unigram_surprisal(
     )
 
 
+def _bm25_contribs(hits: DataFrame, lens: DataFrame) -> DataFrame:
+    """The ONE fixed-point BM25 scoring core (derivation in the module
+    docstring), shared by the single-query and batched paths so the two
+    can never drift: (token, doc_id, tf) hits already pruned to the probed
+    terms → (token, doc_id, contrib). df aggregates over the pruned slice;
+    doc lengths join one integer per doc; corpus totals broadcast."""
+    totals = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dlen").alias("total_tokens")
+    ).select(
+        "n_docs",
+        F.expr("(10 * total_tokens) div n_docs").alias("avg10"),
+    )
+    stats = hits.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf10k = F.floor(
+        F.log((2 * F.col("n_docs") + 2) / (2 * F.col("df") + 1)) * 10000
+    ).cast("bigint")
+    return (
+        hits.join(F.broadcast(stats), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("idf10k", idf10k)
+        .select(
+            "token",
+            "doc_id",
+            F.expr(
+                "(idf10k * tf * 22 * avg10) div (10 * tf * avg10 + 3 * avg10 + 90 * dlen)"
+            ).alias("contrib"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -124,11 +155,13 @@ def bm25_topk(
 
     Plan: the tiny query-term table broadcasts against the postings (the
     FIRST join — everything downstream sees only matching docs' rows);
-    per-term df aggregates over that pruned slice; doc lengths join on
-    doc_id carrying one integer per doc; the integer contributions sum in
-    a map-side-combinable groupBy; TakeOrdered(k) finishes — no global
-    sort. Pass a persisted ``postings`` (bucketed by token) to skip the
-    index build and prune the scan to the query terms' buckets."""
+    the shared ``_bm25_contribs`` core scores the pruned slice; the
+    integer contributions sum in a map-side-combinable groupBy;
+    TakeOrdered(k) finishes — no global sort (the single-query case keeps
+    TakeOrdered rather than delegating to ``bm25_query_join``, whose
+    constant-key window would drag every candidate into one partition).
+    Pass a persisted ``postings`` (bucketed by token) to skip the index
+    build and prune the scan to the query terms' buckets."""
     spark = docs.sparkSession
     # normalize through the same fold the index applies (_tokens lowercases)
     # and DEDUPE: a duplicate query term would double its cand rows, so df
@@ -137,35 +170,11 @@ def bm25_topk(
     terms = sorted({t.strip().lower() for t in query_terms if t and t.strip()})
     if not terms:
         raise ValueError("query_terms must contain at least one non-empty term")
-    query_terms = terms
     if postings is None:
         postings = build_postings(docs)
-    lens = doc_lengths(docs)
-    totals = lens.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dlen").alias("total_tokens")
-    ).select(
-        "n_docs",
-        F.expr("(10 * total_tokens) div n_docs").alias("avg10"),
-    )
-    qdf = spark.createDataFrame([(t,) for t in query_terms], "token string")
-    cand = postings.join(F.broadcast(qdf), "token")
-    stats = cand.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    idf10k = F.floor(
-        F.log((2 * F.col("n_docs") + 2) / (2 * F.col("df") + 1)) * 10000
-    ).cast("bigint")
-    scored = (
-        cand.join(F.broadcast(stats), "token")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(totals))
-        .withColumn("idf10k", idf10k)
-        .select(
-            "doc_id",
-            F.expr(
-                # fixed-point derivation in the module docstring
-                "(idf10k * tf * 22 * avg10) div (10 * tf * avg10 + 3 * avg10 + 90 * dlen)"
-            ).alias("contrib"),
-        )
-    )
+    qdf = spark.createDataFrame([(t,) for t in terms], "token string")
+    hits = postings.join(F.broadcast(qdf), "token")
+    scored = _bm25_contribs(hits, doc_lengths(docs))
     agg = scored.groupBy("doc_id").agg(
         F.sum("contrib").alias("bm25_scaled"),
         F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
@@ -214,30 +223,13 @@ def bm25_query_join(
     )
     if postings is None:
         postings = build_postings(docs)
-    lens = doc_lengths(docs)
-    totals = lens.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dlen").alias("total_tokens")
-    ).select("n_docs", F.expr("(10 * total_tokens) div n_docs").alias("avg10"))
-    # corpus df per DISTINCT probed token, shared across queries
+    # corpus df + contrib per DISTINCT probed (token, doc) — scored ONCE
+    # via the shared _bm25_contribs core, then fanned out to queries (a
+    # term shared by 500 queries is scored a single time)
     tokens = qdf.select("token").distinct()
     hits = postings.join(F.broadcast(tokens), "token")
-    stats = hits.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    idf10k = F.floor(
-        F.log((2 * F.col("n_docs") + 2) / (2 * F.col("df") + 1)) * 10000
-    ).cast("bigint")
-    scored = (
-        hits.join(F.broadcast(qdf), "token")
-        .join(F.broadcast(stats), "token")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(totals))
-        .withColumn("idf10k", idf10k)
-        .select(
-            "query_id",
-            "doc_id",
-            F.expr(
-                "(idf10k * tf * 22 * avg10) div (10 * tf * avg10 + 3 * avg10 + 90 * dlen)"
-            ).alias("contrib"),
-        )
+    scored = _bm25_contribs(hits, doc_lengths(docs)).join(
+        F.broadcast(qdf), "token"
     )
     agg = scored.groupBy("query_id", "doc_id").agg(
         F.sum("contrib").alias("bm25_scaled"),

@@ -788,12 +788,14 @@ FROM tot t LEFT JOIN dup d USING (doc_id)
 """
 
 # Efraimidis-Spirakis weighted sampling (ops.corpus.weighted_sample):
-# u = ((portable_hash(doc_id) mod 2^52) + 1) / (2^52 + 1), key = ln(u)/w,
-# top-15 keys per language. 2^52 = 4503599627370496.
+# u = ((portable_hash('es|' || doc_id) mod 2^52) + 1) / (2^52 + 1),
+# key = ln(u)/w, top-15 keys per language. 2^52 = 4503599627370496; the
+# 'es|' op-tag salt decorrelates the draw from the other default-seed
+# hash gates.
 ORACLES["weighted_sample_lang"] = f"""
 WITH keyed AS (
   SELECT lang, doc_id, n_chars,
-         ln((({portable_hash_sql("cast(doc_id AS VARCHAR)")} % 4503599627370496)
+         ln((({portable_hash_sql("'es|' || cast(doc_id AS VARCHAR)")} % 4503599627370496)
              + 1) / cast(4503599627370497 AS DOUBLE))
            / cast(n_chars AS DOUBLE) AS es_key
   FROM documents WHERE n_chars > 0
@@ -809,11 +811,13 @@ SELECT lang, doc_id, n_chars, sample_rank FROM ranked WHERE sample_rank <= 15
 """
 
 # Train/valid/test split profile (ops.corpus.split_assign, 10%/10%):
-# bucket = portable_hash(doc_id) mod 10000; <1000 test, <2000 valid
+# bucket = portable_hash('split|' || doc_id) mod 10000; <1000 test,
+# <2000 valid — the op-tag salt keeps the split independent of the
+# sampling gates at default seeds
 ORACLES["split_assign_counts"] = f"""
 WITH s AS (
   SELECT lang, n_chars, doc_id,
-         ({portable_hash_sql("cast(doc_id AS VARCHAR)")} % 10000) AS b
+         ({portable_hash_sql("'split|' || cast(doc_id AS VARCHAR)")} % 10000) AS b
   FROM documents
 ),
 a AS (

@@ -1885,7 +1885,7 @@ def test_weighted_sample_exact_and_partition_independent(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, lang string, w double")
 
     def key(doc_id, w):
-        h = int(hashlib.md5(f"{doc_id}#0".encode()).hexdigest()[:15], 16)
+        h = int(hashlib.md5(f"es|{doc_id}#0".encode()).hexdigest()[:15], 16)
         u = ((h % (1 << 52)) + 1) / float((1 << 52) + 1)
         return math.log(u) / w
 
@@ -1932,6 +1932,22 @@ def test_split_assign_disjoint_stable(spark):
     full = {r.doc_id: r.split for r in out}
     for r in sub.collect():
         assert r.split == full[r.doc_id]
+
+    # decorrelation: a 10% default-seed stratified sample must NOT be the
+    # test split (both gates hash doc_id, but with different op-tag salts)
+    from logzoom_spark.ops.corpus import stratified_sample
+
+    sampled = {
+        r.doc_id
+        for r in stratified_sample(
+            df.withColumn("lang", df.lang.cast("string")),
+            "lang",
+            {str(v): 1000 for v in range(5)},
+        ).collect()
+    }
+    test_ids = {r.doc_id for r in out if r.split == "test"}
+    overlap = len(sampled & test_ids) / max(len(sampled), 1)
+    assert overlap < 0.5  # ~10% expected; 1.0 would mean a shared stream
 
     with _pytest.raises(ValueError):
         split_assign(df, valid_bps=6000, test_bps=6000)
