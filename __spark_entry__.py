@@ -1849,6 +1849,22 @@ def q_split_assign_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_decontaminate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The action step of the contamination screen: every candidate doc
+    (doc_id % 7 != 0) annotated with its benchmark-overlap evidence and a
+    keep verdict (no benchmark doc shares ≥2 word 3-grams). Counted, not
+    dropped — the removal set is auditable before filtering."""
+    from logzoom_spark.ops.corpus import decontaminate
+
+    docs = _read(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    cand = docs.filter(F.col("doc_id") % 7 != 0)
+    out = decontaminate(cand, bench, n=3, min_shared_grams=2, hasher="md5")
+    return out.select(
+        "doc_id", "lang", "n_bench_hits", "max_shared_grams", "keep"
+    )
+
+
 def q_vocab_stats_lang(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language corpus vocabulary profile: token volume, vocab size,
     type-token ratio, hapax share — the corpus-linguistics diagnostics a
@@ -1875,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_lang": q_weighted_sample_lang,
         "split_assign_counts": q_split_assign_counts,
         "vocab_stats_lang": q_vocab_stats_lang,
+        "decontaminate_corpus": q_decontaminate_corpus,
         # round 4: conversation dedup, skew diagnostics, JL
         # projection ANN, BPE training/encode
         "conv_dedup": q_conv_dedup,
@@ -1923,7 +1940,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "repetition_ratio": q_repetition_ratio,
         "chunk_documents": q_chunk_documents,
-        "contamination_pairs": q_contamination_pairs,
         "salted_role_counts": q_salted_role_counts,
         "kmv_rollup_users": q_kmv_rollup_users,
         "curation_pipeline": q_curation_pipeline,
@@ -1940,7 +1956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transcript_training_corpus is a composition of in-prefix
         # conv_dedup + pack_sequences; sq8_rerank_topk shares the
         # coarse-shortlist + exact-rerank shape with in-prefix
-        # rp_rerank_topk
+        # rp_rerank_topk; contamination_pairs is the pairs stage embedded
+        # verbatim inside in-prefix decontaminate_corpus
+        "contamination_pairs": q_contamination_pairs,
         "inverted_postings": q_inverted_postings,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "media_header_parse": q_media_header_parse,

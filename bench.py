@@ -318,6 +318,10 @@ def main() -> None:
     )
     bench("hll_distinct", lambda: _noop(se.q_hll_distinct_users(spark, sf_dir)))
 
+    # round 4 (continued)
+    bench("dup_span_grams", lambda: _noop(se.q_dup_span_grams(spark, sf_dir)))
+    bench("bm25_query_join", lambda: se.q_bm25_query_join(spark, sf_dir).collect())
+
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
     # real sink files — measures sink I/O, which on this shared host is
     # dominated by neighbor disk load (see BENCH/BASELINE.md for a recorded

@@ -372,6 +372,45 @@ def contamination_pairs(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_shared_grams: int = 1,
+    max_gram_df: int | None = DEFAULT_MAX_GRAM_DF,
+    hasher: str = "xx",
+) -> DataFrame:
+    """The ACTION step of the contamination screen: annotate every
+    candidate doc with its benchmark-overlap evidence and a keep verdict
+    (keep = no benchmark doc shares ≥ ``min_shared_grams`` n-grams with
+    it). Counted, not dropped — every input doc comes back with
+    (n_bench_hits, max_shared_grams, keep), so the pipeline can audit the
+    removal set before filtering to ``keep`` (the same verdict-column
+    policy as ``gopher_quality_filter``).
+
+    Plan: ``contamination_pairs`` does the gram-hash equi-join (digest
+    shuffles, benchmark boilerplate capped); the per-doc verdict is one
+    more map-side-combinable groupBy on doc_id; bodies move once, in the
+    final doc_id left join."""
+    pairs = contamination_pairs(
+        docs, benchmark, n=n, max_gram_df=max_gram_df, hasher=hasher
+    )
+    evidence = (
+        pairs.filter(F.col("n_shared_grams") >= min_shared_grams)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bench_hits"),
+            F.max("n_shared_grams").cast("bigint").alias("max_shared_grams"),
+        )
+    )
+    return docs.join(evidence, "doc_id", "left").select(
+        *docs.columns,
+        F.coalesce("n_bench_hits", F.lit(0)).alias("n_bench_hits"),
+        F.coalesce("max_shared_grams", F.lit(0)).alias("max_shared_grams"),
+        F.col("n_bench_hits").isNull().alias("keep"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget_tokens: int = 2048,

@@ -1714,6 +1714,50 @@ GROUP BY c.doc_id, b.bench_id
 """
 
 
+# Decontamination verdicts (ops.corpus.decontaminate): the pairs join
+# above re-keyed to a per-candidate keep flag (no benchmark doc shares
+# >= 2 word 3-grams)
+ORACLES["decontaminate_corpus"] = f"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(toks) >= 3
+      THEN list_distinct(list_transform(range(0, len(toks) - 3 + 1),
+             i -> array_to_string(toks[i+1 : i+3], ' ')))
+      ELSE [array_to_string(toks, ' ')] END) AS gram
+  FROM tk
+),
+hashed AS (
+  SELECT doc_id, {portable_hash_sql("gram")} AS gram_hash FROM grams WHERE gram <> ''
+),
+bench AS (SELECT doc_id AS bench_id, gram_hash FROM hashed WHERE doc_id % 7 = 0),
+busy AS (SELECT gram_hash FROM bench GROUP BY gram_hash HAVING count(*) > 100),
+bench_ok AS (
+  SELECT * FROM bench WHERE gram_hash NOT IN (SELECT gram_hash FROM busy)
+),
+cand AS (SELECT doc_id, gram_hash FROM hashed WHERE doc_id % 7 <> 0),
+pairs AS (
+  SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+  FROM cand c JOIN bench_ok b USING (gram_hash)
+  GROUP BY c.doc_id, b.bench_id
+),
+ev AS (
+  SELECT doc_id, cast(count(*) AS BIGINT) AS n_bench_hits,
+         cast(max(n_shared) AS BIGINT) AS max_shared_grams
+  FROM pairs WHERE n_shared >= 2 GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       coalesce(ev.n_bench_hits, 0) AS n_bench_hits,
+       coalesce(ev.max_shared_grams, 0) AS max_shared_grams,
+       ev.n_bench_hits IS NULL AS keep
+FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 7 <> 0) d
+LEFT JOIN ev USING (doc_id)
+"""
+
+
 # ranking breadth: ntile(4) + floored percent_rank, unique tie-break
 ORACLES["order_quartiles"] = """
 SELECT o_orderkey, o_orderpriority,

@@ -1972,3 +1972,32 @@ def test_vocab_stats_exact(spark):
     b = out["b"]
     assert (b.n_docs, b.n_tokens, b.vocab, b.hapax) == (2, 0, 0, 0)
     assert b.ttr_bps is None and b.hapax_bps is None
+
+
+def test_decontaminate_verdicts(spark):
+    """Keep verdicts: a candidate sharing >=2 n-grams with any benchmark
+    doc is flagged with its evidence; a 1-gram brush or a clean doc keeps;
+    every input row comes back (counted, not dropped)."""
+    from logzoom_spark.ops.corpus import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    cand = spark.createDataFrame(
+        [
+            (1, "intro text the quick brown fox jumps away now"),  # 3 shared 3-grams
+            (2, "quick brown wolf and unrelated words follow here"),  # 0 shared
+            (3, "completely clean document with no overlap at all"),
+            (4, ""),  # empty: no grams, must keep and still appear
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate(
+        cand, bench, n=3, min_shared_grams=2, hasher="md5").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].keep is False and out[1].n_bench_hits == 1
+    assert out[1].max_shared_grams >= 2
+    for d in (2, 3, 4):
+        assert out[d].keep is True
+        assert out[d].n_bench_hits == 0 and out[d].max_shared_grams == 0

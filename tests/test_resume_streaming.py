@@ -724,3 +724,50 @@ def test_streaming_conv_dedup_cross_batch(spark, tmp_path):
     assert rows["orig"].conv_fp == batch_fp["orig"] == batch_fp["copy"]
     assert rows["other"].conv_fp == batch_fp["other"]
     assert rows["orig"].n_turns == 2
+
+
+def test_streaming_split_and_sample_gates_match_batch(spark, tmp_path):
+    """The hash gates (split_assign, stratified_sample) are stateless
+    projections, so they run unchanged on a stream and MUST assign every
+    row exactly what the batch path assigns — the property that lets an
+    ingest-time stream pre-route docs to splits while later batch jobs
+    re-derive identical membership."""
+    from logzoom_spark.ops.corpus import split_assign, stratified_sample
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.createDataFrame(
+        [(i, "lang%d" % (i % 3), "text %d body" % i) for i in range(300)],
+        "doc_id long, lang string, text string",
+    )
+    docs.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out_dir = str(tmp_path / "split_out")
+    (
+        stratified_sample(
+            split_assign(stream, valid_bps=1000, test_bps=1000),
+            "lang",
+            {"lang0": 5000, "lang1": 2000},
+            default10k=1000,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    streamed = {
+        r.doc_id: (r.split, r.split_bucket)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        r.doc_id: (r.split, r.split_bucket)
+        for r in stratified_sample(
+            split_assign(spark.read.parquet(src), valid_bps=1000, test_bps=1000),
+            "lang",
+            {"lang0": 5000, "lang1": 2000},
+            default10k=1000,
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) > 0

@@ -79,6 +79,12 @@ def main() -> None:
         ("conv dedup (conv_id shuffle + digest-only fingerprint window)", se.q_conv_dedup),
         ("skew key stats (partial counts + 1-row total broadcast + TakeOrdered)", se.q_skew_key_stats),
         ("rp rerank (projected-scan shortlist, broadcast fetch of m vectors)", se.q_rp_rerank_topk),
+        # round 4 (continued)
+        ("dup span grams (digest-only explode + semi-join, no self-join)", se.q_dup_span_grams),
+        ("bm25 query join (df once per term, WindowGroupLimit per query)", se.q_bm25_query_join),
+        ("weighted sample (row-local A-ES keys + WindowGroupLimit)", se.q_weighted_sample_lang),
+        ("split assign (zero-shuffle projection)", se.q_split_assign_counts),
+        ("vocab stats (vocabulary-sized shuffle, map-side collapse)", se.q_vocab_stats_lang),
     ]:
         print("=" * 30, name)
         q(spark, sf).explain("formatted")
