@@ -1799,7 +1799,13 @@ def q_dup_span_grams(spark: SparkSession, sf: str) -> DataFrame:
     never leave the per-row projection."""
     from logzoom_spark.ops.dedup import dup_span_grams
 
-    return dup_span_grams(_read(spark, sf, "documents"), k=8)
+    # the fixed 500-row documents parquet is ONE split, which would put
+    # every per-position hash in a single task; at corpus scale the
+    # source supplies parallel splits and no repartition is needed
+    docs = _read(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dup_span_grams(docs, k=8)
 
 
 def q_bm25_query_join(spark: SparkSession, sf: str) -> DataFrame:

@@ -131,11 +131,11 @@ def dup_span_grams(
     is shorter than one window, n_grams = 0).
 
     Scale shape: gram strings die inside the per-row ``transform`` — only
-    60-bit fingerprints are exploded, so the corpus-wide frequency count
-    is a map-side-combinable groupBy on a fixed-width integer (the same
-    digest-only-shuffle discipline as ``dedup_exact``), and the flagging
-    join carries (gh, doc_id) pairs against a (gh, cnt≥2) set. No
-    self-join, no pair blowup: cost is linear in total token count.
+    60-bit fingerprints are exploded, ONE hash pass feeds one digest-only
+    exchange on gh, and the corpus-wide occurrence count is a window over
+    that exchange (partitions are individual fingerprints, 1-2 rows each,
+    hash-spread — no hot task). No self-join, no pair blowup: cost is
+    linear in total token count.
     """
     h = _hash_fn(hasher)
     toks = F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+")
@@ -148,13 +148,18 @@ def dup_span_grams(
     per_pos = docs.select(
         "doc_id", F.explode_outer(grams).alias("gh")
     )  # explode_outer: short docs keep their row with gh = NULL
-    freq = (
+    # corpus-wide occurrence count as a window over gh, NOT a separate
+    # groupBy + semi-join back: the explode re-hashes every gram, and two
+    # consumers of per_pos would each re-run it (column pruning gives the
+    # branches different projections, so the optimizer cannot reuse one
+    # exchange) — the window keeps a SINGLE hash pass behind a single
+    # digest-only exchange. Partitions here are individual fingerprints
+    # (1-2 rows each, hash-spread), so no hot-task risk.
+    w = Window.partitionBy("gh")
+    flagged = (
         per_pos.filter(F.col("gh").isNotNull())
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    flagged = per_pos.join(
-        freq.filter(F.col("cnt") >= 2).select("gh"), "gh", "left_semi"
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("cnt") >= 2)
     )
     dup = flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("dup_positions")
