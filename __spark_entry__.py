@@ -1670,6 +1670,36 @@ def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return kmeans_assign(_read(spark, sf, "embeddings"), k=4, iters=2)
 
 
+def q_pq_encode_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization encode (m=4 subspaces × k=16 codes, 2 Lloyd
+    rounds per codebook): each 64-dim vector compressed to 4 small code
+    ids. Fit is m independent bounded-driver-state kmeans runs; encode is
+    a pure codegen projection over inlined codebook literals — zero
+    shuffle (ops/pq.py). Codes flattened to int columns for the hash
+    compare (the minhash mh_* pattern)."""
+    from logzoom_spark.ops import pq
+
+    emb = _read(spark, sf, "embeddings")
+    books = pq.pq_fit(emb, m=4, k=16, iters=2)
+    codes = pq.pq_encode(emb, books)
+    return codes.select(
+        "vec_id", *[F.col("codes")[j].alias(f"c{j}") for j in range(4)]
+    )
+
+
+def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ asymmetric-distance top-k for query vec_id=0: the 10 stored
+    vectors with the smallest codebook-approximated squared distance,
+    scanned over CODES (4 ints/vector), not raw embeddings — the
+    billion-scale ANN memory layout. Distance table is m·k tiny rows
+    broadcast against posexploded codes; TakeOrdered finishes."""
+    from logzoom_spark.ops import pq
+
+    emb = _read(spark, sf, "embeddings")
+    books = pq.pq_fit(emb, m=4, k=16, iters=2)
+    return pq.pq_adc_topk(emb, books, query_vec_id=0, k_top=10)
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
     """BPE tokenizer-training primitive: corpus-wide adjacent character
     pair counts weighted by word frequency (vocabulary-sized shuffles,
@@ -1890,8 +1920,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remainder are the 50 keys already green in CORRECTNESS_r03 (and all
     # entries stay green in tools/check_oracle.py — see COVERAGE.md).
     return {
-        # round 4 (latest): substring-span dedup, batched BM25, weighted
-        # sampling, split assignment, vocabulary stats
+        # round 4 (latest): product quantization (PQ codes + ADC scan),
+        # substring-span dedup, batched BM25, weighted sampling, split
+        # assignment, vocabulary stats
+        "pq_encode_codes": q_pq_encode_codes,
+        "pq_adc_topk": q_pq_adc_topk,
         "dup_span_grams": q_dup_span_grams,
         "bm25_query_join": q_bm25_query_join,
         "weighted_sample_lang": q_weighted_sample_lang,

@@ -2216,6 +2216,80 @@ SELECT vec_id, cast(cell AS INT) AS cluster, d AS dist2 FROM (
   FROM d2) WHERE rn = 1
 """
 
+# Product quantization (ops/pq.py, m=4 subspaces × k=16 codes, iters=2):
+# the kmeans_clusters unroll generalized with a subspace dimension j —
+# per-subspace init = vec_id<16 slices, one Lloyd update (floor means),
+# reassign; codes = final per-subspace argmin (ties to lowest code id).
+# sv slices AFTER quantization (quantize is element-wise, so it commutes
+# with slicing — matches pq_fit slicing before quantize).
+_PQ_CTES = f"""
+q AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+sv AS (
+  SELECT vec_id, j, list_transform(range(1, 17), i -> v[i + j * 16]) AS sv
+  FROM q CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+),
+c0 AS (SELECT j, vec_id AS cell, sv AS cv FROM sv WHERE vec_id < 16),
+d1 AS (
+  SELECT s.vec_id, s.j, c.cell,
+    cast(list_sum(list_transform(range(1, 17),
+         i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS BIGINT) AS d
+  FROM sv s JOIN c0 c ON s.j = c.j
+),
+a1 AS (
+  SELECT vec_id, j, cell FROM (
+    SELECT vec_id, j, cell,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cell) AS rn
+    FROM d1) WHERE rn = 1
+),
+s1e AS (
+  SELECT a1.j, a1.cell, s.sv AS sv, unnest(range(1, 17)) AS i
+  FROM a1 JOIN sv s ON a1.vec_id = s.vec_id AND a1.j = s.j
+),
+s1 AS (SELECT j, cell, i, sum(sv[i]) AS sm, count(*) AS n
+       FROM s1e GROUP BY j, cell, i),
+c1 AS (
+  SELECT j, cell,
+         list(cast(floor(cast(sm AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
+  FROM s1 GROUP BY j, cell
+),
+d2 AS (
+  SELECT s.vec_id, s.j, c.cell,
+    cast(list_sum(list_transform(range(1, 17),
+         i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS BIGINT) AS d
+  FROM sv s JOIN c1 c ON s.j = c.j
+),
+pq_codes AS (
+  SELECT vec_id, j, cell AS code FROM (
+    SELECT vec_id, j, cell,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cell) AS rn
+    FROM d2) WHERE rn = 1
+)"""
+
+ORACLES["pq_encode_codes"] = f"""
+WITH {_PQ_CTES}
+SELECT vec_id,
+  cast(max(CASE WHEN j = 0 THEN code END) AS INT) AS c0,
+  cast(max(CASE WHEN j = 1 THEN code END) AS INT) AS c1,
+  cast(max(CASE WHEN j = 2 THEN code END) AS INT) AS c2,
+  cast(max(CASE WHEN j = 3 THEN code END) AS INT) AS c3
+FROM pq_codes GROUP BY vec_id
+"""
+
+# ADC: d2 rows where vec_id = 0 ARE the query's per-(subspace, code)
+# distance table; each stored vector sums its 4 code lookups. HAVING
+# count(*)=4 mirrors the n_subs guard (no partial ADC sums).
+ORACLES["pq_adc_topk"] = f"""
+WITH {_PQ_CTES},
+dt AS (SELECT j, cell, d FROM d2 WHERE vec_id = 0)
+SELECT c.vec_id, cast(sum(dt.d) AS BIGINT) AS adc_dist2
+FROM pq_codes c JOIN dt ON c.j = dt.j AND c.code = dt.cell
+WHERE c.vec_id <> 0
+GROUP BY c.vec_id
+HAVING count(*) = 4
+ORDER BY adc_dist2, c.vec_id
+LIMIT 10
+"""
+
 # BPE pair counting (ops/text.bpe_pair_counts, top_n=30): frequency-weighted
 # adjacent character pairs over the distinct-word table
 ORACLES["bpe_pair_counts"] = r"""

@@ -1351,6 +1351,69 @@ def test_kmeans_tie_breaks_to_lowest_cell(spark):
     assert out[2][0] == 0  # tie -> lowest cell
 
 
+def test_pq_encode_matches_python_bruteforce(spark):
+    """Every code is the exact nearest sub-centroid (ties to LOWEST code
+    id), verified by recomputing fit+encode in pure Python over the same
+    integer grid."""
+    from logzoom_spark.ops import pq
+
+    rows = [(i, [float(((i * 7 + j * 3) % 11) - 5) / 2 for j in range(4)])
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq.pq_fit(df, m=2, k=2, iters=2, dims=4)
+    got = {r.vec_id: list(r.codes) for r in pq.pq_encode(df, books).collect()}
+
+    qv = {i: [int(__import__("math").floor(x * 1000)) for x in v]
+          for i, v in rows}
+    for i, v in qv.items():
+        for j, book in enumerate(books):
+            sv = v[j * 2:(j + 1) * 2]
+            best = min((sum((a - b) ** 2 for a, b in zip(sv, e["v"])), e["code"])
+                       for e in book)
+            assert got[i][j] == best[1], (i, j)
+
+
+def test_pq_adc_topk_excludes_ragged_and_query(spark):
+    """ADC sums verified against a Python distance-table lookup; a ragged
+    (short) vector gets a NULL subspace code and is EXCLUDED from the
+    top-k (partial sums would fake proximity); the query row never
+    appears."""
+    from logzoom_spark.ops import pq
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(6)]
+    rows.append((6, [1.0, 2.0]))  # ragged: subspace 1 missing
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq.pq_fit(df.filter("vec_id < 6"), m=2, k=2, iters=2, dims=4)
+    out = pq.pq_adc_topk(df, books, query_vec_id=0, k_top=10).collect()
+    ids = [r.vec_id for r in out]
+    assert 0 not in ids and 6 not in ids
+    assert out == sorted(out, key=lambda r: (r.adc_dist2, r.vec_id))
+
+    # independent ADC recompute from the returned codebooks
+    codes = {r.vec_id: list(r.codes)
+             for r in pq.pq_encode(df, books).collect()}
+    assert codes[6][1] is None  # ragged subspace -> NULL code
+    q = [int(x * 1000) for x in [0.0, 1.0, 2.0, 3.0]]
+    book_v = [{e["code"]: e["v"] for e in b} for b in books]
+    for r in out:
+        want = sum(
+            sum((a - b) ** 2 for a, b in zip(
+                q[j * 2:(j + 1) * 2], book_v[j][codes[r.vec_id][j]]))
+            for j in range(2)
+        )
+        assert r.adc_dist2 == want, r.vec_id
+
+
+def test_pq_fit_rejects_indivisible_dims(spark):
+    from logzoom_spark.ops import pq
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.pq_fit(df, m=2, k=1, iters=1, dims=3)
+
+
 def test_kmeans_rejects_bad_iters_and_missing_init(spark):
     from logzoom_spark.ops.kmeans import kmeans_assign
 
