@@ -1700,6 +1700,21 @@ def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     return pq.pq_adc_topk(emb, books, query_vec_id=0, k_top=10)
 
 
+def q_ivfpq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ probe — the composed billion-scale ANN layout: 4 coarse
+    Lloyd cells over the stored vectors, PQ codes (4×16) per vector, and
+    an ADC top-10 scanned over only the query's 2 nearest cells
+    (cell-partition pruning + broadcast distance-table lookup; ops/pq.py).
+    """
+    from logzoom_spark.ops import pq
+
+    emb = _read(spark, sf, "embeddings")
+    books = pq.pq_fit(emb, m=4, k=16, iters=2)
+    return pq.ivfpq_topk(
+        emb, books, query_vec_id=0, k_top=10, n_cells=4, nprobe=2, iters=2
+    )
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
     """BPE tokenizer-training primitive: corpus-wide adjacent character
     pair counts weighted by word frequency (vocabulary-sized shuffles,
@@ -1925,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assignment, vocabulary stats
         "pq_encode_codes": q_pq_encode_codes,
         "pq_adc_topk": q_pq_adc_topk,
+        "ivfpq_adc_topk": q_ivfpq_adc_topk,
         "dup_span_grams": q_dup_span_grams,
         "bm25_query_join": q_bm25_query_join,
         "weighted_sample_lang": q_weighted_sample_lang,

@@ -321,6 +321,8 @@ def main() -> None:
     # round 4 (continued)
     bench("dup_span_grams", lambda: _noop(se.q_dup_span_grams(spark, sf_dir)))
     bench("bm25_query_join", lambda: se.q_bm25_query_join(spark, sf_dir).collect())
+    bench("pq_adc_topk", lambda: se.q_pq_adc_topk(spark, sf_dir).collect())
+    bench("ivfpq_adc_topk", lambda: se.q_ivfpq_adc_topk(spark, sf_dir).collect())
 
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
     # real sink files — measures sink I/O, which on this shared host is

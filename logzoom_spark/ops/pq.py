@@ -109,6 +109,72 @@ def pq_encode(
     return base.select("vec_id", F.array(*code_cols).alias("codes"))
 
 
+def _adc_dist_table(
+    emb: DataFrame, codebooks: Codebooks, query_vec_id: int, scale: int
+) -> DataFrame:
+    """(sub, code, d): the query's asymmetric distance table — exact
+    BIGINT squared distance from the query's j-th subvector to every
+    codebook centroid. m·k tiny rows (codebook ⨯ broadcast 1-row query);
+    always broadcast at the probe join."""
+    spark = emb.sparkSession
+    sub = len(codebooks[0][0]["v"])
+    cb = spark.createDataFrame(
+        [
+            (j, int(e["code"]), [int(x) for x in e["v"]])
+            for j, book in enumerate(codebooks)
+            for e in book
+        ],
+        "sub int, code int, cv array<bigint>",
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        quantize(F.col("embedding"), scale).alias("qv")
+    )
+    return cb.crossJoin(F.broadcast(q)).select(
+        "sub",
+        "code",
+        F.aggregate(
+            F.zip_with(
+                F.expr(f"slice(qv, sub * {sub} + 1, {sub})"),
+                F.col("cv"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+
+
+def _adc_scan(
+    codes: DataFrame,
+    dtable: DataFrame,
+    m: int,
+    query_vec_id: int,
+    k_top: int,
+) -> DataFrame:
+    """Score a codes table against a broadcast distance table: posexplode
+    to (vec_id, sub, code), broadcast-hash-join the m·k lookup rows, sum
+    per vector (map-side combinable), TakeOrdered(k_top). Vectors with
+    any NULL subspace code are excluded — a partial ADC sum would
+    under-count distance and fake proximity."""
+    probe = codes.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+    scored = (
+        probe.join(F.broadcast(dtable), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum("d").alias("adc_dist2"),
+            F.count(F.lit(1)).alias("n_subs"),
+        )
+    )
+    return (
+        scored.filter(F.col("n_subs") == m)
+        .select("vec_id", "adc_dist2")
+        .orderBy(F.asc("adc_dist2"), F.asc("vec_id"))
+        .limit(k_top)
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     codebooks: Codebooks,
@@ -130,49 +196,104 @@ def pq_adc_topk(
     combinable); TakeOrdered(k) finishes. Rows with any NULL subspace
     code (ragged vectors) are excluded — a partial ADC sum would
     under-count distance and fake proximity."""
-    spark = emb.sparkSession
-    m = len(codebooks)
-    sub = len(codebooks[0][0]["v"])
     if codes is None:
         codes = pq_encode(emb, codebooks, scale)
-    cb = spark.createDataFrame(
-        [
-            (j, int(e["code"]), [int(x) for x in e["v"]])
-            for j, book in enumerate(codebooks)
-            for e in book
-        ],
-        "sub int, code int, cv array<bigint>",
+    dtable = _adc_dist_table(emb, codebooks, query_vec_id, scale)
+    return _adc_scan(codes, dtable, len(codebooks), query_vec_id, k_top)
+
+
+def ivfpq_index(
+    emb: DataFrame,
+    codebooks: Codebooks,
+    n_cells: int = 4,
+    iters: int = 2,
+    dims: int = 64,
+    scale: int = 1000,
+) -> tuple[DataFrame, list[dict]]:
+    """IVF-PQ BUILD: (index, coarse_centroids) where index is
+    (vec_id, cell, codes) — the stored table of a billion-scale ANN
+    deployment. Coarse cells come from the Lloyd loop (``kmeans_fit``,
+    zero-shuffle literal-centroid assignment); codes from ``pq_encode``
+    (zero-shuffle projection). The one build-time shuffle is the
+    vec_id equi-join gluing them — at deploy scale the index is then
+    written ``partitionBy(cell)`` so probes prune to nprobe/n_cells of
+    the files and never shuffle.
+
+    This is the flat-quantizer IVFADC variant (codes encode the vector,
+    not its residual against the coarse centroid): the probe/scan plan is
+    identical for the residual variant — training ``pq_fit`` on
+    ``v − centroid[cell]`` and building one distance table per probed
+    cell slots into the same shapes — but flat coding keeps the oracle a
+    single unrolled SQL twin."""
+    assignment, cents = kmeans_fit(
+        emb, k=n_cells, iters=iters, dims=dims, scale=scale
     )
-    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+    codes = pq_encode(emb, codebooks, scale)
+    index = codes.join(
+        assignment.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
+    )
+    return index, cents
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    codebooks: Codebooks,
+    query_vec_id: int = 0,
+    k_top: int = 10,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    iters: int = 2,
+    dims: int = 64,
+    scale: int = 1000,
+    index: DataFrame | None = None,
+    coarse_cents: list[dict] | None = None,
+) -> DataFrame:
+    """IVF-PQ probe: ADC top-k scanned over ONLY the ``nprobe`` coarse
+    cells nearest the query — (vec_id, adc_dist2) ascending, ties to
+    lowest vec_id, query excluded. Pass a persisted (index, coarse_cents)
+    pair from ``ivfpq_index`` to amortize the build across queries (the
+    production shape; both MUST come from the same build).
+
+    Probe plan: query→cell distances are n_cells tiny rows (centroid
+    literals ⨯ broadcast 1-row query, exact BIGINT L2, ties to lowest
+    cell); the nprobe winners broadcast-semi-join the index on ``cell``
+    (partition pruning on a cell-partitioned table); the surviving codes
+    run the same broadcast ADC scan as ``pq_adc_topk``. Nothing
+    row-scaled reaches the driver and no exchange carries raw vectors."""
+    spark = emb.sparkSession
+    if (index is None) != (coarse_cents is None):
+        raise ValueError(
+            "pass index and coarse_cents together (same ivfpq_index build) "
+            "or neither"
+        )
+    if index is None:
+        index, coarse_cents = ivfpq_index(
+            emb, codebooks, n_cells=n_cells, iters=iters, dims=dims, scale=scale
+        )
+    cent_df = spark.createDataFrame(
+        [
+            (int(c["vec_id"]), [int(x) for x in c["v"]])
+            for c in coarse_cents
+        ],
+        "cell int, cv array<bigint>",
+    )
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).select(
         quantize(F.col("embedding"), scale).alias("qv")
     )
-    dtable = cb.crossJoin(F.broadcast(q)).select(
-        "sub",
-        "code",
-        F.aggregate(
-            F.zip_with(
-                F.expr(f"slice(qv, sub * {sub} + 1, {sub})"),
-                F.col("cv"),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias("d"),
+    qdist = F.aggregate(
+        F.zip_with(F.col("cv"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
     )
-    probe = codes.filter(F.col("vec_id") != query_vec_id).select(
-        "vec_id", F.posexplode("codes").alias("sub", "code")
+    probe_cells = (
+        cent_df.crossJoin(F.broadcast(qrow))
+        .select("cell", qdist.alias("d"))
+        .orderBy(F.asc("d"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
     )
-    scored = (
-        probe.join(F.broadcast(dtable), ["sub", "code"])
-        .groupBy("vec_id")
-        .agg(
-            F.sum("d").alias("adc_dist2"),
-            F.count(F.lit(1)).alias("n_subs"),
-        )
-    )
-    return (
-        scored.filter(F.col("n_subs") == m)
-        .select("vec_id", "adc_dist2")
-        .orderBy(F.asc("adc_dist2"), F.asc("vec_id"))
-        .limit(k_top)
+    cand = index.join(F.broadcast(probe_cells), "cell", "left_semi")
+    dtable = _adc_dist_table(emb, codebooks, query_vec_id, scale)
+    return _adc_scan(
+        cand.select("vec_id", "codes"), dtable, len(codebooks), query_vec_id, k_top
     )

@@ -2179,41 +2179,46 @@ FROM reach GROUP BY node
 
 # k-means (ops/kmeans.kmeans_assign, k=4, iters=2): unrolled Lloyd rounds —
 # init = vec_id<4, argmin by (dist², cell) via row_number, centroid update =
-# per-dimension floor(sum/n)
-ORACLES["kmeans_clusters"] = f"""
-WITH q AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cell, v AS cv FROM q WHERE vec_id < 4),
-d1 AS (
-  SELECT q.vec_id, c.cell,
+# per-dimension floor(sum/n). km-prefixed CTEs so the IVF-PQ oracle can
+# compose them with the (unprefixed) PQ subspace CTEs in one WITH block.
+_KM_CTES = f"""
+kmq AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+kmc0 AS (SELECT vec_id AS cell, v AS cv FROM kmq WHERE vec_id < 4),
+kmd1 AS (
+  SELECT kmq.vec_id, c.cell,
     cast(list_sum(list_transform(range(1, 65),
-         i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT) AS d
-  FROM q CROSS JOIN c0 c
+         i -> (kmq.v[i] - c.cv[i]) * (kmq.v[i] - c.cv[i]))) AS BIGINT) AS d
+  FROM kmq CROSS JOIN kmc0 c
 ),
-a1 AS (
+kma1 AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
            row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-    FROM d1) WHERE rn = 1
+    FROM kmd1) WHERE rn = 1
 ),
-s1e AS (
-  SELECT a1.cell AS cell, q.v AS v, unnest(range(1, 65)) AS i
-  FROM a1 JOIN q USING (vec_id)
+kms1e AS (
+  SELECT kma1.cell AS cell, kmq.v AS v, unnest(range(1, 65)) AS i
+  FROM kma1 JOIN kmq USING (vec_id)
 ),
-s1 AS (SELECT cell, i, sum(v[i]) AS s, count(*) AS n FROM s1e GROUP BY cell, i),
-c1 AS (
+kms1 AS (SELECT cell, i, sum(v[i]) AS s, count(*) AS n
+         FROM kms1e GROUP BY cell, i),
+kmc1 AS (
   SELECT cell, list(cast(floor(cast(s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
-  FROM s1 GROUP BY cell
+  FROM kms1 GROUP BY cell
 ),
-d2 AS (
-  SELECT q.vec_id, c.cell,
+kmd2 AS (
+  SELECT kmq.vec_id, c.cell,
     cast(list_sum(list_transform(range(1, 65),
-         i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT) AS d
-  FROM q CROSS JOIN c1 c
-)
+         i -> (kmq.v[i] - c.cv[i]) * (kmq.v[i] - c.cv[i]))) AS BIGINT) AS d
+  FROM kmq CROSS JOIN kmc1 c
+)"""
+
+ORACLES["kmeans_clusters"] = f"""
+WITH {_KM_CTES}
 SELECT vec_id, cast(cell AS INT) AS cluster, d AS dist2 FROM (
   SELECT vec_id, cell, d,
          row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-  FROM d2) WHERE rn = 1
+  FROM kmd2) WHERE rn = 1
 """
 
 # Product quantization (ops/pq.py, m=4 subspaces × k=16 codes, iters=2):
@@ -2283,6 +2288,33 @@ WITH {_PQ_CTES},
 dt AS (SELECT j, cell, d FROM d2 WHERE vec_id = 0)
 SELECT c.vec_id, cast(sum(dt.d) AS BIGINT) AS adc_dist2
 FROM pq_codes c JOIN dt ON c.j = dt.j AND c.code = dt.cell
+WHERE c.vec_id <> 0
+GROUP BY c.vec_id
+HAVING count(*) = 4
+ORDER BY adc_dist2, c.vec_id
+LIMIT 10
+"""
+
+# IVF-PQ (ops/pq.ivfpq_topk, n_cells=4 coarse Lloyd cells, nprobe=2,
+# m=4×k=16 codes): coarse assignment/centroids reuse the km* kmeans CTEs,
+# codes/distance-table reuse the PQ CTEs; the probe keeps only vectors
+# whose coarse cell is among the query's 2 nearest (ties to lowest cell).
+ORACLES["ivfpq_adc_topk"] = f"""
+WITH {_KM_CTES},
+{_PQ_CTES},
+coarse AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM kmd2) WHERE rn = 1
+),
+qcell AS (SELECT cell FROM kmd2 WHERE vec_id = 0 ORDER BY d, cell LIMIT 2),
+dt AS (SELECT j, cell, d FROM d2 WHERE vec_id = 0)
+SELECT c.vec_id, cast(sum(dt.d) AS BIGINT) AS adc_dist2
+FROM pq_codes c
+JOIN coarse ON c.vec_id = coarse.vec_id
+JOIN qcell ON coarse.cell = qcell.cell
+JOIN dt ON c.j = dt.j AND c.code = dt.cell
 WHERE c.vec_id <> 0
 GROUP BY c.vec_id
 HAVING count(*) = 4

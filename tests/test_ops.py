@@ -1404,6 +1404,42 @@ def test_pq_adc_topk_excludes_ragged_and_query(spark):
         assert r.adc_dist2 == want, r.vec_id
 
 
+def test_ivfpq_prunes_to_probed_cells_and_amortized_path_matches(spark):
+    """Two far-apart groups: with nprobe=1 only the query's own coarse
+    cell is scanned, so near-in-ADC vectors from the other cell never
+    appear; the persisted-index path returns exactly the inline build's
+    result; index without cents raises."""
+    from logzoom_spark.ops import pq
+
+    # group A near origin (vec_ids 0-3), group B near 100 (vec_ids 4-7)
+    rows = [(i, [float(i % 4), float((i * 3) % 4)]) for i in range(4)]
+    rows += [(i, [100.0 + i % 4, 100.0 + (i * 3) % 4]) for i in range(4, 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq.pq_fit(df, m=2, k=2, iters=2, dims=2)
+
+    out1 = pq.ivfpq_topk(
+        df, books, query_vec_id=0, k_top=10, n_cells=2, nprobe=1, dims=2
+    ).collect()
+    ids1 = {r.vec_id for r in out1}
+    assert ids1 <= {1, 2, 3}  # group B pruned away entirely
+    assert ids1  # and the own-cell neighbors are returned
+
+    out2 = pq.ivfpq_topk(
+        df, books, query_vec_id=0, k_top=10, n_cells=2, nprobe=2, dims=2
+    ).collect()
+    assert {r.vec_id for r in out2} == set(range(1, 8))  # both cells scanned
+
+    idx, cents = pq.ivfpq_index(df, books, n_cells=2, dims=2)
+    out3 = pq.ivfpq_topk(
+        df, books, query_vec_id=0, k_top=10, n_cells=2, nprobe=1, dims=2,
+        index=idx, coarse_cents=cents,
+    ).collect()
+    assert [tuple(r) for r in out3] == [tuple(r) for r in out1]
+
+    with pytest.raises(ValueError, match="together"):
+        pq.ivfpq_topk(df, books, index=idx)
+
+
 def test_pq_fit_rejects_indivisible_dims(spark):
     from logzoom_spark.ops import pq
 
