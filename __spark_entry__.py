@@ -1715,6 +1715,33 @@ def q_ivfpq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_classify_lang_en(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed-feature linear classifier, fit + serve in one plan
+    (fastText-style model filtering): fit is-English evidence weights on
+    the doc_id%10<8 train split (bounded n_buckets=1024 shuffle), score
+    EVERY doc via a broadcast weight join (ops/classify.py). Empty docs
+    kept with NULL score (counted-not-dropped)."""
+    from logzoom_spark.ops import classify
+
+    docs = _read(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    w = classify.classifier_fit(train, F.col("lang") == "en")
+    return classify.classifier_score(docs, w)
+
+
+def q_classify_confusion_en(spark: SparkSession, sf: str) -> DataFrame:
+    """The classifier's evaluation rollup: (label, pred, n_docs)
+    confusion cells of the is-English model against the stored lang
+    column — the accept/reject audit a filtering run ships with."""
+    from logzoom_spark.ops import classify
+
+    docs = _read(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    w = classify.classifier_fit(train, F.col("lang") == "en")
+    scored = classify.classifier_score(docs, w)
+    return classify.classifier_confusion(scored, docs, F.col("lang") == "en")
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
     """BPE tokenizer-training primitive: corpus-wide adjacent character
     pair counts weighted by word frequency (vocabulary-sized shuffles,
@@ -1941,6 +1968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode_codes": q_pq_encode_codes,
         "pq_adc_topk": q_pq_adc_topk,
         "ivfpq_adc_topk": q_ivfpq_adc_topk,
+        "classify_lang_en": q_classify_lang_en,
+        "classify_confusion_en": q_classify_confusion_en,
         "dup_span_grams": q_dup_span_grams,
         "bm25_query_join": q_bm25_query_join,
         "weighted_sample_lang": q_weighted_sample_lang,

@@ -323,6 +323,7 @@ def main() -> None:
     bench("bm25_query_join", lambda: se.q_bm25_query_join(spark, sf_dir).collect())
     bench("pq_adc_topk", lambda: se.q_pq_adc_topk(spark, sf_dir).collect())
     bench("ivfpq_adc_topk", lambda: se.q_ivfpq_adc_topk(spark, sf_dir).collect())
+    bench("classify_lang_en", lambda: _noop(se.q_classify_lang_en(spark, sf_dir)))
 
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
     # real sink files — measures sink I/O, which on this shared host is

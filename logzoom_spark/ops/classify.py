@@ -1,0 +1,164 @@
+"""Hashed-feature linear text classifier — the model-based filtering
+stage of a training-data pipeline (fastText-style quality / language
+classifiers a la CCNet: fit a cheap linear model on weak or held-out
+labels, score the whole corpus, filter on the verdict).
+
+Spark-first shapes:
+- **features** (`_doc_buckets`): per-doc DISTINCT hashed token buckets
+  (Bernoulli presence features, hashing trick caps the dimensionality at
+  ``n_buckets`` regardless of vocabulary). Computed ROW-LOCALLY —
+  ``array_distinct(transform(filter(split(text))))`` inside whole-stage
+  codegen, then a narrow explode — so feature extraction itself is
+  ZERO shuffle at any corpus size.
+- **fit** (`classifier_fit`): one ``groupBy(bucket)`` whose partial
+  aggregates collapse each partition to ≤ n_buckets rows before the
+  exchange — the fit shuffle is BOUNDED by the feature space, not the
+  corpus. The weight table (≤ n_buckets rows) is broadcastable by
+  construction.
+- **serve** (`classifier_score`): broadcast hash join against the weight
+  table + one map-side-combinable ``groupBy(doc_id)``; the only
+  row-scaled exchange carries (doc_id, count, sum) partials.
+
+Determinism (oracle-exact in any engine): weights are fixed-point
+integer evidence, ``w = (pos+1)·SCALE DIV (pos+neg+2)`` — the
+Laplace-smoothed P(label | feature present) on a 10^6 grid; a doc's
+score is the integer mean of its features' evidence (unseen buckets
+take the uninformative prior SCALE/2), and the default verdict compares
+it against the model's stored intercept — the train base rate, kept as
+the sentinel bucket -1 in the same weights table. No logs, no floats: summing
+trained log-odds weights would serve through the IDENTICAL plan (inject
+them via the same bounded weights table), but fixed-point evidence
+keeps the full fit→serve pipeline value-matchable against a DuckDB
+twin. Token bucketing uses the portable 60-bit md5 hash both engines
+compute identically (hashing.py).
+
+No reference analog (logzoom has no model surface); extends the
+training-data operator set mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..hashing import portable_hash
+
+SCALE = 1_000_000
+
+
+def _doc_buckets(
+    docs: DataFrame,
+    n_buckets: int,
+    seed: int,
+    text_col: str,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, *keep, bucket): one row per distinct (doc, feature
+    bucket). The distinct is row-local (array_distinct before the
+    explode), so this is a pure projection — docs with no tokens
+    (empty/NULL text) yield no rows and are re-attached by the caller."""
+    toks = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    buckets = F.array_distinct(
+        F.transform(
+            F.filter(toks, lambda t: t != ""),
+            lambda t: portable_hash(t, seed) % n_buckets,
+        )
+    )
+    return docs.select(
+        "doc_id", *keep, F.explode(buckets).alias("bucket")
+    )
+
+
+def classifier_fit(
+    docs: DataFrame,
+    label_col: Column | str,
+    n_buckets: int = 1024,
+    seed: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """(bucket, w): fixed-point evidence weights from a labeled corpus.
+    ``label_col`` is a boolean column/name; ``w`` estimates
+    P(label | bucket present) as (pos+1)·SCALE DIV (pos+neg+2), exact
+    BIGINT. The result is bounded (≤ n_buckets rows) — persist it and
+    broadcast at serve time."""
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    labeled = docs.withColumn("__y", y.cast("boolean"))
+    fb = _doc_buckets(labeled, n_buckets, seed, text_col, keep=("__y",))
+    evidence = F.expr(f"((pos + 1) * {SCALE}) DIV (n + 2)").alias("w")
+    weights = fb.groupBy("bucket").agg(
+        F.sum(F.col("__y").cast("bigint")).alias("pos"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("bucket", evidence)
+    # the model's intercept: the label base rate over the TRAIN DOCS,
+    # stored as the sentinel bucket -1 (real buckets live in
+    # [0, n_buckets), so it can never be matched by a feature) — the way
+    # NB serializes its prior next to its conditionals. Serving compares
+    # evidence against it: posterior above base rate ⇔ predict positive.
+    prior = labeled.agg(
+        F.sum(F.col("__y").cast("bigint")).alias("pos"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(F.lit(-1).alias("bucket"), evidence)
+    return weights.unionByName(prior)
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1024,
+    seed: int = 0,
+    text_col: str = "text",
+    threshold: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_feats, score_fp, pred): integer mean evidence per doc
+    and the verdict. The default threshold is the model's own stored
+    prior (the bucket=-1 intercept row): mean evidence above the train
+    base rate ⇔ more-likely-positive-than-average — the NB-correct
+    comparison, and the one that stays meaningful when the feature
+    evidence is weak and scores hug the base rate. Pass an int to
+    override (e.g. SCALE//2 for an absolute posterior cut). Buckets the
+    fit never saw score the uninformative prior SCALE/2. Docs with NO
+    features (empty/NULL text) are KEPT — counted-not-dropped policy —
+    with n_feats=0 and NULL score/pred (unknowable, not false)."""
+    fb = _doc_buckets(docs, n_buckets, seed, text_col)
+    sc = (
+        fb.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.coalesce(F.col("w"), F.lit(SCALE // 2))).alias("s"),
+        )
+        .select("doc_id", "n_feats", F.expr("s DIV n_feats").alias("score_fp"))
+    )
+    if threshold is None:
+        thr_df = weights.filter(F.col("bucket") == -1).select(
+            F.col("w").alias("__thr")
+        )
+        sc = sc.crossJoin(F.broadcast(thr_df))
+        thr_col = F.col("__thr")
+    else:
+        thr_col = F.lit(int(threshold))
+    return docs.select("doc_id").join(sc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+        "score_fp",
+        F.when(
+            F.col("score_fp").isNotNull(), F.col("score_fp") >= thr_col
+        ).alias("pred"),
+    )
+
+
+def classifier_confusion(
+    scored: DataFrame, docs: DataFrame, label_col: Column | str
+) -> DataFrame:
+    """(label, pred, n_docs): the evaluation rollup — join predictions
+    back to truth and count the confusion cells (NULL pred = unscorable
+    docs get their own row). One bounded groupBy."""
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    truth = docs.select("doc_id", y.cast("boolean").alias("label"))
+    return (
+        scored.join(truth, "doc_id")
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

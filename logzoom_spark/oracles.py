@@ -2322,6 +2322,55 @@ ORDER BY adc_dist2, c.vec_id
 LIMIT 10
 """
 
+# Hashed-feature linear classifier (ops/classify, n_buckets=1024,
+# is-English labels, doc_id%10<8 train split): Bernoulli presence
+# features via row-local list_distinct, Laplace fixed-point evidence
+# weights, integer mean score, SCALE/2 prior for unseen buckets.
+_CLASSIFY_CTES = rf"""
+fb AS (
+  SELECT doc_id, lang = 'en' AS y,
+         unnest(list_distinct(list_transform(
+           list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                       '\s+'), t -> t <> ''),
+           t -> {portable_hash_sql('t')} % 1024))) AS bucket
+  FROM documents
+),
+w AS (
+  SELECT bucket,
+         cast(((cast(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) + 1)
+               * 1000000) // (count(*) + 2) AS BIGINT) AS w
+  FROM fb WHERE doc_id % 10 < 8 GROUP BY bucket
+),
+sc AS (
+  SELECT fb.doc_id, count(*) AS n_feats,
+         cast(sum(coalesce(w.w, 500000)) // count(*) AS BIGINT) AS score_fp
+  FROM fb LEFT JOIN w USING (bucket)
+  GROUP BY fb.doc_id
+),
+prior AS (
+  SELECT cast(((cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                + 1) * 1000000) // (count(*) + 2) AS BIGINT) AS thr
+  FROM documents WHERE doc_id % 10 < 8
+),
+scored AS (
+  SELECT d.doc_id, coalesce(s.n_feats, 0) AS n_feats, s.score_fp,
+         CASE WHEN s.score_fp IS NULL THEN NULL
+              ELSE s.score_fp >= (SELECT thr FROM prior) END AS pred
+  FROM documents d LEFT JOIN sc s USING (doc_id)
+)"""
+
+ORACLES["classify_lang_en"] = f"""
+WITH {_CLASSIFY_CTES}
+SELECT doc_id, n_feats, score_fp, pred FROM scored
+"""
+
+ORACLES["classify_confusion_en"] = f"""
+WITH {_CLASSIFY_CTES}
+SELECT d.lang = 'en' AS label, scored.pred, count(*) AS n_docs
+FROM scored JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
 # BPE pair counting (ops/text.bpe_pair_counts, top_n=30): frequency-weighted
 # adjacent character pairs over the distinct-word table
 ORACLES["bpe_pair_counts"] = r"""

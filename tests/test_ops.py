@@ -1440,6 +1440,61 @@ def test_ivfpq_prunes_to_probed_cells_and_amortized_path_matches(spark):
         pq.ivfpq_topk(df, books, index=idx)
 
 
+def test_classifier_separable_fixture_and_prior_threshold(spark):
+    """Hand-computed fixture: disjoint vocab separates perfectly; the
+    stored bucket=-1 intercept equals the Laplace train base rate;
+    unseen-vocab docs score exactly the SCALE/2 prior; empty doc kept
+    with NULL pred; integer threshold override respected."""
+    from logzoom_spark.ops import classify
+
+    rows = [
+        (1, "aa bb", True), (2, "aa cc", True),
+        (3, "xx yy", False), (4, "xx zz", False),
+        (5, "aa bb", True),   # scored, not in train
+        (6, "qq", None),      # unseen vocabulary
+        (7, "", None),        # no features
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    train = docs.filter(F.col("doc_id") <= 4)
+    w = classify.classifier_fit(train, "y", n_buckets=4096)
+
+    thr = {r.bucket: r.w for r in w.collect()}[-1]
+    assert thr == (2 + 1) * classify.SCALE // (4 + 2)  # 500000
+
+    out = {r.doc_id: r for r in classify.classifier_score(docs, w, n_buckets=4096).collect()}
+    # aa=750000, bb=666666 -> (750000+666666) DIV 2 = 708333
+    assert out[1].score_fp == 708333 and out[1].pred is True
+    assert out[5].score_fp == 708333 and out[5].pred is True  # held-out
+    # xx=250000, yy=333333 -> 291666
+    assert out[3].score_fp == 291666 and out[3].pred is False
+    assert out[6].score_fp == classify.SCALE // 2  # pure unseen = prior
+    assert out[7].n_feats == 0 and out[7].score_fp is None and out[7].pred is None
+
+    hard = {r.doc_id: r.pred for r in
+            classify.classifier_score(docs, w, n_buckets=4096,
+                                      threshold=classify.SCALE).collect()}
+    assert hard[1] is False and hard[7] is None  # override applies
+
+
+def test_classifier_confusion_counts(spark):
+    from logzoom_spark.ops import classify
+
+    rows = [
+        (1, "aa", True), (2, "aa", True), (3, "xx", False), (4, "xx", True),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    w = classify.classifier_fit(docs, "y", n_buckets=64)
+    scored = classify.classifier_score(docs, w, n_buckets=64)
+    cells = {(r.label, r.pred): r.n_docs for r in
+             classify.classifier_confusion(scored, docs, "y").collect()}
+    assert sum(cells.values()) == 4
+    # aa seen 3x (2 pos, 1 pos doc 4? no: doc 4 is xx) -> aa: pos=2,n=2
+    # w(aa)=(3)*S//4=750000; w(xx)=(1+1)*S//(2+2)=500000; thr=(3+1)*S//6=666666
+    assert cells[(True, True)] == 2    # docs 1,2
+    assert cells[(False, False)] == 1  # doc 3 (500000 < 666666)
+    assert cells[(True, False)] == 1   # doc 4 mislabeled by vocab
+
+
 def test_pq_fit_rejects_indivisible_dims(spark):
     from logzoom_spark.ops import pq
 
