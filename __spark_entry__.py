@@ -1729,6 +1729,20 @@ def q_classify_lang_en(spark: SparkSession, sf: str) -> DataFrame:
     return classify.classifier_score(docs, w)
 
 
+def q_classify_inline_serve(spark: SparkSession, sf: str) -> DataFrame:
+    """The classifier's ZERO-SHUFFLE serve plan: weights inlined as a
+    bounded map literal so scoring is a stateless projection (legal on a
+    stream unchanged). Output contract — and oracle — identical to
+    classify_lang_en: the driver value-check proves the two plans
+    equivalent."""
+    from logzoom_spark.ops import classify
+
+    docs = _read(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    w = classify.classifier_fit(train, F.col("lang") == "en")
+    return classify.classifier_score_inline(docs, w)
+
+
 def q_classify_confusion_en(spark: SparkSession, sf: str) -> DataFrame:
     """The classifier's evaluation rollup: (label, pred, n_docs)
     confusion cells of the is-English model against the stored lang
@@ -1970,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_adc_topk": q_ivfpq_adc_topk,
         "classify_lang_en": q_classify_lang_en,
         "classify_confusion_en": q_classify_confusion_en,
+        "classify_inline_serve": q_classify_inline_serve,
         "dup_span_grams": q_dup_span_grams,
         "bm25_query_join": q_bm25_query_join,
         "weighted_sample_lang": q_weighted_sample_lang,

@@ -46,6 +46,21 @@ from ..hashing import portable_hash
 SCALE = 1_000_000
 
 
+def _bucket_array(n_buckets: int, seed: int, text_col: str):
+    """Row-local distinct feature buckets of a text column (array<bigint>
+    inside whole-stage codegen) — the shared feature definition of every
+    fit/serve path, so their memberships can never drift."""
+    toks = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    return F.array_distinct(
+        F.transform(
+            F.filter(toks, lambda t: t != ""),
+            lambda t: portable_hash(t, seed) % n_buckets,
+        )
+    )
+
+
 def _doc_buckets(
     docs: DataFrame,
     n_buckets: int,
@@ -57,17 +72,10 @@ def _doc_buckets(
     bucket). The distinct is row-local (array_distinct before the
     explode), so this is a pure projection — docs with no tokens
     (empty/NULL text) yield no rows and are re-attached by the caller."""
-    toks = F.split(
-        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
-    )
-    buckets = F.array_distinct(
-        F.transform(
-            F.filter(toks, lambda t: t != ""),
-            lambda t: portable_hash(t, seed) % n_buckets,
-        )
-    )
     return docs.select(
-        "doc_id", *keep, F.explode(buckets).alias("bucket")
+        "doc_id",
+        *keep,
+        F.explode(_bucket_array(n_buckets, seed, text_col)).alias("bucket"),
     )
 
 
@@ -146,6 +154,75 @@ def classifier_score(
         F.when(
             F.col("score_fp").isNotNull(), F.col("score_fp") >= thr_col
         ).alias("pred"),
+    )
+
+
+def classifier_score_inline(
+    docs: DataFrame,
+    weights: DataFrame | dict[int, int],
+    n_buckets: int = 1024,
+    seed: int = 0,
+    text_col: str = "text",
+    threshold: int | None = None,
+) -> DataFrame:
+    """Zero-shuffle serve: same output contract as ``classifier_score``
+    ((doc_id, n_feats, score_fp, pred)) but the bounded weight table is
+    inlined as a map literal and the whole scorer is a STATELESS
+    PROJECTION — no explode, no join, no aggregation. That makes it
+    (a) the cheapest batch plan (one scan, zero exchanges) and (b) legal
+    on a Structured Streaming DataFrame unchanged, which is the standing
+    model-gate deployment: fit offline, score every arriving doc at
+    ingest. A pytest proves row-identical output vs the join-based path.
+
+    Accepts the ``classifier_fit`` DataFrame (collected here — bounded,
+    ≤ n_buckets+1 rows, the trained-centroids pattern; collecting a
+    STREAM is impossible, so pass the dict form when composing
+    stream-on-stream) or a pre-collected ``{bucket: w}`` dict. The
+    intercept (bucket -1) must be present unless ``threshold`` is
+    given."""
+    if isinstance(weights, DataFrame):
+        weights = {int(r["bucket"]): int(r["w"]) for r in weights.collect()}
+    if threshold is None:
+        if -1 not in weights:
+            raise ValueError(
+                "weights carry no bucket=-1 intercept; fit with "
+                "classifier_fit or pass threshold= explicitly"
+            )
+        threshold = int(weights[-1])
+    entries = [
+        F.lit(x).cast("bigint")
+        for b, w in sorted(weights.items())
+        if b >= 0
+        for x in (int(b), int(w))
+    ]
+    if entries:
+        wmap = F.create_map(*entries)
+        look = lambda b: F.coalesce(  # noqa: E731
+            F.element_at(wmap, b), F.lit(SCALE // 2).cast("bigint")
+        )
+    else:  # degenerate fit (no featureful train docs): pure prior
+        look = lambda b: F.lit(SCALE // 2).cast("bigint")  # noqa: E731
+    scores = F.transform(_bucket_array(n_buckets, seed, text_col), look)
+    return (
+        docs.select("doc_id", scores.alias("__sc"))
+        .select(
+            "doc_id",
+            F.size("__sc").cast("bigint").alias("n_feats"),
+            F.aggregate(
+                "__sc", F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            F.expr("CASE WHEN n_feats > 0 THEN __s DIV n_feats END").alias(
+                "score_fp"
+            ),
+            F.when(
+                F.col("n_feats") > 0,
+                F.expr("__s DIV n_feats") >= F.lit(int(threshold)),
+            ).alias("pred"),
+        )
     )
 
 

@@ -2364,6 +2364,10 @@ WITH {_CLASSIFY_CTES}
 SELECT doc_id, n_feats, score_fp, pred FROM scored
 """
 
+# the inline (map-literal, zero-shuffle) serve MUST be value-identical
+# to the join-based serve — same oracle text, independently re-run
+ORACLES["classify_inline_serve"] = ORACLES["classify_lang_en"]
+
 ORACLES["classify_confusion_en"] = f"""
 WITH {_CLASSIFY_CTES}
 SELECT d.lang = 'en' AS label, scored.pred, count(*) AS n_docs

@@ -1476,6 +1476,72 @@ def test_classifier_separable_fixture_and_prior_threshold(spark):
     assert hard[1] is False and hard[7] is None  # override applies
 
 
+def test_classifier_inline_serve_matches_join_path(spark):
+    """The map-literal zero-shuffle scorer is row-identical to the
+    join-based scorer (incl. empty and unseen-vocab docs); it rejects
+    weights without an intercept; a featureless fit degenerates to the
+    pure prior."""
+    from logzoom_spark.ops import classify
+
+    rows = [
+        (1, "aa bb", True), (2, "aa cc", True),
+        (3, "xx yy", False), (4, "xx zz", False),
+        (5, "qq", None), (6, "", None), (7, None, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    w = classify.classifier_fit(docs.filter("doc_id <= 4"), "y", n_buckets=256)
+
+    a = sorted(map(tuple, classify.classifier_score(docs, w, n_buckets=256).collect()))
+    b = sorted(map(tuple, classify.classifier_score_inline(docs, w, n_buckets=256).collect()))
+    assert a == b and len(a) == 7
+
+    with pytest.raises(ValueError, match="intercept"):
+        classify.classifier_score_inline(docs, {3: 100}, n_buckets=256)
+
+    # degenerate fit: only the intercept row -> every featureful doc
+    # scores the exact prior
+    out = {r.doc_id: r.score_fp for r in
+           classify.classifier_score_inline(docs, {-1: 700000}, n_buckets=256).collect()}
+    assert out[1] == classify.SCALE // 2 and out[6] is None
+
+
+def test_classifier_inline_streaming_gate_matches_batch(spark, tmp_path):
+    """The inline scorer is a stateless projection, so it runs unchanged
+    on a stream and MUST score every arriving doc exactly as the batch
+    path does — the standing model-gate deployment (fit offline, filter
+    at ingest)."""
+    from logzoom_spark.ops import classify
+
+    src = str(tmp_path / "cls_src")
+    docs = spark.createDataFrame(
+        [(i, "tok%d common %s" % (i % 7, "pos" if i % 3 == 0 else "neg"),
+          i % 3 == 0) for i in range(120)],
+        "doc_id long, text string, y boolean",
+    )
+    docs.repartition(3).write.parquet(src)
+    w = classify.classifier_fit(spark.read.parquet(src), "y", n_buckets=4096)
+    wdict = {int(r.bucket): int(r.w) for r in w.collect()}
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out_dir = str(tmp_path / "cls_out")
+    (
+        classify.classifier_score_inline(stream, wdict, n_buckets=4096)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cls_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    streamed = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    batch = sorted(map(tuple, classify.classifier_score_inline(
+        spark.read.parquet(src), wdict, n_buckets=4096).collect()))
+    assert streamed == batch and len(streamed) == 120
+    # and the gate actually separates this separable fixture
+    preds = {r[0]: r[3] for r in batch}
+    assert all(preds[i] == (i % 3 == 0) for i in preds)
+
+
 def test_classifier_confusion_counts(spark):
     from logzoom_spark.ops import classify
 
