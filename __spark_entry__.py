@@ -600,6 +600,16 @@ def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM quality score: mean conditional surprisal −ln p(v|u)
+    (millinats) from the corpus's own add-one-smoothed bigram counts —
+    KenLM-style perplexity filtering that catches shuffled/gibberish
+    token ORDER a unigram model cannot (ops/retrieval.py)."""
+    from logzoom_spark.ops.retrieval import bigram_surprisal
+
+    return bigram_surprisal(_read(spark, sf, "documents"))
+
+
 def q_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     """Unigram-LM quality score: mean per-token surprisal (millinats) from
     the corpus's own smoothed token frequencies — the cheap perplexity
@@ -1985,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_lang_en": q_classify_lang_en,
         "classify_confusion_en": q_classify_confusion_en,
         "classify_inline_serve": q_classify_inline_serve,
+        "bigram_surprisal": q_bigram_surprisal,
         "dup_span_grams": q_dup_span_grams,
         "bm25_query_join": q_bm25_query_join,
         "weighted_sample_lang": q_weighted_sample_lang,

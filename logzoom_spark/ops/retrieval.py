@@ -144,6 +144,82 @@ def _bm25_contribs(hits: DataFrame, lens: DataFrame) -> DataFrame:
     )
 
 
+def bigram_surprisal(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Conditional (bigram) LM quality score — the KenLM-style perplexity
+    filter one rung above ``unigram_surprisal``: per doc, the mean
+    surprisal −ln p(v|u) over adjacent token pairs, with add-one
+    smoothing p(v|u) = (c(uv)+1)/(c(u)+V) fit on the corpus itself
+    (c(u) = plain unigram count — the standard context approximation —
+    V = unigram vocabulary). High mean = token order unlike the corpus
+    (shuffled/gibberish text a unigram model cannot flag); low =
+    boilerplate n-gram loops.
+
+    Returns (doc_id, n_bigrams, surprisal_milli_sum,
+    mean_surprisal_milli), BIGINT millinats, floor-quantized per DISTINCT
+    corpus bigram before the per-doc sum (order-independent,
+    engine-exact — the unigram_surprisal discipline). Docs with < 2
+    tokens surface with 0 bigrams and NULL mean (counted, not dropped).
+
+    Plan: bigram extraction is row-local (transform over an index
+    sequence — zero shuffle); corpus bigram/unigram totals are map-side
+    combined groupBys bounded by the n-gram vocabulary, never the
+    corpus; the scoring join carries (u, v, tf) ints and the per-doc sum
+    is map-side combinable."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("u"),
+                F.element_at(toks, i + F.lit(1)).alias("v"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
+    pbt = (
+        docs.select("doc_id", F.explode(bi).alias("p"))
+        .select("doc_id", F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .groupBy("doc_id", "u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    btot = pbt.groupBy("u", "v").agg(F.sum("tf").alias("cuv"))
+    utot = (
+        docs.select(F.explode(toks).alias("u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    )
+    corpus = utot.agg(F.count(F.lit(1)).alias("vocab"))
+    per_bg = (
+        btot.join(utot, "u")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "u",
+            "v",
+            F.floor(
+                -F.log((F.col("cuv") + 1) / (F.col("cu") + F.col("vocab")))
+                * 1000
+            ).cast("bigint").alias("sm"),
+        )
+    )
+    sums = (
+        pbt.join(per_bg, ["u", "v"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("sm")).alias("surprisal_milli_sum"),
+        )
+    )
+    return docs.select("doc_id").join(sums, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("surprisal_milli_sum", F.lit(0)).alias("surprisal_milli_sum"),
+        F.expr(
+            "CASE WHEN n_bigrams > 0 THEN surprisal_milli_sum div n_bigrams END"
+        ).alias("mean_surprisal_milli"),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

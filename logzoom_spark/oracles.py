@@ -562,6 +562,46 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN sums USING (doc_id)
 """
 
+# bigram surprisal (ops.retrieval.bigram_surprisal): add-one-smoothed
+# conditional bigram LM, p(v|u) = (c(uv)+1)/(c(u)+V); per-bigram
+# surprisal floor-quantized to millinats before the per-doc sum
+ORACLES["bigram_surprisal"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(toks)),
+                i -> struct_pack(u := toks[i], v := toks[i + 1]))) AS p
+  FROM tk
+),
+pbt AS (
+  SELECT doc_id, p.u AS u, p.v AS v, cast(count(*) AS BIGINT) AS tf
+  FROM bg GROUP BY 1, 2, 3
+),
+btot AS (SELECT u, v, cast(sum(tf) AS BIGINT) AS cuv FROM pbt GROUP BY u, v),
+posts AS (SELECT unnest(toks) AS u FROM tk),
+utot AS (SELECT u, cast(count(*) AS BIGINT) AS cu FROM posts GROUP BY u),
+corpus AS (SELECT count(*) AS vocab FROM utot),
+per_bg AS (
+  SELECT b.u, b.v,
+         cast(floor(-ln((b.cuv + 1.0) / (ut.cu + c.vocab)) * 1000)
+              AS BIGINT) AS sm
+  FROM btot b JOIN utot ut USING (u), corpus c
+),
+sums AS (
+  SELECT p.doc_id, sum(p.tf) AS nb, sum(p.tf * pb.sm) AS s
+  FROM pbt p JOIN per_bg pb USING (u, v) GROUP BY 1
+)
+SELECT d.doc_id,
+  cast(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+  cast(coalesce(s, 0) AS BIGINT) AS surprisal_milli_sum,
+  CASE WHEN nb > 0 THEN cast(s // nb AS BIGINT) END AS mean_surprisal_milli
+FROM documents d LEFT JOIN sums USING (doc_id)
+"""
+
 # TPC-H Q13 shape: left-join order counts per customer (ON-clause
 # priority filter), then the count distribution
 ORACLES["tpch_q13"] = """

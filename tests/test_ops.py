@@ -1542,6 +1542,49 @@ def test_classifier_inline_streaming_gate_matches_batch(spark, tmp_path):
     assert all(preds[i] == (i % 3 == 0) for i in preds)
 
 
+def test_bigram_surprisal_flags_shuffled_order(spark):
+    """Same unigram multiset, different ORDER: the doc whose adjacent
+    pairs match the corpus's dominant bigrams scores lower mean
+    surprisal than the shuffled doc (a unigram LM scores them equal);
+    values verified against a pure-Python recompute; <2-token docs kept
+    with NULL mean."""
+    import math
+    from logzoom_spark.ops.retrieval import bigram_surprisal
+
+    rows = [
+        (1, "a b a b a b"),
+        (2, "a b a b a b"),
+        (3, "b b a a b a"),  # shuffled multiset of doc 1
+        (4, "a"),            # no bigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_surprisal(docs).collect()}
+    assert out[4].n_bigrams == 0 and out[4].mean_surprisal_milli is None
+    assert out[1].mean_surprisal_milli < out[3].mean_surprisal_milli
+    assert tuple(out[1])[1:] == tuple(out[2])[1:]  # identical docs, identical scores
+
+    # exact recompute
+    toks = {i: t.split(" ") for i, t in rows if t != "a"}
+    toks[4] = ["a"]
+    cu = {}
+    for ts in toks.values():
+        for t in ts:
+            cu[t] = cu.get(t, 0) + 1
+    cuv = {}
+    for ts in toks.values():
+        for u, v in zip(ts, ts[1:]):
+            cuv[(u, v)] = cuv.get((u, v), 0) + 1
+    V = len(cu)
+    for i, ts in toks.items():
+        sm = sum(
+            math.floor(-math.log((cuv[(u, v)] + 1) / (cu[u] + V)) * 1000)
+            for u, v in zip(ts, ts[1:])
+        )
+        assert out[i].surprisal_milli_sum == sm, i
+        if len(ts) >= 2:
+            assert out[i].mean_surprisal_milli == sm // (len(ts) - 1)
+
+
 def test_classifier_confusion_counts(spark):
     from logzoom_spark.ops import classify
 
