@@ -85,6 +85,13 @@ def main() -> None:
         ("weighted sample (row-local A-ES keys + WindowGroupLimit)", se.q_weighted_sample_lang),
         ("split assign (zero-shuffle projection)", se.q_split_assign_counts),
         ("vocab stats (vocabulary-sized shuffle, map-side collapse)", se.q_vocab_stats_lang),
+        # round 4 (PQ / classifier / bigram batch)
+        ("pq encode (zero-shuffle codebook-literal projection)", se.q_pq_encode_codes),
+        ("pq adc (broadcast m*k distance table, TakeOrdered)", se.q_pq_adc_topk),
+        ("ivfpq (broadcast nprobe cell semi-join prunes the scan)", se.q_ivfpq_adc_topk),
+        ("classifier fit+serve (bounded-bucket fit shuffle, broadcast weights)", se.q_classify_lang_en),
+        ("classifier inline serve (map-literal weights, ZERO exchanges)", se.q_classify_inline_serve),
+        ("bigram surprisal (row-local pairs, vocab-sized LM shuffles)", se.q_bigram_surprisal),
     ]:
         print("=" * 30, name)
         q(spark, sf).explain("formatted")
