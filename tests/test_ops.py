@@ -1542,6 +1542,36 @@ def test_classifier_inline_streaming_gate_matches_batch(spark, tmp_path):
     assert all(preds[i] == (i % 3 == 0) for i in preds)
 
 
+def test_new_ops_partition_independent(spark, docs, emb):
+    """The round-4-continued ops are pure integer pipelines, so their
+    results must be byte-identical under any input partitioning — the
+    property that makes them safe on a 1000-executor cluster where
+    partition counts and row order are scheduling accidents."""
+    from logzoom_spark.ops import classify, pq
+    from logzoom_spark.ops.retrieval import bigram_surprisal
+
+    def runs(make):
+        a = sorted(map(tuple, make(docs.coalesce(1), emb.coalesce(1)).collect()))
+        b = sorted(map(tuple, make(docs.repartition(7), emb.repartition(5)).collect()))
+        assert a == b and len(a) > 0
+
+    runs(lambda d, e: bigram_surprisal(d))
+
+    def cls(d, e):
+        w = classify.classifier_fit(
+            d.filter(F.col("doc_id") % 10 < 8), F.col("lang") == "en"
+        )
+        return classify.classifier_score_inline(d, w)
+
+    runs(cls)
+
+    def pqc(d, e):
+        books = pq.pq_fit(e, m=4, k=16, iters=2)
+        return pq.pq_encode(e, books).select("vec_id", F.col("codes").cast("string"))
+
+    runs(pqc)
+
+
 def test_bigram_surprisal_flags_shuffled_order(spark):
     """Same unigram multiset, different ORDER: the doc whose adjacent
     pairs match the corpus's dominant bigrams scores lower mean
