@@ -1634,6 +1634,38 @@ def test_classifier_confusion_counts(spark):
     assert cells[(True, False)] == 1   # doc 4 mislabeled by vocab
 
 
+def test_pq_encode_streaming_matches_batch(spark, tmp_path):
+    """pq_encode inlines its codebooks as literals (stateless
+    projection), so it runs unchanged on a stream — the ingest-time
+    semantic-fingerprint gate: fit codebooks offline, code every
+    arriving vector — and must emit exactly the batch codes."""
+    from logzoom_spark.ops import pq
+
+    src = str(tmp_path / "emb_src")
+    rows = [(i, [float((i * 13 + j * 5) % 17) for j in range(4)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb.repartition(3).write.parquet(src)
+    books = pq.pq_fit(spark.read.parquet(src), m=2, k=4, iters=2, dims=4)
+
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    out_dir = str(tmp_path / "pq_out")
+    (
+        pq.pq_encode(stream, books)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "pq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    streamed = sorted((r.vec_id, tuple(r.codes))
+                      for r in spark.read.parquet(out_dir).collect())
+    batch = sorted((r.vec_id, tuple(r.codes))
+                   for r in pq.pq_encode(spark.read.parquet(src), books).collect())
+    assert streamed == batch and len(streamed) == 40
+
+
 def test_pq_fit_rejects_indivisible_dims(spark):
     from logzoom_spark.ops import pq
 
