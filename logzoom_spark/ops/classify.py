@@ -126,7 +126,9 @@ def classifier_score(
     comparison, and the one that stays meaningful when the feature
     evidence is weak and scores hug the base rate. Pass an int to
     override (e.g. SCALE//2 for an absolute posterior cut). Buckets the
-    fit never saw score the uninformative prior SCALE/2. Docs with NO
+    fit never saw score the uninformative prior SCALE/2; a weights table
+    with no intercept row keeps every score and yields NULL preds (the
+    inline path raises instead — it can check eagerly). Docs with NO
     features (empty/NULL text) are KEPT — counted-not-dropped policy —
     with n_feats=0 and NULL score/pred (unknowable, not false)."""
     fb = _doc_buckets(docs, n_buckets, seed, text_col)
@@ -140,8 +142,12 @@ def classifier_score(
         .select("doc_id", "n_feats", F.expr("s DIV n_feats").alias("score_fp"))
     )
     if threshold is None:
-        thr_df = weights.filter(F.col("bucket") == -1).select(
-            F.col("w").alias("__thr")
+        # an aggregate is ALWAYS one row (NULL __thr when the intercept is
+        # absent), so a weights table missing bucket=-1 yields NULL preds
+        # with scores intact — a filter().crossJoin() would instead come
+        # back EMPTY and silently zero every doc's features
+        thr_df = weights.agg(
+            F.max(F.when(F.col("bucket") == -1, F.col("w"))).alias("__thr")
         )
         sc = sc.crossJoin(F.broadcast(thr_df))
         thr_col = F.col("__thr")

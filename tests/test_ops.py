@@ -1476,6 +1476,24 @@ def test_classifier_separable_fixture_and_prior_threshold(spark):
     assert hard[1] is False and hard[7] is None  # override applies
 
 
+def test_classifier_join_serve_interceptless_keeps_scores(spark):
+    """Regression: with default threshold and a weights table MISSING the
+    bucket=-1 intercept, the join-path scorer must keep every doc's
+    features/score and yield NULL preds — not silently zero everything
+    (the empty-filter crossJoin failure mode)."""
+    from logzoom_spark.ops import classify
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa")], "doc_id long, text string"
+    )
+    w = classify.classifier_fit(docs.withColumn("y", F.lit(True)), "y",
+                                n_buckets=64).filter(F.col("bucket") >= 0)
+    out = {r.doc_id: r for r in
+           classify.classifier_score(docs, w, n_buckets=64).collect()}
+    assert out[1].n_feats == 2 and out[1].score_fp is not None
+    assert out[1].pred is None and out[2].pred is None
+
+
 def test_classifier_inline_serve_matches_join_path(spark):
     """The map-literal zero-shuffle scorer is row-identical to the
     join-based scorer (incl. empty and unseen-vocab docs); it rejects
