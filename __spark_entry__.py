@@ -1725,6 +1725,20 @@ def q_ivfpq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Textbook IVFADC: PQ codebooks trained on residuals against the
+    assigned coarse centroid (each cell's codes describe its LOCAL
+    geometry — the accuracy upgrade over flat ivfpq_adc_topk), ADC
+    top-10 over the query's 2 nearest cells with one per-cell
+    query-residual distance table (ops/pq.py)."""
+    from logzoom_spark.ops import pq
+
+    return pq.ivfpq_residual_topk(
+        _read(spark, sf, "embeddings"),
+        query_vec_id=0, k_top=10, n_cells=4, nprobe=2,
+    )
+
+
 def q_classify_lang_en(spark: SparkSession, sf: str) -> DataFrame:
     """Hashed-feature linear classifier, fit + serve in one plan
     (fastText-style model filtering): fit is-English evidence weights on
@@ -2068,6 +2082,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # coarse-shortlist + exact-rerank shape with in-prefix
         # rp_rerank_topk; contamination_pairs is the pairs stage embedded
         # verbatim inside in-prefix decontaminate_corpus
+        # ivfpq_residual_topk is the residual-coding accuracy variant of
+        # in-prefix ivfpq_adc_topk (same probe/scan plan, codebooks
+        # trained on residuals) — full-oracle-green in the recorded
+        # full-surface sweep like everything below
+        "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "contamination_pairs": q_contamination_pairs,
         "inverted_postings": q_inverted_postings,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

@@ -297,3 +297,139 @@ def ivfpq_topk(
     return _adc_scan(
         cand.select("vec_id", "codes"), dtable, len(codebooks), query_vec_id, k_top
     )
+
+
+def residualize(
+    emb: DataFrame,
+    assignment: DataFrame,
+    coarse_cents: list[dict],
+    scale: int = 1000,
+) -> DataFrame:
+    """(vec_id, cell, embedding): each vector's integer residual against
+    its assigned coarse centroid — the PQ training/encoding input of
+    textbook IVFADC. The centroid table is bounded, so it is inlined as
+    a map literal and the subtraction is a pure projection; the only
+    exchange is the vec_id equi-join with the assignment (at deploy
+    scale the assignment rides the same build that writes the index)."""
+    cmap = F.create_map(
+        *[
+            x
+            for c in coarse_cents
+            for x in (
+                F.lit(int(c["vec_id"])).cast("int"),
+                F.array(*[F.lit(int(v)) for v in c["v"]]),
+            )
+        ]
+    )
+    base = emb.select("vec_id", quantize(F.col("embedding"), scale).alias("v"))
+    a = assignment.select(
+        "vec_id", F.col("cluster").cast("int").alias("cell")
+    )
+    res = F.zip_with(
+        F.col("v"), F.element_at(cmap, F.col("cell")), lambda x, y: x - y
+    )
+    return base.join(a, "vec_id").select(
+        "vec_id", "cell", res.alias("embedding")
+    )
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k_top: int = 10,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    dims: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Textbook IVFADC (residual coding): PQ codebooks are trained on
+    v − coarse_centroid[cell], so each cell's codes describe its LOCAL
+    geometry — the accuracy upgrade over ``ivfpq_topk``'s flat coding.
+    Output contract matches it: (vec_id, adc_dist2) ascending, ties to
+    lowest vec_id, query excluded, partial-code rows dropped.
+
+    Plan deltas vs the flat variant: residuals are a map-literal
+    subtraction (pure projection; residuals pass through the same
+    fit/encode at scale=1, integer-exact); the distance table is built
+    PER PROBED CELL from the query's per-cell residual (nprobe·m·k tiny
+    rows, still broadcast); candidates join it on (their own cell, sub,
+    code). Self-contained build — the amortized deployment persists
+    (codes ⋈ cell), the residual codebooks and the coarse centroids
+    exactly like ``ivfpq_index``."""
+    spark = emb.sparkSession
+    assignment, cents = kmeans_fit(
+        emb, k=n_cells, iters=iters, dims=dims, scale=scale
+    )
+    res = residualize(emb, assignment, cents, scale)
+    books = pq_fit(res, m=m, k=k, iters=iters, dims=dims, scale=1)
+    codes = pq_encode(res, books, scale=1).join(
+        res.select("vec_id", "cell"), "vec_id"
+    )
+    sub = dims // m
+    cent_df = spark.createDataFrame(
+        [(int(c["vec_id"]), [int(x) for x in c["v"]]) for c in cents],
+        "cell int, cv array<bigint>",
+    )
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).select(
+        quantize(F.col("embedding"), scale).alias("qv")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("cv"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    probe = (
+        cent_df.crossJoin(F.broadcast(qrow))
+        .select("cell", "cv", l2.alias("d"))
+        .orderBy(F.asc("d"), F.asc("cell"))
+        .limit(nprobe)
+    )
+    cb = spark.createDataFrame(
+        [
+            (j, int(e["code"]), [int(x) for x in e["v"]])
+            for j, book in enumerate(books)
+            for e in book
+        ],
+        "sub int, code int, bcv array<bigint>",
+    )
+    qres = probe.crossJoin(F.broadcast(qrow)).select(
+        "cell",
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a - b).alias("qr"),
+    )
+    dt = qres.crossJoin(F.broadcast(cb)).select(
+        "cell",
+        "sub",
+        "code",
+        F.aggregate(
+            F.zip_with(
+                F.expr(f"slice(qr, sub * {sub} + 1, {sub})"),
+                F.col("bcv"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    cand = codes.join(
+        F.broadcast(probe.select("cell")), "cell", "left_semi"
+    ).filter(F.col("vec_id") != query_vec_id)
+    probe_rows = cand.select(
+        "vec_id", "cell", F.posexplode("codes").alias("sub", "code")
+    )
+    scored = (
+        probe_rows.join(F.broadcast(dt), ["cell", "sub", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum("d").alias("adc_dist2"),
+            F.count(F.lit(1)).alias("n_subs"),
+        )
+    )
+    return (
+        scored.filter(F.col("n_subs") == m)
+        .select("vec_id", "adc_dist2")
+        .orderBy(F.asc("adc_dist2"), F.asc("vec_id"))
+        .limit(k_top)
+    )

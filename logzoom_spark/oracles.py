@@ -2267,48 +2267,56 @@ SELECT vec_id, cast(cell AS INT) AS cluster, d AS dist2 FROM (
 # reassign; codes = final per-subspace argmin (ties to lowest code id).
 # sv slices AFTER quantization (quantize is element-wise, so it commutes
 # with slicing — matches pq_fit slicing before quantize).
-_PQ_CTES = f"""
-q AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
-sv AS (
+def _pq_ctes(src: str, p: str = "") -> str:
+    """The per-subspace PQ unroll (m=4 × k=16, iters=2) over any
+    (vec_id, v) source CTE ``src``; CTE names prefixed with ``p`` so the
+    flat (p="") and residual (p="r") instantiations can share one WITH
+    block. Yields {p}sv/{p}c0/{p}d1/{p}a1/{p}s1e/{p}s1/{p}c1/{p}d2 and
+    the final {p}pq_codes."""
+    return f"""{p}sv AS (
   SELECT vec_id, j, list_transform(range(1, 17), i -> v[i + j * 16]) AS sv
-  FROM q CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+  FROM {src} CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
 ),
-c0 AS (SELECT j, vec_id AS cell, sv AS cv FROM sv WHERE vec_id < 16),
-d1 AS (
+{p}c0 AS (SELECT j, vec_id AS cell, sv AS cv FROM {p}sv WHERE vec_id < 16),
+{p}d1 AS (
   SELECT s.vec_id, s.j, c.cell,
     cast(list_sum(list_transform(range(1, 17),
          i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS BIGINT) AS d
-  FROM sv s JOIN c0 c ON s.j = c.j
+  FROM {p}sv s JOIN {p}c0 c ON s.j = c.j
 ),
-a1 AS (
+{p}a1 AS (
   SELECT vec_id, j, cell FROM (
     SELECT vec_id, j, cell,
            row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cell) AS rn
-    FROM d1) WHERE rn = 1
+    FROM {p}d1) WHERE rn = 1
 ),
-s1e AS (
-  SELECT a1.j, a1.cell, s.sv AS sv, unnest(range(1, 17)) AS i
-  FROM a1 JOIN sv s ON a1.vec_id = s.vec_id AND a1.j = s.j
+{p}s1e AS (
+  SELECT a.j, a.cell, s.sv AS sv, unnest(range(1, 17)) AS i
+  FROM {p}a1 a JOIN {p}sv s ON a.vec_id = s.vec_id AND a.j = s.j
 ),
-s1 AS (SELECT j, cell, i, sum(sv[i]) AS sm, count(*) AS n
-       FROM s1e GROUP BY j, cell, i),
-c1 AS (
+{p}s1 AS (SELECT j, cell, i, sum(sv[i]) AS sm, count(*) AS n
+       FROM {p}s1e GROUP BY j, cell, i),
+{p}c1 AS (
   SELECT j, cell,
          list(cast(floor(cast(sm AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cv
-  FROM s1 GROUP BY j, cell
+  FROM {p}s1 GROUP BY j, cell
 ),
-d2 AS (
+{p}d2 AS (
   SELECT s.vec_id, s.j, c.cell,
     cast(list_sum(list_transform(range(1, 17),
          i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS BIGINT) AS d
-  FROM sv s JOIN c1 c ON s.j = c.j
+  FROM {p}sv s JOIN {p}c1 c ON s.j = c.j
 ),
-pq_codes AS (
+{p}pq_codes AS (
   SELECT vec_id, j, cell AS code FROM (
     SELECT vec_id, j, cell,
            row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cell) AS rn
-    FROM d2) WHERE rn = 1
+    FROM {p}d2) WHERE rn = 1
 )"""
+
+
+_PQ_CTES = f"""q AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+{_pq_ctes("q")}"""
 
 ORACLES["pq_encode_codes"] = f"""
 WITH {_PQ_CTES}
@@ -2359,6 +2367,49 @@ WHERE c.vec_id <> 0
 GROUP BY c.vec_id
 HAVING count(*) = 4
 ORDER BY adc_dist2, c.vec_id
+LIMIT 10
+"""
+
+# Residual IVF-PQ / textbook IVFADC (ops/pq.ivfpq_residual_topk):
+# codebooks trained on residuals v − coarse_centroid[cell] (the r-prefixed
+# PQ unroll over rq), one per-probed-cell query-residual distance table,
+# candidates join on (their own cell, j, code).
+ORACLES["ivfpq_residual_topk"] = f"""
+WITH {_KM_CTES},
+coarse AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM kmd2) WHERE rn = 1
+),
+rq AS (
+  SELECT kmq.vec_id,
+         list_transform(range(1, 65), i -> kmq.v[i] - c.cv[i]) AS v
+  FROM kmq JOIN coarse a USING (vec_id) JOIN kmc1 c ON a.cell = c.cell
+),
+{_pq_ctes("rq", "r")},
+qcell AS (SELECT cell FROM kmd2 WHERE vec_id = 0 ORDER BY d, cell LIMIT 2),
+qres AS (
+  SELECT qc.cell,
+         list_transform(range(1, 65), i -> q0.v[i] - c.cv[i]) AS qv
+  FROM qcell qc JOIN kmc1 c USING (cell),
+       (SELECT v FROM kmq WHERE vec_id = 0) q0
+),
+dt AS (
+  SELECT qr.cell, b.j, b.cell AS code,
+    cast(list_sum(list_transform(range(1, 17),
+         i -> (qr.qv[i + b.j * 16] - b.cv[i])
+              * (qr.qv[i + b.j * 16] - b.cv[i]))) AS BIGINT) AS d
+  FROM qres qr CROSS JOIN rc1 b
+)
+SELECT pc.vec_id, cast(sum(dt.d) AS BIGINT) AS adc_dist2
+FROM rpq_codes pc
+JOIN coarse a ON pc.vec_id = a.vec_id
+JOIN dt ON a.cell = dt.cell AND pc.j = dt.j AND pc.code = dt.code
+WHERE pc.vec_id <> 0
+GROUP BY 1
+HAVING count(*) = 4
+ORDER BY adc_dist2, pc.vec_id
 LIMIT 10
 """
 

@@ -1652,6 +1652,39 @@ def test_classifier_confusion_counts(spark):
     assert cells[(True, False)] == 1   # doc 4 mislabeled by vocab
 
 
+def test_ivfpq_residual_prunes_and_is_deterministic(spark):
+    """Residual IVFADC on the two-group fixture: nprobe=1 returns only
+    own-cell neighbors (same pruning contract as the flat variant),
+    repeated runs are byte-identical, and residual codes differ from
+    flat codes (the codebooks really are trained on residuals)."""
+    from logzoom_spark.ops import pq
+
+    rows = [(i, [float(i % 4), float((i * 3) % 4)]) for i in range(8)]
+    rows += [(i, [100.0 + i % 4, 100.0 + (i * 3) % 4]) for i in range(8, 16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out1 = pq.ivfpq_residual_topk(
+        df, query_vec_id=0, k_top=10, n_cells=2, nprobe=1, m=2, k=2, dims=2
+    ).collect()
+    ids = {r.vec_id for r in out1}
+    assert ids and ids <= set(range(1, 8))  # far group pruned
+    out2 = pq.ivfpq_residual_topk(
+        df, query_vec_id=0, k_top=10, n_cells=2, nprobe=1, m=2, k=2, dims=2
+    ).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+
+    # residual codebooks describe local geometry: with both groups in one
+    # codebook space, flat codes for the far group differ from residual
+    # codes (which see only the subtracted-out offset)
+    assignment, cents = pq.kmeans_fit(df, k=2, iters=2, dims=2)
+    res = pq.residualize(df, assignment, cents)
+    rbooks = pq.pq_fit(res, m=2, k=2, iters=2, dims=2, scale=1)
+    fbooks = pq.pq_fit(df, m=2, k=2, iters=2, dims=2)
+    rvals = {tuple(e["v"]) for b in rbooks for e in b}
+    fvals = {tuple(e["v"]) for b in fbooks for e in b}
+    assert rvals != fvals
+
+
 def test_pq_encode_streaming_matches_batch(spark, tmp_path):
     """pq_encode inlines its codebooks as literals (stateless
     projection), so it runs unchanged on a stream — the ingest-time
