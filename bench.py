@@ -332,6 +332,8 @@ def main() -> None:
     pq_codes = pqm.pq_encode(emb, pq_books).localCheckpoint()
     pq_idx, pq_cents = pqm.ivfpq_index(emb, pq_books)
     pq_idx = pq_idx.localCheckpoint()
+    r_idx, r_books, r_cents = pqm.ivfpq_residual_index(emb)
+    r_idx = r_idx.localCheckpoint()
     timings["pq_build_fit_encode_index"] = round(time.time() - t0, 3)
     bench(
         "pq_adc_topk",
@@ -341,6 +343,12 @@ def main() -> None:
         "ivfpq_adc_topk",
         lambda: pqm.ivfpq_topk(
             emb, pq_books, index=pq_idx, coarse_cents=pq_cents
+        ).collect(),
+    )
+    bench(
+        "ivfpq_residual_topk",
+        lambda: pqm.ivfpq_residual_topk(
+            emb, index=r_idx, books=r_books, coarse_cents=r_cents
         ).collect(),
     )
     bench("classify_lang_en", lambda: _noop(se.q_classify_lang_en(spark, sf_dir)))

@@ -333,6 +333,30 @@ def residualize(
     )
 
 
+def ivfpq_residual_index(
+    emb: DataFrame,
+    n_cells: int = 4,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    dims: int = 64,
+    scale: int = 1000,
+) -> tuple[DataFrame, Codebooks, list[dict]]:
+    """Residual-IVFPQ BUILD: (index, residual_codebooks, coarse_cents)
+    where index is (vec_id, cell, codes) with codes over residuals —
+    persist all three and pass them to ``ivfpq_residual_topk`` to
+    amortize the build across queries (they MUST come from one build)."""
+    assignment, cents = kmeans_fit(
+        emb, k=n_cells, iters=iters, dims=dims, scale=scale
+    )
+    res = residualize(emb, assignment, cents, scale)
+    books = pq_fit(res, m=m, k=k, iters=iters, dims=dims, scale=1)
+    index = pq_encode(res, books, scale=1).join(
+        res.select("vec_id", "cell"), "vec_id"
+    )
+    return index, books, cents
+
+
 def ivfpq_residual_topk(
     emb: DataFrame,
     query_vec_id: int = 0,
@@ -344,6 +368,9 @@ def ivfpq_residual_topk(
     iters: int = 2,
     dims: int = 64,
     scale: int = 1000,
+    index: DataFrame | None = None,
+    books: Codebooks | None = None,
+    coarse_cents: list[dict] | None = None,
 ) -> DataFrame:
     """Textbook IVFADC (residual coding): PQ codebooks are trained on
     v − coarse_centroid[cell], so each cell's codes describe its LOCAL
@@ -356,18 +383,21 @@ def ivfpq_residual_topk(
     fit/encode at scale=1, integer-exact); the distance table is built
     PER PROBED CELL from the query's per-cell residual (nprobe·m·k tiny
     rows, still broadcast); candidates join it on (their own cell, sub,
-    code). Self-contained build — the amortized deployment persists
-    (codes ⋈ cell), the residual codebooks and the coarse centroids
-    exactly like ``ivfpq_index``."""
+    code). Pass a persisted (index, books, coarse_cents) triple from
+    ``ivfpq_residual_index`` to amortize the build across queries (the
+    production shape); without it the index is built inline."""
     spark = emb.sparkSession
-    assignment, cents = kmeans_fit(
-        emb, k=n_cells, iters=iters, dims=dims, scale=scale
-    )
-    res = residualize(emb, assignment, cents, scale)
-    books = pq_fit(res, m=m, k=k, iters=iters, dims=dims, scale=1)
-    codes = pq_encode(res, books, scale=1).join(
-        res.select("vec_id", "cell"), "vec_id"
-    )
+    given = (index is not None, books is not None, coarse_cents is not None)
+    if any(given) and not all(given):
+        raise ValueError(
+            "pass index, books and coarse_cents together (one "
+            "ivfpq_residual_index build) or none of them"
+        )
+    if index is None:
+        index, books, coarse_cents = ivfpq_residual_index(
+            emb, n_cells=n_cells, m=m, k=k, iters=iters, dims=dims, scale=scale
+        )
+    codes, cents = index, coarse_cents
     sub = dims // m
     cent_df = spark.createDataFrame(
         [(int(c["vec_id"]), [int(x) for x in c["v"]]) for c in cents],

@@ -1673,6 +1673,15 @@ def test_ivfpq_residual_prunes_and_is_deterministic(spark):
     ).collect()
     assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
 
+    idx, books, cents = pq.ivfpq_residual_index(df, n_cells=2, m=2, k=2, dims=2)
+    out3 = pq.ivfpq_residual_topk(
+        df, query_vec_id=0, k_top=10, n_cells=2, nprobe=1, m=2, k=2, dims=2,
+        index=idx, books=books, coarse_cents=cents,
+    ).collect()
+    assert [tuple(r) for r in out3] == [tuple(r) for r in out1]
+    with pytest.raises(ValueError, match="together"):
+        pq.ivfpq_residual_topk(df, index=idx, books=books)
+
     # residual codebooks describe local geometry: with both groups in one
     # codebook space, flat codes for the far group differ from residual
     # codes (which see only the subtracted-out offset)
