@@ -302,7 +302,14 @@ def ngram_hashes(
     portable 60-bit hash the DuckDB oracle replicates) — same convention
     as ops/dedup.py."""
     h = _hash_fn(hasher)
-    toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    # token array materialized before the sliding-window transform —
+    # slice() over the raw split() inside the lambda would re-split the
+    # doc at every position (the O(n²) HOF re-evaluation trap)
+    base = docs.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(col))), r"\s+").alias("_toks"),
+    )
+    toks = F.col("_toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.when(
         F.size(toks) >= n,
@@ -311,7 +318,7 @@ def ngram_hashes(
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     return (
-        docs.select(F.col(id_col), F.explode(grams).alias("_g"))
+        base.select(F.col(id_col), F.explode(grams).alias("_g"))
         # NULL/blank text collapses to a single '' gram — hashing it would
         # make every empty doc "share a gram" with every other empty doc
         # (contamination_pairs would then cross-join the blanks)

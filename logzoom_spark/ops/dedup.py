@@ -97,16 +97,23 @@ def paragraph_dedup(docs: DataFrame, col: str = "text") -> DataFrame:
     kept_sets = kept.groupBy("doc_id").agg(
         F.array_sort(F.collect_list("para_idx")).alias("keep_idx")
     )
-    out = docs.join(kept_sets, "doc_id", "left")
+    # materialize the paragraph array before the transform: element_at
+    # over the raw split() expression inside the lambda would re-split
+    # the whole doc once PER KEPT PARAGRAPH (the O(n²) HOF re-evaluation
+    # trap); over a bound column it is an O(1) array read
+    out = docs.select("doc_id", ps.alias("_ps")).join(
+        kept_sets, "doc_id", "left"
+    )
+    pcol = F.col("_ps")
     keep_idx = F.coalesce(F.col("keep_idx"), F.expr("array()"))
     reassembled = F.concat_ws(
-        "\n\n", F.transform(keep_idx, lambda i: F.element_at(ps, i + 1))
+        "\n\n", F.transform(keep_idx, lambda i: F.element_at(pcol, i + 1))
     )
     return out.select(
         "doc_id",
         F.md5(reassembled).alias("text_md5"),
         F.size(keep_idx).cast("bigint").alias("n_kept"),
-        (F.size(ps) - F.size(keep_idx)).cast("bigint").alias("n_removed"),
+        (F.size(pcol) - F.size(keep_idx)).cast("bigint").alias("n_removed"),
     )
 
 
@@ -138,14 +145,25 @@ def dup_span_grams(
     linear in total token count.
     """
     h = _hash_fn(hasher)
-    toks = F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+    # token array materialized as a column BEFORE the per-position
+    # transform: slice() over the raw split() expression inside the
+    # lambda re-splits the whole doc at every gram position (O(n²·len)
+    # per doc — the HOF re-evaluation trap); over a bound column each
+    # slice is an O(k) array read and the pass is linear
+    base = docs.select(
+        "doc_id",
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+"
+        ).alias("_toks"),
+    )
+    toks = F.col("_toks")
     n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     # guard: F.sequence(1, 0) would yield a DESCENDING [1, 0], not empty
     idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
         F.expr("array()").cast("array<int>")
     )
     grams = F.transform(idx, lambda i: h(F.concat_ws(" ", F.slice(toks, i, k))))
-    per_pos = docs.select(
+    per_pos = base.select(
         "doc_id", F.explode_outer(grams).alias("gh")
     )  # explode_outer: short docs keep their row with gh = NULL
     # corpus-wide occurrence count as a window over gh, NOT a separate
@@ -164,7 +182,7 @@ def dup_span_grams(
     dup = flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("dup_positions")
     )
-    totals = docs.select("doc_id", n_grams.cast("bigint").alias("n_grams"))
+    totals = base.select("doc_id", n_grams.cast("bigint").alias("n_grams"))
     return totals.join(dup, "doc_id", "left").select(
         "doc_id",
         "n_grams",
@@ -180,9 +198,15 @@ def shingles(
     docs: DataFrame, n: int = 3, col: str = "text", keep: tuple[str, ...] = ()
 ) -> DataFrame:
     """word n-gram shingle set per doc (foundation for MinHash/Jaccard).
-    Built-in only: split → sliding slices via transform over indices.
+    Built-in only: split → sliding slices via transform over indices,
+    with the token array materialized first (slice over the raw split()
+    inside the lambda would re-split per position — the O(n²) HOF trap).
     ``keep``: extra columns carried through the projection unchanged."""
-    toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    base = docs.select(
+        "doc_id", *keep,
+        F.split(F.lower(F.trim(F.col(col))), r"\s+").alias("_toks"),
+    )
+    toks = F.col("_toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.when(
         F.size(toks) >= n,
@@ -190,7 +214,7 @@ def shingles(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return docs.select("doc_id", *keep, sh.alias("shingles"))
+    return base.select("doc_id", *keep, sh.alias("shingles"))
 
 
 def minhash_signatures(
