@@ -766,6 +766,48 @@ def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
     return cms_point_estimates(sketch, qkeys, "user_id", depth=3, width=256)
 
 
+def q_bloom_filter_words(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom filter BUILD (round 4): the m=4096-bit / 4-hash membership
+    bitset over the English docs' text fingerprints, returned
+    relationally as (word_idx, word) 31-bit words. The filter is a pure
+    function of the key SET (distinct-collapsed bit coordinates), so
+    both engines build it bit-identically; ≤ m/31 = 133 rows no matter
+    how many documents it summarizes — broadcastable at any corpus
+    size. OR-mergeable across segments/epochs (pytest-proven == direct
+    build, like KMV/CMS/histogram/HLL)."""
+    from logzoom_spark.ops.sketch import bloom_build
+
+    d = _read(spark, sf, "documents").filter(F.col("lang") == "en")
+    keys = d.select(F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"))
+    return bloom_build(keys, "fp", m_bits=4096, n_hashes=4)
+
+
+def q_bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom filter PROBE (round 4): every document's fingerprint tested
+    against the English-corpus filter — (doc_id, maybe_present). No
+    false negatives (every en doc is true); non-en docs are false except
+    for hash-collision false positives, which the oracle reproduces
+    bit-for-bit via the portable hash. This is the broadcastable
+    membership gate for `dedup_incremental` at 10^12 turns: the
+    standing corpus becomes ≤ m/31 broadcast rows instead of an
+    anti-join shuffle, with the exact anti-join kept as the
+    confirmation pass on the sketch's (rare) positives."""
+    from logzoom_spark.ops.sketch import bloom_build, bloom_probe
+
+    d = _read(spark, sf, "documents")
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    filt = bloom_build(
+        d.filter(F.col("lang") == "en").select(fp.alias("fp")),
+        "fp", m_bits=4096, n_hashes=4,
+    )
+    probes = bloom_probe(
+        filt, d.select(fp.alias("fp")), "fp", m_bits=4096, n_hashes=4
+    )
+    return d.select("doc_id", fp.alias("fp")).join(probes, "fp").select(
+        "doc_id", "maybe_present"
+    )
+
+
 def q_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Histogram-sketch quantiles: p50/p95 upper bounds of events.value
     per event_type from a width-10 fixed-bin sketch — the bounded-state
@@ -2003,6 +2045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 (latest): product quantization (PQ codes + ADC scan),
         # substring-span dedup, batched BM25, weighted sampling, split
         # assignment, vocabulary stats
+        "bloom_filter_words": q_bloom_filter_words,
+        "bloom_membership": q_bloom_membership,
         "pq_encode_codes": q_pq_encode_codes,
         "pq_adc_topk": q_pq_adc_topk,
         "ivfpq_adc_topk": q_ivfpq_adc_topk,

@@ -481,3 +481,130 @@ def hll_distinct(
     """Sketch + estimate in one call: (group_col, hll_est)."""
     est = hll_estimate(hll_sketch(df, group_col, value_col, p), p)
     return est.withColumnRenamed("grp", group_col)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable set-membership sketch (public algorithm:
+# Bloom 1970), the broadcastable complement to the anti-join in
+# `ops.dedup.dedup_incremental`
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: Column | str,
+    m_bits: int = 4096,
+    n_hashes: int = 4,
+    seg_col: str | None = None,
+) -> DataFrame:
+    """Bloom filter over ``key_col``: an ``m_bits``-wide bitset with
+    ``n_hashes`` seeded portable hashes per key, returned RELATIONALLY as
+    (seg?, word_idx, word) — one row per nonzero 31-bit word
+    (word_idx = bit div 31, word = OR of 1<<(bit%31)). 31-bit words keep
+    every mask a small positive BIGINT, so Spark and DuckDB agree without
+    touching sign-bit shift semantics.
+
+    Scale shape: the bit positions are computed per input row JVM-side
+    and DISTINCT-collapsed before any exchange — the shuffle carries at
+    most min(rows·n_hashes, m_bits) distinct (word_idx, bit) coordinates
+    regardless of input size, and the finished filter is ≤ m_bits/31
+    rows: broadcastable no matter how large the corpus it summarizes.
+    At 10^12 turns the incremental-dedup membership gate becomes a
+    broadcast of m_bits/31 rows instead of a shuffle of the standing
+    fingerprint table (`dedup_incremental`'s anti-join stays as the
+    exact confirmation pass on the sketch's survivors — Bloom has false
+    positives, never false negatives).
+
+    Bitsets are OR-mergeable (`bloom_merge`): per-segment/epoch filters
+    combine by word-wise bit_or, proven equal to a direct build by
+    pytest — the same partial-agg contract as KMV/CMS/histogram/HLL.
+    NULL keys are excluded (membership-of-value semantics)."""
+    if m_bits < 31 or n_hashes < 1:
+        raise ValueError(f"need m_bits >= 31 and n_hashes >= 1, got {m_bits}/{n_hashes}")
+    v = F.col(key_col) if isinstance(key_col, str) else key_col
+    bits = F.array(
+        *[
+            F.pmod(portable_hash(v.cast("string"), seed=i), F.lit(m_bits))
+            for i in range(n_hashes)
+        ]
+    )
+    segs = [F.col(seg_col).alias("seg")] if seg_col else []
+    seg_keys = ["seg"] if seg_col else []
+    coords = (
+        df.filter(v.isNotNull())
+        .select(*segs, F.explode(bits).alias("bit"))
+        .select(
+            *seg_keys,
+            F.expr("bit div 31L").alias("word_idx"),
+            F.expr("bit % 31L").alias("_b"),
+        )
+        .distinct()
+    )
+    return coords.groupBy(*seg_keys, "word_idx").agg(
+        F.sum(F.expr("shiftleft(1L, cast(_b AS INT))")).alias("word")
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Merge filters built with identical (m_bits, n_hashes): word-wise
+    bitwise OR — bit-identical to one filter built over the union of the
+    inputs' keys. Implemented as sum over distinct (word_idx, bit)
+    coordinates so the `bit_or` aggregate (absent from older engines)
+    isn't needed: re-exploding each word to its set bits keeps every
+    coordinate counted once."""
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f.select("word_idx", "word"))
+    bits = F.expr("filter(sequence(0, 30), b -> (word & shiftleft(1L, b)) != 0L)")
+    return (
+        out.select("word_idx", F.explode(bits).alias("_b"))
+        .distinct()
+        .groupBy("word_idx")
+        .agg(F.sum(F.expr("shiftleft(1L, cast(_b AS INT))")).alias("word"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys_df: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Membership verdict for every row of ``keys_df`` against a filter
+    from `bloom_build` (same m_bits/n_hashes): (key_col,
+    maybe_present) — true iff ALL n_hashes bits are set. No false
+    negatives (every inserted key probes true); false positives at the
+    classic (1-e^{-kn/m})^k rate, bounded by pytest.
+
+    The filter side is ≤ m_bits/31 rows and broadcast; the probe is a
+    broadcast left join + row-local bit test — the key set itself never
+    shuffles. One verdict row per DISTINCT key; NULL keys verdict NULL
+    (counted, not dropped)."""
+    v = F.col(key_col)
+    bits = F.array(
+        *[
+            F.pmod(portable_hash(v.cast("string"), seed=i), F.lit(m_bits))
+            for i in range(n_hashes)
+        ]
+    )
+    coords = keys_df.filter(v.isNotNull()).select(
+        v.alias("qkey"), F.explode(bits).alias("bit")
+    ).select(
+        "qkey",
+        F.expr("bit div 31L").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(bit % 31L AS INT))").alias("mask"),
+    )
+    joined = coords.join(F.broadcast(bloom), ["word_idx"], "left")
+    hit = (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")) == F.col("mask"))
+    present = (
+        joined.groupBy("qkey")
+        .agg(F.min(hit.cast("int")).alias("_all"))
+        .select(F.col("qkey").alias(key_col), (F.col("_all") == 1).alias("maybe_present"))
+    )
+    null_keys = (
+        keys_df.filter(v.isNull())
+        .select(v.alias(key_col), F.lit(None).cast("boolean").alias("maybe_present"))
+        .distinct()
+    )
+    return present.unionByName(null_keys)

@@ -2664,3 +2664,55 @@ FROM agg
 
 
 ORACLES["hll_distinct_users"] = _hll_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (ops.sketch.bloom_build / bloom_probe): m-bit / j-hash
+# membership bitset as 31-bit words — a pure integer function of the
+# portable hash, so Spark and DuckDB build and probe it bit-identically
+# ---------------------------------------------------------------------------
+
+
+def _bloom_oracle_ctes(m_bits: int = 4096, n_hashes: int = 4) -> str:
+    fp = "md5(coalesce(text, ''))"
+    seeds = ", ".join(
+        f"({portable_hash_sql(fp, i)} % {m_bits})" for i in range(n_hashes)
+    )
+    return f"""k AS (
+  SELECT doc_id, unnest([{seeds}]) AS bit
+  FROM documents WHERE lang = 'en'
+),
+coords AS (SELECT DISTINCT bit // 31 AS word_idx, bit % 31 AS b FROM k),
+words AS (
+  SELECT word_idx, cast(sum(1::BIGINT << cast(b AS INT)) AS BIGINT) AS word
+  FROM coords GROUP BY word_idx
+)"""
+
+
+ORACLES["bloom_filter_words"] = f"""
+WITH {_bloom_oracle_ctes()}
+SELECT cast(word_idx AS BIGINT) AS word_idx, word FROM words
+"""
+
+_FP_SQL = "md5(coalesce(text, ''))"
+_probe_seeds = ", ".join(
+    "(" + portable_hash_sql(_FP_SQL, i) + " % 4096)" for i in range(4)
+)
+
+ORACLES["bloom_membership"] = f"""
+WITH {_bloom_oracle_ctes()},
+q AS (
+  SELECT doc_id,
+         unnest([{_probe_seeds}]) AS bit
+  FROM documents
+),
+probe AS (
+  SELECT q.doc_id,
+         min(CASE WHEN (coalesce(w.word, 0) & (1::BIGINT << cast(q.bit % 31 AS INT)))
+                       = (1::BIGINT << cast(q.bit % 31 AS INT))
+             THEN 1 ELSE 0 END) AS all_set
+  FROM q LEFT JOIN words w ON q.bit // 31 = w.word_idx
+  GROUP BY q.doc_id
+)
+SELECT doc_id, all_set = 1 AS maybe_present FROM probe
+"""

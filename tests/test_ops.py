@@ -2386,3 +2386,45 @@ def test_decontaminate_verdicts(spark):
     for d in (2, 3, 4):
         assert out[d].keep is True
         assert out[d].n_bench_hits == 0 and out[d].max_shared_grams == 0
+
+
+def test_bloom_no_false_negatives_fp_bound_and_merge(spark):
+    """Bloom filter: (a) every inserted key probes true (no false
+    negatives — the structural guarantee); (b) the false-positive rate
+    over disjoint probe keys stays within 3x the analytic
+    (1-e^{-kn/m})^k bound; (c) per-segment filters OR-merged are
+    bit-identical to one filter built over all keys; (d) NULL keys are
+    excluded from the build and verdict NULL on probe."""
+    import math
+
+    from logzoom_spark.ops.sketch import bloom_build, bloom_merge, bloom_probe
+
+    m, j = 2048, 4
+    inserted = [(f"seg{i % 2}", f"key-{i}") for i in range(200)]
+    df = spark.createDataFrame(inserted + [("seg0", None)], "seg string, k string")
+
+    filt = bloom_build(df, "k", m_bits=m, n_hashes=j)
+    probe_in = bloom_probe(
+        filt, df.filter(F.col("k").isNotNull()).select("k"), "k", m_bits=m, n_hashes=j
+    ).collect()
+    assert len(probe_in) == 200
+    assert all(r.maybe_present for r in probe_in)
+
+    absent = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(1000)] + [(None,)], "k string"
+    )
+    out = bloom_probe(filt, absent, "k", m_bits=m, n_hashes=j).collect()
+    null_rows = [r for r in out if r.k is None]
+    assert len(null_rows) == 1 and null_rows[0].maybe_present is None
+    fp = sum(1 for r in out if r.k is not None and r.maybe_present) / 1000
+    analytic = (1 - math.exp(-j * 200 / m)) ** j
+    assert fp <= max(3 * analytic, 0.02), (fp, analytic)
+
+    per_seg = bloom_build(df, "k", m_bits=m, n_hashes=j, seg_col="seg")
+    merged = bloom_merge(
+        per_seg.filter(F.col("seg") == "seg0").select("word_idx", "word"),
+        per_seg.filter(F.col("seg") == "seg1").select("word_idx", "word"),
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, filt.collect())
+    )
