@@ -766,6 +766,18 @@ def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
     return cms_point_estimates(sketch, qkeys, "user_id", depth=3, width=256)
 
 
+def q_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (round 4): gear-hash CDC over the
+    documents table — chunk boundaries fall where the 4-token gram hash
+    is ≡ 0 mod 32, so an edit near a document's head shifts only the
+    chunk it lands in and every later chunk re-aligns byte-identically
+    (pytest-proven). The dedup-robust complement to fixed-stride
+    `chunk_documents`; zero shuffle (row-local array HOFs)."""
+    from logzoom_spark.ops.corpus import cdc_chunks
+
+    return cdc_chunks(_read(spark, sf, "documents"), window=4, mean_tokens=32)
+
+
 def q_bloom_filter_words(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom filter BUILD (round 4): the m=4096-bit / 4-hash membership
     bitset over the English docs' text fingerprints, returned
@@ -2045,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 (latest): product quantization (PQ codes + ADC scan),
         # substring-span dedup, batched BM25, weighted sampling, split
         # assignment, vocabulary stats
+        "cdc_chunks": q_cdc_chunks,
         "bloom_filter_words": q_bloom_filter_words,
         "bloom_membership": q_bloom_membership,
         "pq_encode_codes": q_pq_encode_codes,

@@ -354,6 +354,7 @@ def main() -> None:
     bench("classify_lang_en", lambda: _noop(se.q_classify_lang_en(spark, sf_dir)))
     bench("bigram_surprisal", lambda: _noop(se.q_bigram_surprisal(spark, sf_dir)))
     bench("bloom_membership", lambda: _noop(se.q_bloom_membership(spark, sf_dir)))
+    bench("cdc_chunks", lambda: _noop(se.q_cdc_chunks(spark, sf_dir)))
 
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
     # real sink files — measures sink I/O, which on this shared host is

@@ -68,6 +68,70 @@ def chunk_documents(
     )
 
 
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 4,
+    mean_tokens: int = 32,
+    col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (gear/Rabin-style CDC, public algorithm):
+    a chunk boundary falls AFTER token i whenever the hash of the
+    ``window``-token gram ending at i is ≡ 0 mod ``mean_tokens`` —
+    boundaries are a function of local CONTENT, not position, so an
+    insertion near the head of a document shifts only the chunk it lands
+    in: every later chunk re-aligns byte-identically (the property that
+    makes CDC chunks dedup-able across edited near-copies, where
+    fixed-stride `chunk_documents` re-frames the whole tail). Expected
+    chunk length ≈ ``mean_tokens`` tokens.
+
+    Entirely row-local array HOFs — zero shuffle, like
+    `chunk_documents`: tokens → boundary-position array (filter over
+    sequence) → slice per consecutive-bound pair under posexplode.
+    The token array is materialized ONCE as a bound column (the O(n²)
+    HOF re-evaluation trap: slicing the raw split() inside a lambda
+    re-splits per chunk). Output (doc_id, chunk_idx, chunk_md5,
+    n_chunk_tokens); NULL/empty text yields one empty chunk (counted,
+    not dropped). Deterministic via the portable hash, so the boundary
+    set is bit-identical in DuckDB."""
+    if window < 1 or mean_tokens < 1:
+        raise ValueError(f"need window >= 1 and mean_tokens >= 1, got {window}/{mean_tokens}")
+    toks = F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+")
+    base = docs.select("doc_id", toks.alias("_toks"))
+    tcol = F.col("_toks")
+    n = F.size(tcol)
+    gram = lambda i: F.concat_ws(" ", F.slice(tcol, i - window + 1, window))  # noqa: E731
+    # boundary after position i for i in [window, n-1]: the last position
+    # is excluded so the final chunk is never empty. The candidate range
+    # is sequence(1, n) with the window/last bounds in the predicate —
+    # sequence(lo, hi) with hi < lo silently generates DESCENDING values,
+    # so sequence(window, n-1) on a short doc would emit out-of-order
+    # phantom edges
+    bounds = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i >= window)
+        & (i < n)
+        & (F.pmod(portable_hash(gram(i)), F.lit(mean_tokens)) == 0),
+    )
+    edges = F.concat(F.array(F.lit(0)), bounds, F.array(n))
+    with_edges = base.select("doc_id", "_toks", edges.alias("_edges"))
+    ecol = F.col("_edges")
+    pieces = F.transform(
+        F.sequence(F.lit(0), F.size(ecol) - 2),
+        lambda k: F.slice(
+            F.col("_toks"),
+            F.element_at(ecol, k + 1) + 1,
+            F.element_at(ecol, k + 2) - F.element_at(ecol, k + 1),
+        ),
+    )
+    out = with_edges.select("doc_id", F.posexplode(pieces).alias("chunk_idx", "_piece"))
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.md5(F.concat_ws(" ", F.col("_piece"))).alias("chunk_md5"),
+        F.size("_piece").cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     strata_col: str,

@@ -2716,3 +2716,39 @@ probe AS (
 )
 SELECT doc_id, all_set = 1 AS maybe_present FROM probe
 """
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (ops.corpus.cdc_chunks): gear/Rabin-style CDC —
+# boundary after token i iff hash(window-gram ending at i) % mean == 0.
+# Boundaries are a pure function of the portable hash, so the edge sets
+# (and therefore every chunk md5) are bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_CDC_GRAM = "array_to_string(toks[i - 3 : i], ' ')"
+_CDC_COND = (
+    "i >= 4 AND i < len(toks) AND ("
+    + portable_hash_sql(_CDC_GRAM)
+    + " % 32) = 0"
+)
+
+ORACLES["cdc_chunks"] = rf"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, toks,
+         [0] || list_filter(range(1, len(toks) + 1), i -> {_CDC_COND})
+             || [len(toks)] AS edges
+  FROM tk
+),
+ex AS (
+  SELECT doc_id, toks, edges, unnest(range(1, len(edges))) AS k
+  FROM b
+)
+SELECT doc_id, cast(k - 1 AS BIGINT) AS chunk_idx,
+       md5(array_to_string(toks[edges[k] + 1 : edges[k + 1]], ' ')) AS chunk_md5,
+       cast(edges[k + 1] - edges[k] AS BIGINT) AS n_chunk_tokens
+FROM ex
+"""

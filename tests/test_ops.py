@@ -2428,3 +2428,45 @@ def test_bloom_no_false_negatives_fp_bound_and_merge(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, filt.collect())
     )
+
+
+def test_cdc_chunks_realign_after_insertion_and_edges(spark):
+    """Content-defined chunking: (a) boundaries are content-local — after
+    inserting a token at a document's head, every chunk except the one
+    containing the insertion is byte-identical (the property fixed-stride
+    chunking lacks: there the whole tail re-frames); (b) chunks partition
+    the token stream exactly (counts sum to n, indices contiguous);
+    (c) NULL/empty/short docs yield exactly one chunk (counted, not
+    dropped)."""
+    from logzoom_spark.ops.corpus import cdc_chunks, chunk_documents
+
+    rng = [f"w{(i * 137) % 211}" for i in range(400)]
+    doc = " ".join(rng)
+    df = spark.createDataFrame(
+        [("a", doc), ("b", "INSERTED " + doc), ("n", None), ("e", ""), ("s", "one two")],
+        "doc_id string, text string",
+    )
+    rows = cdc_chunks(df, window=4, mean_tokens=16).collect()
+    by = {}
+    for r in sorted(rows, key=lambda x: (x.doc_id, x.chunk_idx)):
+        by.setdefault(r.doc_id, []).append(r)
+
+    # (a) re-alignment: all but <= 2 of a's chunks survive the insertion
+    a_md5 = {r.chunk_md5 for r in by["a"]}
+    b_md5 = {r.chunk_md5 for r in by["b"]}
+    assert len(a_md5 & b_md5) >= len(a_md5) - 2, (len(a_md5), len(a_md5 & b_md5))
+    # fixed-stride control: the same insertion re-frames (nearly) every chunk
+    fixed = chunk_documents(df.filter(F.col("doc_id").isin("a", "b")), 16, 0)
+    fa = {r.chunk_text for r in fixed.collect() if r.doc_id == "a"}
+    fb = {r.chunk_text for r in fixed.collect() if r.doc_id == "b"}
+    assert len(fa & fb) <= 2
+
+    # (b) exact partition of the token stream
+    assert sum(r.n_chunk_tokens for r in by["a"]) == 400
+    assert [r.chunk_idx for r in by["a"]] == list(range(len(by["a"])))
+    assert len(by["a"]) > 5  # mean 16 over 400 tokens: many chunks
+
+    # (c) degenerate docs: one chunk each
+    for d in ("n", "e", "s"):
+        assert len(by[d]) == 1, d
+    assert by["s"][0].n_chunk_tokens == 2
