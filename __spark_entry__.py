@@ -766,6 +766,23 @@ def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
     return cms_point_estimates(sketch, qkeys, "user_id", depth=3, width=256)
 
 
+def q_curriculum_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic range sharding (round 4): every document assigned a
+    contiguous, monotone n_chars shard in [0, 8) with near-equal counts —
+    the curriculum-ordered corpus export primitive. Boundaries come from
+    a bounded integer-bin histogram (never a sampled, run-dependent
+    RangePartitioner), so the same corpus shards identically in both
+    engines; assignment is a zero-shuffle comparison against ≤ 7 literal
+    cut points. Export = repartition('shard') + sortWithinPartitions:
+    a global score order across files without a single-task sort."""
+    from logzoom_spark.ops.corpus import range_shards
+
+    d = _read(spark, sf, "documents")
+    return range_shards(d, "n_chars", n_shards=8, bin_width=10).select(
+        "doc_id", "n_chars", "shard"
+    )
+
+
 def q_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Content-defined chunking (round 4): gear-hash CDC over the
     documents table — chunk boundaries fall where the 4-token gram hash
@@ -2057,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 (latest): product quantization (PQ codes + ADC scan),
         # substring-span dedup, batched BM25, weighted sampling, split
         # assignment, vocabulary stats
+        "curriculum_shards": q_curriculum_shards,
         "cdc_chunks": q_cdc_chunks,
         "bloom_filter_words": q_bloom_filter_words,
         "bloom_membership": q_bloom_membership,

