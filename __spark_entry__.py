@@ -766,6 +766,29 @@ def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
     return cms_point_estimates(sketch, qkeys, "user_id", depth=3, width=256)
 
 
+def q_boilerplate_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain boilerplate line removal (round 4): lines byte-identical
+    across ≥3 distinct docs of the same source are stripped from EVERY
+    doc (frequency-threshold semantics — `paragraph_dedup` by contrast
+    keeps first occurrences). Input composed with a per-source nav line
+    and copyright footer so every source has real boilerplate; body
+    lines are unique and survive. Digest-only frequency shuffle; the
+    flagged set is tiny post-HAVING, so AQE broadcasts the removal
+    join."""
+    from logzoom_spark.ops.text import boilerplate_lines
+
+    d = _read(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("NAV: home | about | "), F.col("source"), F.lit("\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nCopyright "), F.col("source"),
+        ).alias("text"),
+    )
+    return boilerplate_lines(d, df_threshold=3)
+
+
 def q_curriculum_shards(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic range sharding (round 4): every document assigned a
     contiguous, monotone n_chars shard in [0, 8) with near-equal counts —
@@ -2074,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 (latest): product quantization (PQ codes + ADC scan),
         # substring-span dedup, batched BM25, weighted sampling, split
         # assignment, vocabulary stats
+        "boilerplate_lines": q_boilerplate_lines,
         "curriculum_shards": q_curriculum_shards,
         "cdc_chunks": q_cdc_chunks,
         "bloom_filter_words": q_bloom_filter_words,

@@ -365,3 +365,65 @@ def gopher_quality_filter(docs: DataFrame, col: str = "text") -> DataFrame:
         flags.alias("flags"),
         (flags == 0).cast("int").alias("keep"),
     )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    df_threshold: int = 3,
+    domain_col: str = "source",
+    col: str = "text",
+) -> DataFrame:
+    """CCNet/FineWeb-style per-domain boilerplate line removal: a line is
+    boilerplate when it appears (byte-identical, trimmed) in at least
+    ``df_threshold`` DISTINCT documents of the SAME domain — nav bars,
+    cookie banners, license footers stamped across a site. Every
+    occurrence is removed, including the first (frequency-threshold
+    semantics — contrast `paragraph_dedup`, which keeps the first
+    occurrence of a duplicate corpus-wide). Returns (doc_id, text_md5,
+    n_kept, n_removed) with text_md5 = md5 of the doc rebuilt from its
+    surviving lines ('' when everything was boilerplate; the doc still
+    appears — counted, not dropped).
+
+    Shuffle discipline mirrors `paragraph_dedup`: line BODIES never enter
+    the frequency decision — the document-frequency groupBy shuffles
+    (domain, md5(line)) digests with map-side-combined distinct doc
+    counts, and the flagged set comes back to each doc through one
+    (domain, digest) equi-join carrying integer indices. At 100 TB the
+    boilerplate side is tiny (only digests with df ≥ threshold survive
+    the HAVING), so AQE broadcast-joins it; bodies move at most once, in
+    the doc_id join that pairs each original row with its keep-set.
+    NULL text yields one empty line (counted, not dropped); NULL domains
+    group together (a site-less bucket)."""
+    if df_threshold < 2:
+        raise ValueError(f"need df_threshold >= 2, got {df_threshold}")
+    text = F.coalesce(F.col(col), F.lit(""))
+    ls = F.split(text, r"\n")
+    dom = F.coalesce(F.col(domain_col), F.lit("\x00nodomain"))
+    lines = docs.select(
+        "doc_id",
+        dom.alias("_dom"),
+        F.posexplode(ls).alias("line_idx", "line"),
+    ).select("doc_id", "_dom", "line_idx", F.md5(F.trim("line")).alias("fp"))
+    flagged = (
+        lines.groupBy("_dom", "fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= df_threshold)
+        .select("_dom", "fp")
+    )
+    kept_sets = (
+        lines.join(flagged, ["_dom", "fp"], "left_anti")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("line_idx")).alias("keep_idx"))
+    )
+    out = docs.select("doc_id", ls.alias("_ls")).join(kept_sets, "doc_id", "left")
+    lcol = F.col("_ls")
+    keep_idx = F.coalesce(F.col("keep_idx"), F.expr("array()"))
+    rebuilt = F.concat_ws(
+        "\n", F.transform(keep_idx, lambda i: F.element_at(lcol, i + 1))
+    )
+    return out.select(
+        "doc_id",
+        F.md5(rebuilt).alias("text_md5"),
+        F.size(keep_idx).cast("bigint").alias("n_kept"),
+        (F.size(lcol) - F.size(keep_idx)).cast("bigint").alias("n_removed"),
+    )

@@ -2787,3 +2787,43 @@ SELECT d.doc_id, d.n_chars,
             ELSE cast({_RS_SHARD} AS INT) END AS shard
 FROM documents d CROSS JOIN b
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-domain boilerplate line removal (ops.text.boilerplate_lines): lines
+# appearing in >= 3 distinct docs of the same source are removed from every
+# doc; docs rebuilt from surviving lines. Input composed as nav line +
+# body + copyright footer (see q_boilerplate_lines).
+# ---------------------------------------------------------------------------
+
+ORACLES["boilerplate_lines"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         'NAV: home | about | ' || source || chr(10)
+           || coalesce(text, '') || chr(10) || 'Copyright ' || source AS text
+  FROM documents
+),
+l0 AS (SELECT doc_id, coalesce(source, chr(0) || 'nodomain') AS dom,
+              string_split(coalesce(text, ''), chr(10)) AS ls
+       FROM d),
+le AS (SELECT doc_id, dom, ls, unnest(range(1, len(ls) + 1)) AS i FROM l0),
+lines AS (SELECT doc_id, dom, cast(i - 1 AS INT) AS line_idx,
+                 md5(trim(ls[i])) AS fp
+          FROM le),
+flagged AS (
+  SELECT dom, fp FROM lines GROUP BY dom, fp
+  HAVING count(DISTINCT doc_id) >= 3
+),
+ks AS (
+  SELECT l.doc_id, list(l.line_idx ORDER BY l.line_idx) AS keep_idx
+  FROM lines l ANTI JOIN flagged f ON l.dom = f.dom AND l.fp = f.fp
+  GROUP BY l.doc_id
+)
+SELECT l0.doc_id,
+  md5(array_to_string(
+    list_transform(coalesce(ks.keep_idx, []), i -> l0.ls[i + 1]),
+    chr(10))) AS text_md5,
+  cast(len(coalesce(ks.keep_idx, [])) AS BIGINT) AS n_kept,
+  cast(len(l0.ls) - len(coalesce(ks.keep_idx, [])) AS BIGINT) AS n_removed
+FROM l0 LEFT JOIN ks USING (doc_id)
+"""

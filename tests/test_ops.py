@@ -2517,3 +2517,42 @@ def test_range_shards_monotone_balanced_deterministic(spark):
     fdf = spark.createDataFrame([("x", 1.5)], "doc_id string, score double")
     with _pt.raises(ValueError):
         range_shards(fdf, "score", n_shards=2)
+
+
+def test_boilerplate_lines_threshold_and_reassembly(spark):
+    """Per-domain boilerplate removal: (a) a line shared by >= threshold
+    docs of one domain is removed from EVERY doc including the first
+    occurrence; (b) the same line under a different domain with fewer
+    copies survives; (c) trimming applies to the decision but not the
+    rebuilt bytes; (d) a doc that was all boilerplate stays in the output
+    with text_md5('') (counted, not dropped); (e) NULL text yields one
+    empty line."""
+    import hashlib
+
+    from logzoom_spark.ops.text import boilerplate_lines
+
+    rows = [
+        ("a1", "s1", "NAV\nbody one\nfooter"),
+        ("a2", "s1", "NAV \nbody two\nfooter"),   # trimmed NAV matches
+        ("a3", "s1", "NAV\nbody three\nfooter"),
+        ("a4", "s1", "NAV\nfooter"),              # all boilerplate
+        ("b1", "s2", "NAV\nother body"),          # df=1 in s2: survives
+        ("n1", "s1", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {r.doc_id: r for r in boilerplate_lines(df, df_threshold=3).collect()}
+    assert set(out) == {"a1", "a2", "a3", "a4", "b1", "n1"}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out["a1"].text_md5 == md5("body one") and out["a1"].n_removed == 2
+    # trimmed variant "NAV " was REMOVED (decision on trim) — rebuilt text
+    # is the untouched original body line
+    assert out["a2"].text_md5 == md5("body two")
+    assert out["a4"].text_md5 == md5("") and out["a4"].n_kept == 0
+    assert out["b1"].text_md5 == md5("NAV\nother body") and out["b1"].n_removed == 0
+    assert out["n1"].n_kept == 1 and out["n1"].text_md5 == md5("")
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        boilerplate_lines(df, df_threshold=1)
