@@ -326,6 +326,114 @@ def streaming_incremental_dedup(
     return writer.start()
 
 
+def streaming_bloom_gate(
+    spark: SparkSession,
+    input_dir: str,
+    sig_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    m_bits: int = 4096,
+    n_hashes: int = 4,
+    max_files_per_trigger: int = 1,
+    gate_stats: list | None = None,
+):
+    """Bloom-gated streaming exact dedup — the 100 TB operating mode of
+    `ops.sketch.bloom_build`: each micro-batch's fingerprints probe the
+    STANDING bloom filter (OR-merge of every prior epoch's word table,
+    ≤ m_bits/31 broadcast rows no matter how many documents the corpus
+    holds); sketch-NEGATIVES are definitely new and skip membership work
+    entirely, and only the sketch-POSITIVES run the exact anti-join
+    confirmation against the standing fingerprint table (Bloom has false
+    positives, never false negatives — so survivors are byte-identical
+    to full exact dedup, pytest-proven, while the expensive join's probe
+    side shrinks to the positive sliver). Survivors' docs, fingerprints
+    AND bloom words land in overwrite-mode ``epoch=<id>`` dirs — the
+    same idempotent-redelivery protocol as `streaming_incremental_dedup`
+    (a re-run epoch can't see its own signatures or double-OR its own
+    bits).
+
+    ``gate_stats`` (tests): a list that receives one
+    (epoch, batch_rows, sketch_positive_rows) tuple per epoch — evidence
+    the gate actually bypasses the join for the negative majority.
+
+    Returns the StreamingQuery."""
+    import os
+
+    from .ops.sketch import bloom_build, bloom_merge, bloom_probe
+
+    fp_expr = F.md5(F.coalesce(F.col("text"), F.lit("")))
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        eid = int(epoch_id)
+        others = [
+            e
+            for e in (os.listdir(sig_dir) if os.path.exists(sig_dir) else [])
+            if e.startswith("epoch=") and e != f"epoch={eid}"
+        ]
+        batch = batch_df.select("doc_id", "text", fp_expr.alias("fp")).persist()
+        try:
+            # intra-batch first-occurrence (min doc_id per fp)
+            w = Window.partitionBy("fp").orderBy("doc_id")
+            firsts = batch.withColumn("rn", F.row_number().over(w)).filter(
+                F.col("rn") == 1
+            )
+            if others:
+                bloom_dirs = [f"{sig_dir}/{e}/bloom" for e in others]
+                standing_bloom = bloom_merge(
+                    s.read.option("basePath", sig_dir).parquet(*bloom_dirs).select(
+                        "word_idx", "word"
+                    )
+                )
+                verdicts = bloom_probe(
+                    standing_bloom, firsts.select("fp"), "fp",
+                    m_bits=m_bits, n_hashes=n_hashes,
+                )
+                flagged = firsts.join(
+                    verdicts.filter(F.col("maybe_present")), "fp", "left_semi"
+                ).persist()
+                negatives = firsts.join(flagged.select("fp"), "fp", "left_anti")
+                standing_fps = s.read.option("basePath", sig_dir).parquet(
+                    *[f"{sig_dir}/{e}/fps" for e in others]
+                ).select("fp")
+                confirmed_new = flagged.join(standing_fps, "fp", "left_anti")
+                survivors = negatives.unionByName(confirmed_new)
+                n_flagged = flagged.count()
+                flagged.unpersist()
+            else:
+                survivors = firsts
+                n_flagged = 0
+            survivors = survivors.select("doc_id", "text", "fp").persist()
+            try:
+                survivors.select("doc_id", "text").write.mode("overwrite").parquet(
+                    f"{out_dir}/epoch={eid}"
+                )
+                survivors.select("fp").write.mode("overwrite").parquet(
+                    f"{sig_dir}/epoch={eid}/fps"
+                )
+                bloom_build(
+                    survivors, "fp", m_bits=m_bits, n_hashes=n_hashes
+                ).write.mode("overwrite").parquet(f"{sig_dir}/epoch={eid}/bloom")
+                if gate_stats is not None:
+                    gate_stats.append((eid, batch.count(), n_flagged))
+            finally:
+                survivors.unpersist()
+        finally:
+            batch.unpersist()
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_queue_stream(
     spark: SparkSession, input_dir: str, batch_files: int = 1
 ) -> DataFrame:

@@ -771,3 +771,68 @@ def test_streaming_split_and_sample_gates_match_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_streaming_bloom_gate_parity_and_bypass(spark, tmp_path):
+    """Bloom-gated streaming dedup: (a) survivors are identical to exact
+    first-occurrence dedup across batches (no false negatives = nothing
+    wrongly dropped; sketch positives exact-confirmed = nothing wrongly
+    kept); (b) the gate demonstrably bypasses the exact join — in batch 2
+    only the sketch-positive sliver (true dup + any collisions) is
+    flagged, not the whole batch; (c) a checkpointed restart reprocesses
+    nothing."""
+    import os
+
+    from logzoom_spark.streaming import streaming_bloom_gate
+
+    src = str(tmp_path / "sbg_src")
+    sig = str(tmp_path / "sbg_sigs")
+    out = str(tmp_path / "sbg_out")
+    ckpt = str(tmp_path / "sbg_ckpt")
+
+    b1 = [(i, f"unique batch-one document number {i}") for i in range(1, 41)] + [
+        (99, "unique batch-one document number 1")  # intra-batch dup of 1
+    ]
+    b2 = (
+        [(100, "unique batch-one document number 7")]  # cross-batch dup
+        + [(200 + i, f"novel batch-two document number {i}") for i in range(40)]
+    )
+    os.makedirs(src)
+    spark.createDataFrame(b1, "doc_id bigint, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    import glob as g
+    import time as t
+
+    for fn in g.glob(f"{src}/*.parquet"):
+        os.utime(fn, (t.time() - 3600, t.time() - 3600))
+    spark.createDataFrame(b2, "doc_id bigint, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stats: list = []
+    q = streaming_bloom_gate(spark, src, sig, out, ckpt, gate_stats=stats)
+    q.awaitTermination(300)
+
+    survivors = {r.doc_id for r in spark.read.parquet(out).collect()}
+    expected = set(range(1, 41)) | set(range(200, 240))
+    assert survivors == expected
+
+    # gate evidence: batch 1 probes nothing (no standing filter); batch 2
+    # flags only the positive sliver, a strict minority of its 41 rows
+    assert stats[0][2] == 0
+    e2_batch, e2_flagged = stats[1][1], stats[1][2]
+    assert e2_batch == 41
+    assert 1 <= e2_flagged <= 8, e2_flagged  # true dup + rare collisions
+
+    # both state families persisted per epoch
+    assert os.path.isdir(f"{sig}/epoch=0/bloom") and os.path.isdir(
+        f"{sig}/epoch=1/fps"
+    )
+
+    # checkpointed restart: no reprocessing, state unchanged
+    stats2: list = []
+    q2 = streaming_bloom_gate(spark, src, sig, out, ckpt, gate_stats=stats2)
+    q2.awaitTermination(300)
+    assert stats2 == []
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == expected
