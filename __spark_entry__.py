@@ -766,6 +766,29 @@ def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
     return cms_point_estimates(sketch, qkeys, "user_id", depth=3, width=256)
 
 
+def q_ivf_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental IVF index maintenance (round 4): the standing index
+    (vec_id < 400, frozen 16-centroid codebook) absorbs a new batch
+    (vec_id ≥ 350 with REVERSED embeddings — 50 updates + 100 inserts)
+    via assign-batch-only + MERGE. The standing corpus is never
+    re-assigned or re-scanned beyond the anti-join probe; per-batch work
+    is O(batch). Returns the final (vec_id, cell) index; updated ids
+    carry their re-assigned cell."""
+    from logzoom_spark.ops.similarity import ivf_assign, ivf_upsert
+
+    emb = _read(spark, sf, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", similarity.quantize(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    standing = ivf_assign(emb.filter(F.col("vec_id") < 400), centroids=cents)
+    batch = emb.filter(F.col("vec_id") >= 350).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    return ivf_upsert(standing, batch, centroids=cents).select("vec_id", "cell")
+
+
 def q_boilerplate_lines(spark: SparkSession, sf: str) -> DataFrame:
     """Per-domain boilerplate line removal (round 4): lines byte-identical
     across ≥3 distinct docs of the same source are stripped from EVERY
@@ -2097,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 (latest): product quantization (PQ codes + ADC scan),
         # substring-span dedup, batched BM25, weighted sampling, split
         # assignment, vocabulary stats
+        "ivf_upsert": q_ivf_upsert,
         "boilerplate_lines": q_boilerplate_lines,
         "curriculum_shards": q_curriculum_shards,
         "cdc_chunks": q_cdc_chunks,

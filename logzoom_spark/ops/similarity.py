@@ -273,6 +273,38 @@ def ivf_assign_join(
     )
 
 
+def ivf_upsert(
+    index: DataFrame,
+    new_emb: DataFrame,
+    n_cells: int = 16,
+    scale: int = 1000,
+    centroids: list | None = None,
+) -> DataFrame:
+    """Append-only IVF index maintenance: assign ONLY the new batch to the
+    FROZEN codebook and MERGE the assignments into the standing
+    (vec_id, v, cell) index — updated vec_ids take the new assignment,
+    fresh ones insert, everything else persists untouched.
+
+    This is the 10^12-vector operating mode: the standing index is never
+    re-fit and never re-scanned (the MERGE's anti-join probes it once on
+    vec_id); per-batch work is O(batch) — the same incremental contract
+    as `ops.dedup.dedup_incremental`. The codebook must be the one the
+    standing index was built with (pass ``centroids`` explicitly — the
+    default would re-derive them from the BATCH, silently forking the
+    cell space); a pytest proves upsert == a from-scratch rebuild over
+    the merged corpus under a fixed codebook."""
+    if centroids is None:
+        raise ValueError(
+            "ivf_upsert requires the standing index's codebook via "
+            "centroids= — deriving centroids from the new batch would "
+            "fork the cell space"
+        )
+    from .maintenance import merge_upsert
+
+    fresh = ivf_assign(new_emb, n_cells=n_cells, scale=scale, centroids=centroids)
+    return merge_upsert(index, fresh, "vec_id")
+
+
 def knn_join(
     emb: DataFrame,
     queries: DataFrame | None = None,

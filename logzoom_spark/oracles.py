@@ -2827,3 +2827,30 @@ SELECT l0.doc_id,
   cast(len(l0.ls) - len(coalesce(ks.keep_idx, [])) AS BIGINT) AS n_removed
 FROM l0 LEFT JOIN ks USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF maintenance (ops.similarity.ivf_upsert): standing index
+# over vec_id < 400 merged with a reversed-embedding batch (vec_id >= 350):
+# MERGE semantics mean every vec_id >= 350 carries the REVERSED vector's
+# assignment, everything below keeps the original — one CASE in the
+# effective-vector CTE reproduces the final state; same tie-free
+# ord = dot*16 - cell argmax as the other IVF oracles.
+# ---------------------------------------------------------------------------
+
+ORACLES["ivf_upsert"] = f"""
+WITH qv AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
+cents AS (SELECT vec_id AS cell, q AS cv FROM qv WHERE vec_id < 16),
+eff AS (
+  SELECT vec_id,
+         CASE WHEN vec_id >= 350 THEN list_reverse(q) ELSE q END AS v
+  FROM qv
+),
+scored AS (
+  SELECT e.vec_id, c.cell,
+         cast(list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i])) AS BIGINT)
+           * 16 - c.cell AS ord
+  FROM eff e CROSS JOIN cents c
+)
+SELECT vec_id, arg_max(cell, ord) AS cell FROM scored GROUP BY vec_id
+"""

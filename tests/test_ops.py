@@ -2556,3 +2556,37 @@ def test_boilerplate_lines_threshold_and_reassembly(spark):
 
     with _pt.raises(ValueError):
         boilerplate_lines(df, df_threshold=1)
+
+
+def test_ivf_upsert_equals_rebuild_and_requires_codebook(spark, emb):
+    """Incremental IVF maintenance: upserting a batch into a standing
+    index under a FIXED codebook is row-identical to rebuilding the
+    index from scratch over the merged corpus — the O(batch) path loses
+    nothing. Updated ids take the new vector's cell; omitting the
+    codebook raises (deriving it from the batch would fork the cell
+    space)."""
+    from logzoom_spark.ops.similarity import ivf_assign, ivf_upsert, quantize
+
+    cents = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", quantize(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    standing = ivf_assign(emb.filter(F.col("vec_id") < 60), n_cells=8, centroids=cents)
+    batch = emb.filter(F.col("vec_id") >= 40).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    upserted = ivf_upsert(standing, batch, n_cells=8, centroids=cents)
+
+    merged_corpus = (
+        emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding").unionByName(batch)
+    )
+    rebuilt = ivf_assign(merged_corpus, n_cells=8, centroids=cents)
+    assert sorted(map(tuple, upserted.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ivf_upsert(standing, batch, n_cells=8)
