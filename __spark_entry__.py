@@ -766,6 +766,18 @@ def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
     return cms_point_estimates(sketch, qkeys, "user_id", depth=3, width=256)
 
 
+def q_remove_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-span removal (round 4): the action step of
+    `dup_span_grams` — every token covered by a non-canonical duplicated
+    8-token window is cut (the corpus-wide first occurrence survives,
+    the Lee et al. ExactSubstr contract) and each doc is rebuilt from
+    the survivors. Digest-only duplicate decision; bodies move once in
+    the keep-set join."""
+    from logzoom_spark.ops.dedup import remove_dup_spans
+
+    return remove_dup_spans(_read(spark, sf, "documents"), k=8, hasher="md5")
+
+
 def q_ivf_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental IVF index maintenance (round 4): the standing index
     (vec_id < 400, frozen 16-centroid codebook) absorbs a new batch
@@ -2120,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 (latest): product quantization (PQ codes + ADC scan),
         # substring-span dedup, batched BM25, weighted sampling, split
         # assignment, vocabulary stats
+        "remove_dup_spans": q_remove_dup_spans,
         "ivf_upsert": q_ivf_upsert,
         "boilerplate_lines": q_boilerplate_lines,
         "curriculum_shards": q_curriculum_shards,

@@ -358,6 +358,7 @@ def main() -> None:
     bench("curriculum_shards", lambda: _noop(se.q_curriculum_shards(spark, sf_dir)))
     bench("boilerplate_lines", lambda: _noop(se.q_boilerplate_lines(spark, sf_dir)))
     bench("ivf_upsert", lambda: _noop(se.q_ivf_upsert(spark, sf_dir)))
+    bench("remove_dup_spans", lambda: _noop(se.q_remove_dup_spans(spark, sf_dir)))
 
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
     # real sink files — measures sink I/O, which on this shared host is

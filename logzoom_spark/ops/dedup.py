@@ -194,6 +194,72 @@ def dup_span_grams(
     )
 
 
+def remove_dup_spans(
+    docs: DataFrame, k: int = 8, col: str = "text", hasher: str = "md5"
+) -> DataFrame:
+    """The ACTION step of substring-level dedup (`dup_span_grams` is the
+    measurement): cut every token covered by a NON-CANONICAL duplicated
+    k-window and rebuild each document from the survivors. The canonical
+    occurrence of a window is the corpus-wide min (doc_id, position) —
+    that one copy always survives, so shared boilerplate keeps exactly
+    one home (the Lee et al. 2022 ExactSubstr contract: remove the
+    duplicated substring from all but one occurrence).
+
+    Returns (doc_id, text_md5, n_kept, n_removed) per input doc
+    (counted, not dropped; text_md5 = md5 of the space-joined surviving
+    tokens, '' when everything was cut). Lowercased tokens drive the
+    MATCH (like dup_span_grams); original token bytes are what survive.
+
+    Scale shape: the duplicate decision shuffles (gh, doc_id, pos)
+    digests only — one hash pass, one digest exchange, a window on the
+    same key (rn > 1 = non-canonical). Cut positions come back to each
+    doc as one integer array through a doc_id groupBy+join; the rebuild
+    is a row-local filter over token indices — O(tokens · cut_spans)
+    per doc, linear when boilerplate is sparse. Bodies move once, in
+    the keep-set join (the paragraph_dedup discipline)."""
+    h = _hash_fn(hasher)
+    base = docs.select(
+        "doc_id",
+        F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+").alias("_raw"),
+    ).withColumn("_low", F.transform(F.col("_raw"), F.lower))
+    toks = F.col("_low")
+    n = F.size(toks)
+    n_grams = F.greatest(n - (k - 1), F.lit(0))
+    idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.struct(
+        i.alias("pos"), h(F.concat_ws(" ", F.slice(toks, i, k))).alias("gh")
+    ))
+    per_pos = base.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh")
+    )
+    w = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    # rn > 1 already implies the window occurs >= 2 times corpus-wide
+    dup_pos = (
+        per_pos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("cuts"))
+    )
+    joined = base.join(dup_pos, "doc_id", "left")
+    cuts = F.coalesce(F.col("cuts"), F.expr("array()").cast("array<int>"))
+    raw = F.col("_raw")
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size(raw)),
+        lambda j: F.size(
+            F.filter(cuts, lambda p: (p <= j) & (j < p + F.lit(k)))
+        ) == 0,
+    )
+    kept = F.transform(kept_idx, lambda j: F.element_at(raw, j))
+    return joined.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", kept)).alias("text_md5"),
+        F.size(kept_idx).cast("bigint").alias("n_kept"),
+        (F.size(raw) - F.size(kept_idx)).cast("bigint").alias("n_removed"),
+    )
+
+
 def shingles(
     docs: DataFrame, n: int = 3, col: str = "text", keep: tuple[str, ...] = ()
 ) -> DataFrame:

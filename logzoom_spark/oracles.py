@@ -929,9 +929,9 @@ ks AS (
   FROM win WHERE rn = 1 GROUP BY doc_id
 )
 SELECT p0.doc_id,
-  md5(array_to_string(
+  md5(coalesce(array_to_string(
     list_transform(coalesce(ks.keep_idx, []), i -> p0.ps[i + 1]),
-    chr(10) || chr(10))) AS text_md5,
+    chr(10) || chr(10)), '')) AS text_md5,
   cast(len(coalesce(ks.keep_idx, [])) AS BIGINT) AS n_kept,
   cast(len(p0.ps) - len(coalesce(ks.keep_idx, [])) AS BIGINT) AS n_removed
 FROM p0 LEFT JOIN ks USING (doc_id)
@@ -2820,9 +2820,9 @@ ks AS (
   GROUP BY l.doc_id
 )
 SELECT l0.doc_id,
-  md5(array_to_string(
+  md5(coalesce(array_to_string(
     list_transform(coalesce(ks.keep_idx, []), i -> l0.ls[i + 1]),
-    chr(10))) AS text_md5,
+    chr(10)), '')) AS text_md5,
   cast(len(coalesce(ks.keep_idx, [])) AS BIGINT) AS n_kept,
   cast(len(l0.ls) - len(coalesce(ks.keep_idx, [])) AS BIGINT) AS n_removed
 FROM l0 LEFT JOIN ks USING (doc_id)
@@ -2853,4 +2853,52 @@ scored AS (
   FROM eff e CROSS JOIN cents c
 )
 SELECT vec_id, arg_max(cell, ord) AS cell FROM scored GROUP BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Substring-span removal (ops.dedup.remove_dup_spans): the action step of
+# dup_span_grams — tokens covered by a non-canonical duplicated 8-window
+# (canonical = corpus-wide min (doc_id, pos)) are cut, docs rebuilt from
+# survivors. Match on lowercased tokens, rebuild from raw bytes.
+# ---------------------------------------------------------------------------
+
+ORACLES["remove_dup_spans"] = f"""
+WITH tk AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS raw
+  FROM documents
+),
+lk AS (
+  SELECT doc_id, raw, list_transform(raw, t -> lower(t)) AS toks FROM tk
+),
+pos AS (
+  SELECT lk.doc_id, i.i AS pos,
+         {portable_hash_sql("array_to_string(toks[i.i:i.i+7], ' ')")} AS gh
+  FROM lk, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i(i)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+  FROM pos
+),
+cuts AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS cuts
+  FROM ranked WHERE rn > 1 GROUP BY doc_id
+),
+j AS (
+  SELECT lk.doc_id, lk.raw, coalesce(c.cuts, []) AS cuts
+  FROM lk LEFT JOIN cuts c USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, raw,
+         list_filter(range(1, len(raw) + 1),
+           jx -> len(list_filter(cuts, p -> p <= jx AND jx < p + 8)) = 0) AS ki
+  FROM j
+)
+SELECT doc_id,
+  md5(coalesce(array_to_string(list_transform(ki, jx -> raw[jx]), ' '), '')) AS text_md5,
+  cast(len(ki) AS BIGINT) AS n_kept,
+  cast(len(raw) - len(ki) AS BIGINT) AS n_removed
+FROM kept
 """

@@ -2590,3 +2590,44 @@ def test_ivf_upsert_equals_rebuild_and_requires_codebook(spark, emb):
 
     with _pt.raises(ValueError):
         ivf_upsert(standing, batch, n_cells=8)
+
+
+def test_remove_dup_spans_canonical_survives_and_cuts(spark):
+    """Substring-span removal: (a) the corpus-wide FIRST occurrence of a
+    duplicated window survives untouched while every later occurrence is
+    cut; (b) unique text is never cut; (c) match is case-insensitive but
+    surviving bytes keep original case; (d) intra-doc repeats cut the
+    second copy; (e) short/NULL docs pass through whole (counted, not
+    dropped)."""
+    import hashlib
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    rows = [
+        ("a", f"{boiler} unique tail of document a"),
+        ("b", f"other head text first {boiler.upper()}"),  # case-insens dup
+        ("c", "totally unique words nowhere else repeated at all here"),
+        ("d", f"{boiler} middle filler words {boiler}"),  # intra-doc? no: d > a, both cut
+        ("s", "too short"),
+        ("n", None),
+    ]
+    from logzoom_spark.ops.dedup import remove_dup_spans
+
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in remove_dup_spans(df, k=8).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+
+    # doc a holds the canonical (min doc_id, pos) occurrence: fully intact
+    assert out["a"].n_removed == 0
+    assert out["a"].text_md5 == md5(f"{boiler} unique tail of document a")
+    # doc b's UPPERCASE copy is a match (case-insensitive) and is cut;
+    # surviving tokens keep original bytes
+    assert out["b"].n_removed == 8
+    assert out["b"].text_md5 == md5("other head text first")
+    # untouched unique doc
+    assert out["c"].n_removed == 0
+    # d: both copies are non-canonical (a is canonical) -> both cut
+    assert out["d"].n_removed == 16
+    assert out["d"].text_md5 == md5("middle filler words")
+    # degenerate docs whole
+    assert out["s"].n_removed == 0 and out["s"].text_md5 == md5("too short")
+    assert out["n"].n_removed == 0 and out["n"].text_md5 == md5("")
