@@ -92,6 +92,14 @@ def main() -> None:
         ("classifier fit+serve (bounded-bucket fit shuffle, broadcast weights)", se.q_classify_lang_en),
         ("classifier inline serve (map-literal weights, ZERO exchanges)", se.q_classify_inline_serve),
         ("bigram surprisal (row-local pairs, vocab-sized LM shuffles)", se.q_bigram_surprisal),
+        # round 4 (session 3)
+        ("bloom build (distinct bit coords, bounded word agg)", se.q_bloom_filter_words),
+        ("bloom probe (broadcast word table + row-local bit test)", se.q_bloom_membership),
+        ("cdc chunks (zero-shuffle row-local edge HOFs)", se.q_cdc_chunks),
+        ("range shards (bounded histogram fit, zero-shuffle assign)", se.q_curriculum_shards),
+        ("boilerplate lines (digest df shuffle, broadcast flagged set)", se.q_boilerplate_lines),
+        ("ivf upsert (batch-only assign + anti-join MERGE)", se.q_ivf_upsert),
+        ("remove dup spans (digest rank shuffle, row-local cut rebuild)", se.q_remove_dup_spans),
     ]:
         print("=" * 30, name)
         q(spark, sf).explain("formatted")
