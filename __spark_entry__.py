@@ -766,6 +766,18 @@ def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
     return cms_point_estimates(sketch, qkeys, "user_id", depth=3, width=256)
 
 
+def q_semdedup_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup, the paper's own blocking (round 4): k-means cells (k=4,
+    2 Lloyd rounds) bound the pairwise stage, exact integer cos² ≥ 0.3²
+    verifies within-cell pairs, connected components pick one canonical
+    per near-duplicate group. The kmeans-cell twin of `semantic_dedup`
+    (hyperplane-LSH blocking); O(N²/k) pairwise spread over k
+    independent cells, k ≈ √N at scale."""
+    from logzoom_spark.ops.similarity import semdedup
+
+    return semdedup(_read(spark, sf, "embeddings"), k=4, iters=2, threshold=0.3)
+
+
 def q_remove_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Substring-span removal (round 4): the action step of
     `dup_span_grams` — every token covered by a non-canonical duplicated
@@ -2132,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 (latest): product quantization (PQ codes + ADC scan),
         # substring-span dedup, batched BM25, weighted sampling, split
         # assignment, vocabulary stats
+        "semdedup_kmeans": q_semdedup_kmeans,
         "remove_dup_spans": q_remove_dup_spans,
         "ivf_upsert": q_ivf_upsert,
         "boilerplate_lines": q_boilerplate_lines,

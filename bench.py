@@ -359,6 +359,7 @@ def main() -> None:
     bench("boilerplate_lines", lambda: _noop(se.q_boilerplate_lines(spark, sf_dir)))
     bench("ivf_upsert", lambda: _noop(se.q_ivf_upsert(spark, sf_dir)))
     bench("remove_dup_spans", lambda: _noop(se.q_remove_dup_spans(spark, sf_dir)))
+    bench("semdedup_kmeans", lambda: _noop(se.q_semdedup_kmeans(spark, sf_dir)), runs=1)
 
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
     # real sink files — measures sink I/O, which on this shared host is

@@ -273,6 +273,66 @@ def ivf_assign_join(
     )
 
 
+def semdedup(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.3,
+    scale: int = 1000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public algorithm): k-means the
+    embedding space, compare pairs ONLY within a cluster (exact
+    integer cos² — the same sqrt-free test as `cosine_dup_pairs`), and
+    keep one representative per connected near-duplicate group
+    (min vec_id canonical, via the shared CC engine). The k-means-cell
+    variant of `q_semantic_dedup`'s hyperplane-LSH bucketing — the
+    paper's own blocking structure, useful when the corpus has learned
+    cluster structure that random hyperplanes split.
+
+    Returns (vec_id, cluster_id, is_canonical) for EVERY input vector.
+
+    Scale shape: within-cell comparison is the paper's deliberate
+    trade — cells hold ~N/k vectors, so the pairwise stage is
+    O(N²/k) spread across k independent cells; k ≈ √N (the IVF sizing
+    rule) makes that O(N^1.5) total and keeps every cell's self-join
+    a within-partition job. The join shuffles quantized ints keyed by
+    cell; CC shuffles (id, label) pairs only."""
+    from .cluster import dedup_cluster_assign
+    from .kmeans import kmeans_assign
+
+    v = quantize(F.col("embedding"), scale)
+    assignment = kmeans_assign(emb, k=k, iters=iters)
+    withc = emb.select("vec_id", v.alias("v"), dot(v, v).alias("norm2")).join(
+        assignment.select("vec_id", "cluster"), "vec_id"
+    )
+    a, b = withc.alias("a"), withc.alias("b")
+    d = dot(F.col("a.v"), F.col("b.v"))
+    t2_100 = int(round(threshold * threshold * 100))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            d.alias("dot"),
+            (F.col("a.norm2") * F.col("b.norm2")).alias("nn"),
+        )
+        .filter(
+            (F.col("dot") >= 0) & (F.expr("(dot * dot * 100) div nn") >= t2_100)
+        )
+        .select("doc_a", "doc_b")
+    )
+    out = dedup_cluster_assign(
+        emb.select(F.col("vec_id").alias("doc_id")), pairs
+    )
+    return out.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "is_canonical"
+    )
+
+
 def ivf_upsert(
     index: DataFrame,
     new_emb: DataFrame,

@@ -2902,3 +2902,49 @@ SELECT doc_id,
   cast(len(raw) - len(ki) AS BIGINT) AS n_removed
 FROM kept
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup with k-means blocking (ops.similarity.semdedup): the unrolled
+# Lloyd CTEs (shared with kmeans_clusters) pick each vector's cell, exact
+# integer cos² >= 0.3² filters within-cell pairs, recursive CC labels
+# components (same reach pattern as semantic_dedup / dedup_clusters).
+# ---------------------------------------------------------------------------
+
+ORACLES["semdedup_kmeans"] = f"""
+WITH RECURSIVE {_KM_CTES},
+kma2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM kmd2) WHERE rn = 1
+),
+wn AS (
+  SELECT kmq.vec_id, kmq.v,
+         cast(list_sum(list_transform(range(1, 65), i -> kmq.v[i] * kmq.v[i])) AS BIGINT) AS norm2,
+         kma2.cell
+  FROM kmq JOIN kma2 USING (vec_id)
+),
+rawpairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.norm2 AS na, b.norm2 AS nb,
+         cast(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS d
+  FROM wn a JOIN wn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT DISTINCT vec_a, vec_b FROM rawpairs
+  WHERE d >= 0 AND cast((d * d * 100) // (na * nb) AS BIGINT) >= 9
+),
+edges AS (
+  SELECT vec_a AS s, vec_b AS dd FROM pairs
+  UNION
+  SELECT vec_b AS s, vec_a AS dd FROM pairs
+),
+reach(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.s, r.label FROM edges e JOIN reach r ON e.dd = r.node
+)
+SELECT node AS vec_id, min(label) AS cluster_id,
+       CASE WHEN node = min(label) THEN 1 ELSE 0 END AS is_canonical
+FROM reach GROUP BY node
+"""

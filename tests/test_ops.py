@@ -2631,3 +2631,37 @@ def test_remove_dup_spans_canonical_survives_and_cuts(spark):
     # degenerate docs whole
     assert out["s"].n_removed == 0 and out["s"].text_md5 == md5("too short")
     assert out["n"].n_removed == 0 and out["n"].text_md5 == md5("")
+
+
+def test_semdedup_planted_dups_fold_and_cross_cell_isolated(spark):
+    """SemDeDup with k-means blocking: planted near-identical vectors in
+    the same region fold into one cluster with exactly one canonical
+    (the min id); orthogonal vectors stay singletons; every input id
+    appears exactly once in the output."""
+    from logzoom_spark.ops.similarity import semdedup
+
+    dims = 64
+
+    def vec(axis, mag=1.0, eps=0.0):
+        v = [0.0] * dims
+        v[axis] = mag
+        if eps:
+            v[(axis + 1) % dims] = eps
+        return v
+
+    rows = [
+        (0, vec(0)), (1, vec(1)), (2, vec(2)), (3, vec(3)),  # inits/centroids
+        (10, vec(5, 1.0)), (11, vec(5, 0.9, 0.01)), (12, vec(5, 1.1, -0.01)),
+        (20, vec(20, 1.0)),  # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: r for r in semdedup(df, k=4, iters=2, threshold=0.9).collect()}
+
+    assert set(out) == {0, 1, 2, 3, 10, 11, 12, 20}
+    assert out[10].cluster_id == out[11].cluster_id == out[12].cluster_id == 10
+    assert out[10].is_canonical == 1
+    assert out[11].is_canonical == 0 and out[12].is_canonical == 0
+    assert out[20].cluster_id == 20 and out[20].is_canonical == 1
+    # the axis-0..3 unit vectors are mutually orthogonal: all singletons
+    for i in (0, 1, 2, 3):
+        assert out[i].cluster_id == i and out[i].is_canonical == 1
