@@ -773,3 +773,43 @@ def range_shards(
         F.size(F.filter(ub_arr, lambda b: b <= v.cast("bigint"))).cast("int"),
     )
     return df.withColumn("shard", shard)
+
+
+def write_range_sharded(
+    df: DataFrame,
+    out_dir: str,
+    score_col: str,
+    n_shards: int = 8,
+    bin_width: int = 1,
+    boundaries: list[int] | None = None,
+) -> None:
+    """Materialize the `range_shards` layout: one ``shard=<s>`` directory
+    per shard, rows sorted by (score, every remaining column) WITHIN each
+    shard's files — reading shard directories in order is a total score
+    order over the corpus, produced with no single-task global sort (the
+    only exchange is the shard repartition; the sort is within-partition).
+    NULL scores land in a ``shard=__HIVE_DEFAULT_PARTITION__`` directory,
+    Spark's counted-not-dropped convention for NULL partition values.
+
+    The deterministic twin of ``df.repartitionByRange(...).write`` —
+    same file-level contract, but identical boundaries on every run
+    (see `range_shards`)."""
+    sharded = range_shards(
+        df, score_col, n_shards=n_shards, bin_width=bin_width, boundaries=boundaries
+    )
+    sort_cols = [score_col] + [
+        c for c in df.columns if c not in (score_col, "shard")
+    ]
+    # the sort LEADS with the partition column: FileFormatWriter requires
+    # partition-column ordering and silently ADDS its own (non-stable)
+    # sort when the incoming order doesn't start with it — which would
+    # scramble the score order inside every file. Leading with shard
+    # satisfies the requirement, so the writer adds nothing and the
+    # within-shard (score, ...) order survives into the files.
+    (
+        sharded.repartition("shard")
+        .sortWithinPartitions("shard", *sort_cols)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
