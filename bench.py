@@ -407,7 +407,38 @@ def main() -> None:
     }
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
-    print(json.dumps(result))
+
+    # Stdout contract (VERDICT r4 #3): the driver keeps only a ~2.2 KB tail
+    # of stdout, so the FINAL stdout line must be a compact (<2 KB) JSON
+    # headline; the full artifact (notes, host traces, every timing) goes to
+    # a BENCH/ file referenced from the compact record.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_detail_latest.json"
+    )
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
+    compact = {
+        "metric": "e2e routing sec (scan→parse→enrich→route[6 sinks]→agg; min of 4 reps, run FIRST)",
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "turns": result["turns"],
+        "turns_per_sec": result["turns_per_sec"],
+        "cpus": result["cpus"],
+        "replicate": result["replicate"],
+        "e2e_reps": result["e2e_reps"],
+        "queries": timings,
+        "detail": "BENCH/bench_detail_latest.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 2000 and compact["queries"]:
+        # drop the cheapest timings first; full set survives in the detail file
+        drop = min(compact["queries"], key=lambda k: compact["queries"][k])
+        del compact["queries"][drop]
+        compact["queries_truncated"] = "see detail file"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

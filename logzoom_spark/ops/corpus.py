@@ -738,6 +738,11 @@ def range_shards(
         raise ValueError(f"need n_shards >= 2, got {n_shards}")
     if bin_width < 1:
         raise ValueError(f"need bin_width >= 1, got {bin_width}")
+    if "shard" in df.columns:
+        raise ValueError(
+            "input already has a 'shard' column — range_shards would "
+            "silently overwrite it; rename or drop it first"
+        )
     if not isinstance(
         df.schema[score_col].dataType, (ByteType, ShortType, IntegerType, LongType)
     ):

@@ -552,7 +552,12 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
     coordinates so the `bit_or` aggregate (absent from older engines)
     isn't needed: re-exploding each word to its set bits keeps every
     coordinate counted once."""
-    out = filters[0]
+    if not filters:
+        raise ValueError("bloom_merge needs at least one filter")
+    # normalize EVERY input (including the first) to the two sketch
+    # columns — a first filter carrying extras (e.g. a seg column from
+    # bloom_build(seg_col=...)) would otherwise break the unionByName
+    out = filters[0].select("word_idx", "word")
     for f in filters[1:]:
         out = out.unionByName(f.select("word_idx", "word"))
     bits = F.expr("filter(sequence(0, 30), b -> (word & shiftleft(1L, b)) != 0L)")

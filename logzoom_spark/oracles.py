@@ -2772,7 +2772,10 @@ _RS_SHARD = " + ".join(
 
 ORACLES["curriculum_shards"] = f"""
 WITH h AS (
-  SELECT (n_chars - n_chars % 10) // 10 AS bin, count(*) AS cnt
+  -- floor-mod binning ((x % w + w) % w), matching Spark's pmod exactly so
+  -- negative scores bin identically (ADVICE r4; n_chars is non-negative,
+  -- but the oracle should not depend on that)
+  SELECT (n_chars - ((n_chars % 10) + 10) % 10) // 10 AS bin, count(*) AS cnt
   FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
 ),
 r AS (
@@ -2873,8 +2876,11 @@ lk AS (
   SELECT doc_id, raw, list_transform(raw, t -> lower(t)) AS toks FROM tk
 ),
 pos AS (
+  -- md5, matching the Spark entry's hasher="md5" exactly (ADVICE r4): the
+  -- hash is grouping-only, but using the identical digest on both sides
+  -- removes the 60-bit-truncation collision asymmetry.
   SELECT lk.doc_id, i.i AS pos,
-         {portable_hash_sql("array_to_string(toks[i.i:i.i+7], ' ')")} AS gh
+         md5(array_to_string(toks[i.i:i.i+7], ' ')) AS gh
   FROM lk, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i(i)
 ),
 ranked AS (
