@@ -638,7 +638,14 @@ def conv_documents(turns: DataFrame) -> DataFrame:
     newlines, so two different conversations can assemble to the same
     'role: text\\n…' string — a one-turn conversation quoting
     'hello\\nassistant: hi' must not dedup against the real two-turn
-    conversation it quotes."""
+    conversation it quotes.
+
+    Scale bound: unlike `conv_fingerprints` (digest-first, 36 B/turn
+    state), here the assembled text IS the output, so turn bodies must
+    cross the conv_id exchange once and the per-conversation buffer is
+    O(conversation bytes) — the irreducible cost of assembly. Callers
+    that only need the fingerprint (dedup verdicts) should use
+    `ops.dedup.conv_fingerprints` instead."""
     line = lambda s: F.concat(s["role"], F.lit(": "), s["text"])  # noqa: E731
     # F.concat propagates NULL (the line/turn drops out of concat_ws),
     # matching `role || ': ' || text` + string_agg's NULL-row skip in SQL

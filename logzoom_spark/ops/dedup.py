@@ -416,6 +416,9 @@ def dedup_incremental(
     bands: int = 4,
     n: int = 3,
     hasher: str = "xx",
+    bloom: DataFrame | None = None,
+    bloom_m_bits: int = 4096,
+    bloom_n_hashes: int = 4,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup TODAY'S batch against the standing signature table — the
     100 TB operating mode, where re-minhashing the whole corpus per batch
@@ -439,25 +442,53 @@ def dedup_incremental(
     standing side contributes two digest equi-joins (fp; band) and is
     scanned signatures-only — with the standing table bucketed by its join
     key each probe touches ONLY the batch's buckets, and AQE handles a hot
-    band. No join ever carries text, and nothing rescans the corpus."""
+    band. No join ever carries text, and nothing rescans the corpus.
+
+    ``bloom``: optional standing bloom filter over the fp column (from
+    `ops.sketch.bloom_build` with the same ``bloom_m_bits`` /
+    ``bloom_n_hashes``, OR-maintained per batch via `bloom_merge`). When
+    given, the batch's fps probe the ≤ m_bits/31-row BROADCAST sketch
+    first, and only sketch-POSITIVES run the standing-fp equi-join;
+    negatives are definitely-new (Bloom has false positives, never false
+    negatives) and bypass the join entirely with ``_std = NULL`` — so
+    verdicts are byte-identical to the ungated path (pytest-proven) while
+    the expensive join's probe side shrinks to the positive sliver. This
+    is the batch twin of `streaming.streaming_bloom_gate`'s protocol
+    (VERDICT r4 #7)."""
     new_sigs = build_signatures(
         new_docs, num_hashes=num_hashes, bands=bands, n=n, hasher=hasher
     )
     new_fp = new_sigs.select("doc_id", "fp").distinct()
     w = Window.partitionBy("fp")
-    flagged = (
-        new_fp.withColumn("min_batch_id", F.min("doc_id").over(w))
-        .join(
-            standing.select("fp").distinct().withColumn("_std", F.lit(1)),
+    std_fp = standing.select("fp").distinct().withColumn("_std", F.lit(1))
+    base = new_fp.withColumn("min_batch_id", F.min("doc_id").over(w))
+    if bloom is None:
+        joined = base.join(std_fp, "fp", "left")
+    else:
+        from .sketch import bloom_probe
+
+        verdict = bloom_probe(
+            bloom,
+            new_fp.select("fp").distinct(),
             "fp",
-            "left",
+            m_bits=bloom_m_bits,
+            n_hashes=bloom_n_hashes,
         )
-        .select(
-            "doc_id",
-            (
-                F.col("_std").isNotNull() | (F.col("doc_id") > F.col("min_batch_id"))
-            ).cast("int").alias("is_exact_dup"),
+        gated = base.join(verdict, "fp", "left")
+        pos = gated.filter(F.col("maybe_present")).drop("maybe_present")
+        neg = (
+            gated.filter(~F.coalesce(F.col("maybe_present"), F.lit(False)))
+            .drop("maybe_present")
+            .withColumn("_std", F.lit(None).cast("int"))
         )
+        joined = pos.join(std_fp, "fp", "left").unionByName(
+            neg.select("fp", "doc_id", "min_batch_id", "_std")
+        )
+    flagged = joined.select(
+        "doc_id",
+        (
+            F.col("_std").isNotNull() | (F.col("doc_id") > F.col("min_batch_id"))
+        ).cast("int").alias("is_exact_dup"),
     )
     hits = (
         new_sigs.select("doc_id", "band_id", "band_hash")
@@ -585,17 +616,24 @@ def conv_fingerprints(turns: DataFrame) -> DataFrame:
     collides with it. NULL-text turns drop out of the chain (concat_ws /
     string_agg both skip NULLs, engine-consistent).
 
-    Scale shape: ONE shuffle on conv_id — which is the table's native
-    hash-partition key (north rule), so on a conv-bucketed layout the
-    exchange disappears entirely. The aggregate carries (turn_idx, text)
-    structs only within each conversation's partition and reduces every
-    conversation to a single 32-byte digest row; nothing conversation-sized
-    crosses the wire afterwards."""
-    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
-    return turns.groupBy("conv_id").agg(
+    Scale shape: DIGEST-FIRST — each turn's text is reduced to its 32-hex
+    md5 in a narrow projection BEFORE the conv_id groupBy, so the exchange
+    and the per-conversation collect_list buffer carry (turn_idx, digest)
+    structs (~36 B/turn) regardless of turn size; a pathological
+    million-turn / megabyte-turn conversation costs 36 MB of state, not
+    gigabytes. The conv_id shuffle is the table's native hash-partition
+    key (north rule), so on a conv-bucketed layout the exchange disappears
+    entirely; every conversation reduces to a single 32-byte digest row.
+    Chain bytes are identical to hashing inside the aggregate: md5(NULL)
+    is NULL and concat_ws skips NULLs either way."""
+    digests = turns.select(
+        "conv_id", "turn_idx", F.md5("text").alias("_t_md5")
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "_t_md5")))
+    return digests.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.md5(
-            F.concat_ws("", F.transform(ordered, lambda s: F.md5(s["text"])))
+            F.concat_ws("", F.transform(ordered, lambda s: s["_t_md5"]))
         ).alias("conv_fp"),
     )
 

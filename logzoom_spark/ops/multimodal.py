@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary` columns
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The decode libraries (PIL/librosa/ffmpeg) are NOT in this container, so the
-decode step is a clearly-marked deterministic fake behind
-``decode_stub`` — but the Spark-side plumbing is real and tested: schema,
-binary payload handling through Arrow, `mapInPandas` batch shape,
+PNG decode is REAL and stdlib-only (`decode_png_bytes` / `decode_images`):
+zlib-inflated IDAT, per-scanline unfiltering (all five PNG filter types,
+numpy-vectorized along the row), pixel statistics — verified in pytest
+against an INDEPENDENT struct/zlib encoder. The remaining codec families
+(JPEG/GIF-LZW/audio/video) need libraries NOT in this container, so their
+decode stays a clearly-marked stub behind ``decode_stub`` — but the
+Spark-side plumbing is real and tested for every format: schema, binary
+payload handling through Arrow, `mapInPandas` batch shape,
 partition-friendly feature extraction.
 
 At scale: binary payloads ride in their own column; Parquet column pruning
@@ -52,13 +56,166 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_stub(payload: bytes) -> bytes:
-    """Placeholder for the real decoder (PIL.Image.open / av / soundfile).
-    Container lacks the codec libraries; a real deployment swaps this
-    function only — the surrounding Arrow plumbing is unchanged."""
+    """Placeholder for the NON-PNG decoders (JPEG via PIL, audio via
+    soundfile, video via av). Container lacks those codec libraries; a
+    real deployment swaps this function only — the surrounding Arrow
+    plumbing is unchanged. PNG is decoded for real: see
+    ``decode_png_bytes`` / ``decode_images`` (stdlib zlib + numpy)."""
     raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "container; extract_features uses a deterministic fake instead"
+        "non-PNG media decode requires image/audio libraries not present "
+        "in this container; PNG decodes for real via decode_png_bytes"
     )
+
+
+#: PNG color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png_bytes(payload: bytes):
+    """REAL stdlib PNG decode: walk the chunk stream, zlib-inflate the
+    concatenated IDAT data, undo the per-scanline filter (all five PNG
+    filter types — None/Sub/Up/Average/Paeth — vectorized along the row
+    with numpy; Sub/Paeth's left-neighbor dependency is sequential per
+    pixel-group, O(width/bpp) steps on bpp-strided lanes), and return
+    ``(width, height, channels, bit_depth, pixel_sum, n_pixels)`` where
+    pixel_sum is the exact integer sum of every decoded sample.
+
+    Supports non-interlaced 8-bit images of any color type (palette
+    indices sum as raw samples). Returns None for anything else —
+    truncated streams, bad CRCs, Adam7 interlace, 16-bit depth — the
+    counted-not-dropped convention (callers emit decode_ok=0).
+
+    cf. reference `logzoom`: no media path exists there; this is the
+    training-data-pipeline surface (SURVEY §2.3 multimodal)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) < 45:  # sig+IHDR+IDAT+IEND minimum
+        return None
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, meta = 8, [], None
+    try:
+        while pos + 8 <= len(payload):
+            (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            if len(data) != ln:
+                return None  # truncated chunk
+            (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+            if crc != zlib.crc32(ctype + data):
+                return None
+            if ctype == b"IHDR":
+                w, h, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if (
+                    depth != 8
+                    or interlace != 0
+                    or comp != 0
+                    or filt != 0
+                    or color not in _PNG_CHANNELS
+                    or w == 0
+                    or h == 0
+                ):
+                    return None
+                meta = (w, h, _PNG_CHANNELS[color], depth)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + ln
+        if meta is None or not idat:
+            return None
+        w, h, ch, depth = meta
+        raw = zlib.decompress(b"".join(idat))
+    except (struct.error, zlib.error):
+        return None
+    bpp = ch  # bytes per pixel at 8-bit depth
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    cur = rows[:, 1:].astype(np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    out = np.empty((h, stride), dtype=np.int64)
+    for y in range(h):
+        line = cur[y].copy()
+        f = filters[y]
+        if f == 0:
+            pass
+        elif f == 2:  # Up: whole-row vector op
+            line = (line + prev) & 0xFF
+        elif f in (1, 3, 4):
+            # left-dependency: walk in bpp-wide pixel groups, each group a
+            # vectorized lane of bpp samples
+            recon = np.zeros(stride + bpp, dtype=np.int64)
+            for x0 in range(0, stride, bpp):
+                left = recon[x0 : x0 + bpp]
+                up = prev[x0 : x0 + bpp]
+                seg = line[x0 : x0 + bpp]
+                if f == 1:  # Sub
+                    val = (seg + left) & 0xFF
+                elif f == 3:  # Average
+                    val = (seg + ((left + up) >> 1)) & 0xFF
+                else:  # Paeth — predictor needs the upper-left neighbor
+                    ul = prev[x0 - bpp : x0] if x0 >= bpp else np.zeros(bpp, dtype=np.int64)
+                    p = left + up - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                    )
+                    val = (seg + pred) & 0xFF
+                recon[x0 + bpp : x0 + 2 * bpp] = val
+            line = recon[bpp:]
+        else:
+            return None  # invalid filter byte
+        out[y] = line
+        prev = out[y]
+    return (int(w), int(h), int(ch), int(depth), int(out.sum()), int(w) * int(h))
+
+
+DECODED_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, bit_depth int, "
+    "pixel_sum bigint, n_pixels bigint, decode_ok int"
+)
+
+
+def decode_images(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched REAL PNG decode over a binary column: one
+    `mapInPandas` pass, `decode_png_bytes` per payload inside the batch
+    (zlib + numpy only — no codec libraries). Undecodable payloads
+    (non-PNG, truncated, bad CRC, interlaced, 16-bit) come back with
+    decode_ok=0 and NULL fields: counted, not dropped.
+
+    Scale shape: payload bytes are read exactly once, inside the Arrow
+    batch; column pruning keeps them out of every other projection, and
+    output rows are fixed-width stats (~48 B) regardless of image size —
+    so a downstream filter/agg never re-touches pixels."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            recs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                r = decode_png_bytes(payload)
+                if r is None:
+                    recs.append((doc_id, None, None, None, None, None, None, 0))
+                else:
+                    recs.append((doc_id, *r[:4], r[4], r[5], 1))
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "width", "height", "channels", "bit_depth",
+                    "pixel_sum", "n_pixels", "decode_ok",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
 def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:

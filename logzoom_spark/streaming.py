@@ -635,15 +635,21 @@ def streaming_conv_fingerprints(
     streaming fingerprint is byte-identical to the batch one for the same
     turns — and emits it once the conversation's session closes (no turn
     for ``gap``). State is one in-flight chain per open conversation,
-    evicted by the watermark."""
-    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    evicted by the watermark. Digest-first like the batch twin: each
+    turn collapses to its 32-hex md5 before the stateful aggregate, so
+    per-conversation session state is ~36 B/turn regardless of text
+    size."""
+    digests = turns_stream.select(
+        "conv_id", "turn_idx", "ts", F.md5("text").alias("_t_md5")
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "_t_md5")))
     return (
-        turns_stream.withWatermark("ts", watermark)
+        digests.withWatermark("ts", watermark)
         .groupBy("conv_id", F.session_window("ts", gap))
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
             F.md5(
-                F.concat_ws("", F.transform(ordered, lambda s: F.md5(s["text"])))
+                F.concat_ws("", F.transform(ordered, lambda s: s["_t_md5"]))
             ).alias("conv_fp"),
         )
     )

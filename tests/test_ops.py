@@ -2699,3 +2699,205 @@ def test_write_range_sharded_layout_total_order(spark, tmp_path):
     for (lo1, hi1, _), (lo2, hi2, _) in zip(seq, seq[1:]):
         assert hi1 < lo2
     assert sum(n for _, _, n in seq) == 1000
+
+
+def test_conv_fingerprints_digest_first_fat_conversation(spark):
+    """VERDICT r4 #4: a fat conversation (many turns x 1 KB texts) flows
+    through conv_dedup with DIGEST-ONLY shuffle state. Three checks:
+    (a) the fingerprint equals the pure-Python per-turn-md5 chain
+    byte-for-byte, (b) two copies of the fat conversation dedup together
+    against a one-byte variant, (c) the optimized plan hashes text BELOW
+    the aggregate — collect_list buffers the 32-hex digest, not bodies."""
+    import hashlib
+
+    from logzoom_spark.ops.dedup import conv_dedup, conv_fingerprints
+
+    n_turns = 20_000
+    body = "x" * 1000
+    texts = [f"{body}{i}" for i in range(n_turns)]
+    rows = (
+        [("fatA", i, texts[i]) for i in range(n_turns)]
+        + [("fatB", i, texts[i]) for i in range(n_turns)]
+        + [("fatC", i, texts[i] if i else texts[0] + "!") for i in range(n_turns)]
+    )
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    ).repartition(8)
+
+    chain = "".join(hashlib.md5(t.encode()).hexdigest() for t in texts)
+    expect_fp = hashlib.md5(chain.encode()).hexdigest()
+
+    out = {r.conv_id: r for r in conv_dedup(turns).collect()}
+    assert out["fatA"].conv_fp == expect_fp
+    assert out["fatA"].conv_fp == out["fatB"].conv_fp != out["fatC"].conv_fp
+    assert out["fatB"].canonical_conv == "fatA" and out["fatB"].is_canonical == 0
+    assert out["fatA"].n_turns == n_turns
+
+    plan = (
+        conv_fingerprints(turns)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the aggregate's buffer is struct(turn_idx, _t_md5); md5(text) happens
+    # in the projection below it, so `text` never enters collect_list
+    assert "_t_md5" in plan
+    agg_line = next(line for line in plan.splitlines() if "collect_list" in line)
+    assert "_t_md5" in agg_line and "text" not in agg_line
+
+
+def test_dedup_incremental_bloom_gated_equals_ungated(spark, tmp_path):
+    """VERDICT r4 #7: dedup_incremental(bloom=...) must produce verdicts
+    and survivor signatures byte-identical to the ungated path (Bloom has
+    false positives, never false negatives), while the standing-fp join's
+    probe side shrinks to the sketch-positive sliver — evidenced by
+    counting the positives directly with the same probe."""
+    from logzoom_spark.ops.dedup import build_signatures, dedup_incremental
+    from logzoom_spark.ops.sketch import bloom_build, bloom_probe
+
+    corpus = spark.createDataFrame(
+        [(i, f"standing document number {i} with stable unique content") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    std_path = str(tmp_path / "standing_sigs")
+    build_signatures(corpus).write.parquet(std_path)
+    standing = spark.read.parquet(std_path)
+    bloom = bloom_build(
+        standing.select("fp").distinct(), "fp", m_bits=4096, n_hashes=4
+    ).cache()
+
+    batch = spark.createDataFrame(
+        [(100, "standing document number 7 with stable unique content")]  # exact dup
+        + [(200 + i, f"fresh never seen before text variant {i}") for i in range(30)]
+        + [(300, "fresh never seen before text variant 0")],  # intra-batch dup
+        "doc_id bigint, text string",
+    )
+
+    v_plain, s_plain = dedup_incremental(batch, standing)
+    v_gated, s_gated = dedup_incremental(
+        batch, standing, bloom=bloom, bloom_m_bits=4096, bloom_n_hashes=4
+    )
+    key = lambda r: r.doc_id  # noqa: E731
+    assert sorted(v_plain.collect(), key=key) == sorted(v_gated.collect(), key=key)
+    assert sorted(s_plain.collect(), key=lambda r: (r.doc_id, r.band_id)) == sorted(
+        s_gated.collect(), key=lambda r: (r.doc_id, r.band_id)
+    )
+
+    # gate evidence: the join probe side is the positive sliver, far below
+    # batch size (the exact dup MUST be positive; most fresh fps negative)
+    batch_fps = build_signatures(batch).select("fp").distinct()
+    probe = bloom_probe(bloom, batch_fps, "fp", m_bits=4096, n_hashes=4)
+    n_fps = batch_fps.count()
+    n_pos = probe.filter("maybe_present").count()
+    assert 1 <= n_pos < n_fps // 2
+
+
+def _encode_png_independent(pixels, color_type, filters):
+    """Independent PNG encoder (test-side reference, struct/zlib only —
+    shares no code with the decoder): pixels is an (h, w*channels) uint8
+    array, filters one PNG filter type per row, applied per the spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    h, stride = pixels.shape
+    w = stride // bpp
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        line = pixels[y].astype(np.int64)
+        f = filters[y % len(filters)]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), line[:-bpp]])
+        up = prev
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = (line - left) % 256
+        elif f == 2:
+            enc = (line - up) % 256
+        elif f == 3:
+            enc = (line - ((left + up) >> 1)) % 256
+        else:
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+            enc = (line - pred) % 256
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        body += chunk(b"PLTE", bytes(range(256)) * 3)
+    # split IDAT in two chunks to prove multi-IDAT concatenation works
+    comp = zlib.compress(bytes(raw))
+    body += chunk(b"IDAT", comp[: len(comp) // 2])
+    body += chunk(b"IDAT", comp[len(comp) // 2 :])
+    body += chunk(b"IEND", b"")
+    return body
+
+
+def test_decode_images_real_png_roundtrip(spark):
+    """VERDICT r4 #6: the stdlib PNG decoder recovers exact pixel sums and
+    dimensions from PNGs produced by an INDEPENDENT encoder, across all
+    five filter types and four color types; corrupt/unsupported payloads
+    come back decode_ok=0 (counted, not dropped)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from logzoom_spark.ops.multimodal import decode_images, decode_png_bytes
+
+    rng = np.random.RandomState(7)
+    cases = []  # (doc_id, payload, expected or None)
+    for doc_id, (color, w, h) in enumerate(
+        [(2, 13, 9), (0, 31, 4), (6, 7, 7), (4, 5, 3), (3, 16, 5)]
+    ):
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+        px = rng.randint(0, 256, size=(h, w * ch)).astype(np.uint8)
+        payload = _encode_png_independent(px, color, filters=[0, 1, 2, 3, 4])
+        cases.append((doc_id, payload, (w, h, ch, int(px.astype(np.int64).sum()))))
+
+    good = _encode_png_independent(
+        rng.randint(0, 256, size=(4, 6 * 3)).astype(np.uint8), 2, [4]
+    )
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # flip a bit in IEND CRC
+    sixteen = bytearray(good)
+    sixteen[24] = 16  # bit depth byte in IHDR -> unsupported (and CRC now bad)
+    cases += [
+        (100, bytes(bad_crc), None),
+        (101, good[: len(good) - 20], None),  # truncated
+        (102, bytes(sixteen), None),
+        (103, b"GIF89a not a png", None),
+        (104, None, None),
+    ]
+
+    df = spark.createDataFrame(
+        [(d, p) for d, p, _ in cases], "doc_id bigint, payload binary"
+    )
+    out = {r.doc_id: r for r in decode_images(df).collect()}
+    assert len(out) == len(cases)
+    for doc_id, payload, expect in cases:
+        r = out[doc_id]
+        if expect is None:
+            assert r.decode_ok == 0 and r.pixel_sum is None
+        else:
+            w, h, ch, psum = expect
+            assert (r.decode_ok, r.width, r.height, r.channels) == (1, w, h, ch)
+            assert (r.pixel_sum, r.n_pixels) == (psum, w * h)
+
+    # pure-function twin (driver-side escape hatch) agrees with the UDF
+    direct = decode_png_bytes(cases[0][1])
+    assert direct[:3] == cases[0][2][:3] and direct[4] == cases[0][2][3]
