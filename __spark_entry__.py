@@ -1976,8 +1976,10 @@ def q_bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed BPE tokenizer training (ops/bpe.py): 12 merge rounds
     over the frequency-weighted vocabulary table; returns the learned
     merge sequence (rank, left, right, merged). Iterative driver loop
-    (bounded 1-row collect/round) — rows-only driver check; the algorithm
-    is pytest-verified against an independent pure-Python reference."""
+    (bounded 1-row collect/round) with a FULL value oracle: the fixed
+    12-round deterministic merge loop unrolls into 12 chained DuckDB
+    CTEs (oracles._bpe_rounds_sql); also pytest-verified against an
+    independent pure-Python reference."""
     from logzoom_spark.ops.bpe import bpe_learn
 
     merges, _ = bpe_learn(_read(spark, sf, "documents"), n_merges=12)
@@ -1990,8 +1992,8 @@ def q_bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
 def q_bpe_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Apply a learned BPE segmentation corpus-wide: per-doc word and
     BPE-token counts via a broadcast vocabulary join (never per-doc
-    Python) — the token-budget input to chunking/packing. Rows-only
-    driver check (learn is iterative); pytest-verified vs pure Python."""
+    Python) — the token-budget input to chunking/packing. Full value oracle via
+    the unrolled 12-round CTE chain; pytest-verified vs pure Python."""
     from logzoom_spark.ops.bpe import bpe_encode_counts, bpe_learn
 
     docs = _read(spark, sf, "documents")
@@ -2017,8 +2019,8 @@ def q_pack_by_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     per doc (broadcast vocabulary join), then pack the corpus by those
     counts via `pack_sequences(n_tokens_col=...)` — the packer never
     touches text. The learned-tokenizer twin of `pack_sequences`
-    (whitespace counts); rows-only driver check (learn is iterative),
-    pytest-verified composition."""
+    (whitespace counts); full value oracle (unrolled merge CTEs feeding
+    the pack prefix-sum SQL), pytest-verified composition."""
     from logzoom_spark.ops.bpe import bpe_encode_counts, bpe_learn
     from logzoom_spark.ops.corpus import pack_sequences
 
@@ -2186,6 +2188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q20": q_tpch_q20,
         "mixture_plan": q_mixture_plan,
+        # full-value BPE oracles are new in round 5 (previously no_oracle):
+        # back into the prefix so CORRECTNESS_r05 records them hash-green
+        "bpe_learn_merges": q_bpe_learn_merges,
+        "bpe_encode_tokens": q_bpe_encode_tokens,
         # --- round-5 additions fill the remaining prefix slots ---
         # --- already driver-recorded green in r01..r04 ---
         "semdedup_kmeans": q_semdedup_kmeans,
@@ -2213,8 +2219,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": q_hll_distinct_users,
         "skew_key_stats": q_skew_key_stats,
         "rp_rerank_topk": q_rp_rerank_topk,
-        "bpe_learn_merges": q_bpe_learn_merges,
-        "bpe_encode_tokens": q_bpe_encode_tokens,
         "cms_user_counts": q_cms_user_counts,
         "hist_quantiles": q_hist_quantiles,
         "pack_sequences": q_pack_sequences,

@@ -22,9 +22,11 @@ pair — so, like k-means (`ops/kmeans.py`) and connected components
   character count — counted, not dropped.
 
 Verification: pytest against an independent pure-Python reference
-implementation (same tie-breaks: count desc, then pair lexicographic asc);
-the queries() entries are driver rows-only checks (iterative, not
-SQL-expressible — the documented weaker-oracle class, like streaming).
+implementation (same tie-breaks: count desc, then pair lexicographic asc),
+PLUS full DuckDB value oracles — the fixed 12-round deterministic loop
+unrolls into 12 chained CTE rounds (`oracles._bpe_rounds_sql`), with the
+greedy left-to-right merge expressed non-sequentially (merge starts where
+the pair matches and, for a == b, an even number of a's precedes in-run).
 """
 
 from __future__ import annotations

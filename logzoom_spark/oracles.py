@@ -2954,3 +2954,132 @@ SELECT node AS vec_id, min(label) AS cluster_id,
        CASE WHEN node = min(label) THEN 1 ELSE 0 END AS is_canonical
 FROM reach GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE (ops/bpe.py) — FULL value oracles (VERDICT r4 #2). The merge
+# loop is deterministic (count desc, (a,b) lexicographic asc, min_pair_count
+# stop), and n_merges is fixed at 12 in the queries() entries, so the loop
+# unrolls into 12 chained CTE rounds. Each round: pair counts over the
+# current segmentation -> single winner (empty when the best count < 2;
+# once stopped it stays stopped, since no merge was applied) -> greedy
+# left-to-right merge expressed NON-sequentially: a merge starts at i iff
+# (syms[i], syms[i+1]) = (a, b) and, when a = b, an EVEN number of
+# consecutive a's precedes i in its run (matches at distinct a != b never
+# overlap, runs of a = b pair up from the left — provably the greedy fold).
+# MATERIALIZED CTEs: each round's vocab is referenced twice downstream;
+# inlining would double the scan count per round (2^12 blowup).
+# ---------------------------------------------------------------------------
+
+def _bpe_rounds_sql(n_merges: int = 12, min_cnt: int = 2) -> str:
+    """WITH-clause body for the unrolled BPE merge loop: wc (frequency-
+    weighted vocabulary), v0 (char segmentation), then per round r:
+    p{r} pair counts, w{r} winner (0 or 1 row), g{r} winner-as-one-row
+    (NULLs when stopped — lambdas can't hold subqueries), s{r} merge-start
+    positions, v{r} merged vocab."""
+    cte = [r"""wc AS MATERIALIZED (
+  SELECT w.word, count(*)::BIGINT AS cnt
+  FROM documents d,
+       unnest(regexp_split_to_array(lower(trim(coalesce(d.text,''))), '\s+')) AS w(word)
+  WHERE w.word <> ''
+  GROUP BY 1
+)""", """v0 AS MATERIALIZED (
+  SELECT word, cnt,
+         list_transform(generate_series(1, length(word)), i -> word[i]) AS syms
+  FROM wc
+)"""]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        cte.append(f"""p{r} AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt)::BIGINT AS cnt
+  FROM v{p}, unnest(generate_series(1, len(syms)-1)) AS t(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2
+)""")
+        cte.append(f"""w{r} AS (
+  SELECT a, b FROM p{r} WHERE cnt >= {min_cnt}
+  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+)""")
+        cte.append(f"""g{r} AS (
+  SELECT (SELECT a FROM w{r}) AS a, (SELECT b FROM w{r}) AS b
+)""")
+        cte.append(f"""s{r} AS MATERIALIZED (
+  SELECT word, cnt, syms, g.a AS ma, g.b AS mb,
+    list_filter(generate_series(1, len(syms)-1), i ->
+      syms[i] = g.a AND syms[i+1] = g.b AND
+      (g.a <> g.b OR
+       ((i - 1 - coalesce(list_max(list_filter(generate_series(1, i-1),
+                                               j -> syms[j] <> g.a)), 0)) % 2 = 0))
+    ) AS starts
+  FROM v{p} CROSS JOIN g{r} g
+)""")
+        cte.append(f"""v{r} AS MATERIALIZED (
+  SELECT word, cnt,
+    CASE WHEN len(starts) = 0 THEN syms ELSE
+      list_transform(
+        list_filter(generate_series(1, len(syms)), q -> NOT list_contains(starts, q-1)),
+        q -> CASE WHEN list_contains(starts, q) THEN ma || mb ELSE syms[q] END)
+    END AS syms
+  FROM s{r}
+)""")
+    return ",\n".join(cte)
+
+
+_BPE_N = 12
+
+ORACLES["bpe_learn_merges"] = (
+    "WITH " + _bpe_rounds_sql(_BPE_N) + "\n"
+    + "\nUNION ALL\n".join(
+        f'SELECT {r - 1} AS rank, a AS "left", b AS "right", a || b AS merged FROM w{r}'
+        for r in range(1, _BPE_N + 1)
+    )
+)
+
+# encode: every corpus word is in the learned vocab (trained on the same
+# corpus), but keep the char-length OOV fallback for exact twin-ness
+ORACLES["bpe_encode_tokens"] = (
+    "WITH " + _bpe_rounds_sql(_BPE_N) + ",\n"
+    + r"""enc AS (
+  SELECT d.doc_id, w.word
+  FROM documents d,
+       unnest(regexp_split_to_array(lower(trim(coalesce(d.text,''))), '\s+')) AS w(word)
+  WHERE w.word <> ''
+)
+SELECT e.doc_id, count(*)::BIGINT AS n_words,
+       sum(coalesce(len(v.syms), length(e.word)))::BIGINT AS n_bpe_tokens
+FROM enc e LEFT JOIN v12 v USING (word)
+GROUP BY e.doc_id
+"""
+)
+
+ORACLES["pack_by_bpe_tokens"] = (
+    "WITH " + _bpe_rounds_sql(_BPE_N) + ",\n"
+    + rf"""enc AS (
+  SELECT d.doc_id, w.word
+  FROM documents d,
+       unnest(regexp_split_to_array(lower(trim(coalesce(d.text,''))), '\s+')) AS w(word)
+  WHERE w.word <> ''
+),
+counts AS (
+  SELECT e.doc_id,
+         sum(coalesce(len(v.syms), length(e.word)))::BIGINT AS n_tokens,
+         {portable_hash_sql("cast(e.doc_id AS VARCHAR)")} AS h
+  FROM enc e LEFT JOIN v12 v USING (word)
+  GROUP BY e.doc_id
+),
+o AS (
+  SELECT doc_id, n_tokens,
+    cast(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS tok_offset
+  FROM counts
+)
+SELECT doc_id, n_tokens, tok_offset,
+  cast(tok_offset // 512 AS BIGINT) AS first_seq,
+  cast(tok_offset % 512 AS BIGINT) AS pos_in_first_seq,
+  cast((tok_offset + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS last_seq,
+  cast((tok_offset + greatest(n_tokens, 1) - 1) // 512
+       - tok_offset // 512 + 1 AS BIGINT) AS n_seqs
+FROM o
+"""
+)
