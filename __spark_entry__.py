@@ -2134,6 +2134,74 @@ def q_vocab_stats_lang(spark: SparkSession, sf: str) -> DataFrame:
     return vocab_stats(_read(spark, sf, "documents"))
 
 
+
+def q_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance scoring (round 5): fixed-point hashed-unigram
+    likelihood ratio of the lang='en' target slice vs the raw corpus, one
+    broadcast weight join — the data-selection primitive (Xie et al. 2023)."""
+    from logzoom_spark.ops.text import dsir_importance
+
+    return dsir_importance(_read(spark, sf, "documents"))
+
+
+def q_tfidf_topk_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc top-3 characteristic terms by integer TF-IDF (fixed-point
+    IDF, WindowGroupLimit top-k per doc) over the inverted-index substrate."""
+    from logzoom_spark.ops.retrieval import tfidf_topk_terms
+
+    return tfidf_topk_terms(_read(spark, sf, "documents"), k=3)
+
+
+def q_edit_distance_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Levenshtein verification of LSH candidate pairs — the
+    precision stage after banding recall; JVM builtin distance over
+    normalized text, candidates only (never all pairs)."""
+    from logzoom_spark.ops.dedup import edit_distance_verify
+
+    return edit_distance_verify(_read(spark, sf, "documents"), hasher="md5")
+
+
+def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential view→click→purchase funnel with earliest-arrival
+    semantics: per-step user counts via chained (user_id, min ts)
+    aggregates — every exchange co-partitioned on user_id."""
+    from logzoom_spark.ops.relational import funnel_counts
+
+    return funnel_counts(_read(spark, sf, "events"))
+
+
+def q_window_dedup_first(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-windowed (daily) first-seen dedup verdicts per
+    (user_id, event_type): one shuffle on (key, day), counted-not-dropped."""
+    from logzoom_spark.ops.dedup import window_dedup_first
+
+    return window_dedup_first(_read(spark, sf, "events"))
+
+
+def q_json_field_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-on-read JSON field promotion stats: get_json_object extract
+    (row-local, codegen) + one bounded groupBy on event_type."""
+    from logzoom_spark.aggregate import json_field_stats
+
+    return json_field_stats(_read(spark, sf, "events"))
+
+
+def q_token_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-lang token-length histogram (width-16 bins, capped overflow
+    bucket) — the length-filter design input; zero joins, bounded state."""
+    from logzoom_spark.ops.text import token_length_histogram
+
+    return token_length_histogram(_read(spark, sf, "documents"))
+
+
+def q_knn_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN recall@5 harness: production knn_join vs brute-force ground
+    truth on a bounded query sample (vec_id < 50) — per-query recall_bps."""
+    from logzoom_spark.ops.similarity import knn_recall_eval
+
+    return knn_recall_eval(_read(spark, sf, "embeddings"), max_query_id=50, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness run records exactly the FIRST
     # 50 dict keys. Round-5 rotation (per VERDICT r4 top_next): the 44
@@ -2193,6 +2261,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn_merges": q_bpe_learn_merges,
         "bpe_encode_tokens": q_bpe_encode_tokens,
         # --- round-5 additions fill the remaining prefix slots ---
+        "dsir_importance": q_dsir_importance,
+        "tfidf_topk_terms": q_tfidf_topk_terms,
+        "edit_distance_verify": q_edit_distance_verify,
+        "event_funnel": q_event_funnel,
+        # --- round-5 additions past the prefix (rotate in next round) ---
+        "window_dedup_first": q_window_dedup_first,
+        "json_field_stats": q_json_field_stats,
+        "token_length_histogram": q_token_length_histogram,
+        "knn_recall_eval": q_knn_recall_eval,
         # --- already driver-recorded green in r01..r04 ---
         "semdedup_kmeans": q_semdedup_kmeans,
         "remove_dup_spans": q_remove_dup_spans,

@@ -360,6 +360,14 @@ def main() -> None:
     bench("ivf_upsert", lambda: _noop(se.q_ivf_upsert(spark, sf_dir)))
     bench("remove_dup_spans", lambda: _noop(se.q_remove_dup_spans(spark, sf_dir)))
     bench("semdedup_kmeans", lambda: _noop(se.q_semdedup_kmeans(spark, sf_dir)), runs=1)
+    bench("dsir_importance", lambda: _noop(se.q_dsir_importance(spark, sf_dir)))
+    bench("tfidf_topk_terms", lambda: _noop(se.q_tfidf_topk_terms(spark, sf_dir)))
+    bench(
+        "edit_distance_verify",
+        lambda: _noop(se.q_edit_distance_verify(spark, sf_dir)),
+    )
+    bench("event_funnel", lambda: _noop(se.q_event_funnel(spark, sf_dir)))
+    bench("knn_recall_eval", lambda: _noop(se.q_knn_recall_eval(spark, sf_dir)))
 
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
     # real sink files — measures sink I/O, which on this shared host is

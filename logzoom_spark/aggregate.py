@@ -161,3 +161,36 @@ def salted_counts(
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
     return stage1.groupBy(key).agg(F.sum("_cnt").alias("cnt"))
+
+
+def json_field_stats(
+    events: DataFrame,
+    field: str = "k",
+    group_col: str = "event_type",
+    json_col: str = "props",
+) -> DataFrame:
+    """Per-group stats of one integer field inside a JSON props column —
+    the schema-on-read aggregation every telemetry pipeline runs before
+    promoting a JSON field to a real column: (group, n_events, n_with_field,
+    sum_v, min_v, max_v, n_distinct_v). Field extraction is
+    `get_json_object` (JVM JsonPath, codegen) — malformed JSON or a
+    missing key yields NULL: counted in n_events, absent from the field
+    stats (the counted-not-dropped rule).
+
+    Scale shape: extraction is row-local; the aggregate is one map-side-
+    combined groupBy on the (bounded) group key. distinct-count is exact
+    (per-group value sets are bounded here); swap in the KMV/HLL sketch
+    ops for unbounded-cardinality fields."""
+    v = F.get_json_object(F.col(json_col), f"$.{field}").cast("bigint")
+    return (
+        events.select(F.col(group_col).alias("grp"), v.alias("_v"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("_v").alias("n_with_field"),
+            F.sum("_v").alias("sum_v"),
+            F.min("_v").alias("min_v"),
+            F.max("_v").alias("max_v"),
+            F.countDistinct("_v").alias("n_distinct_v"),
+        )
+    )

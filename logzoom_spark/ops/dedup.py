@@ -660,3 +660,90 @@ def conv_dedup(turns: DataFrame) -> DataFrame:
         )
         .select("conv_id", "conv_fp", "n_turns", "canonical_conv", "is_canonical")
     )
+
+
+def edit_distance_verify(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    col: str = "text",
+    hasher: str = "xx",
+    max_len: int = 2000,
+) -> DataFrame:
+    """Exact edit-distance verification of near-dup CANDIDATE pairs — the
+    precision stage after LSH recall: each (doc_a, doc_b) candidate gets
+    its true Levenshtein distance over lowercased, whitespace-normalized
+    text plus a similarity in bps (10000 * (1 - dist/longer_len)). The
+    caller thresholds sim_bps; both verdicts stay in the row (counted,
+    not dropped).
+
+    ``pairs`` defaults to `lsh_candidate_pairs(docs)` — NEVER all pairs:
+    Levenshtein is O(len_a * len_b) per pair, so the candidate set must
+    already be banded/bucketed. Texts are truncated to ``max_len`` chars
+    before the distance (bounds worst-case cell count per pair at scale;
+    set it to your corpus P99).
+
+    Scale shape: candidates carry ids only; each side's normalized text
+    joins in by doc_id (two shuffles on the corpus' native key — or zero
+    with a doc_id-bucketed layout), then the distance is a row-local
+    JVM builtin (`levenshtein`), no Python."""
+    if pairs is None:
+        pairs = lsh_candidate_pairs(docs, hasher=hasher)
+    norm = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(
+                F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+", " "
+            ),
+            1,
+            max_len,
+        ).alias("_t"),
+    )
+    joined = (
+        pairs.select("doc_a", "doc_b")
+        .join(norm.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("ta")), "doc_a")
+        .join(norm.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("tb")), "doc_b")
+    )
+    longer = F.greatest(F.length("ta"), F.length("tb")).cast("bigint")
+    dist = F.levenshtein("ta", "tb").cast("bigint")
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        dist.alias("edit_dist"),
+        longer.alias("longer_len"),
+    ).withColumn(
+        "sim_bps",
+        F.when(
+            F.col("longer_len") > 0,
+            F.expr("10000L - (10000L * edit_dist) div longer_len"),
+        ).otherwise(F.lit(10000)).cast("bigint"),
+    )
+
+
+def window_dedup_first(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    granularity: str = "day",
+) -> DataFrame:
+    """Time-windowed dedup verdicts over an event log: within each
+    (key..., calendar bucket) group, the earliest event (ts, then id — 
+    deterministic under ties) is the canonical first occurrence; the rest
+    are window-duplicates. The daily-dedup / first-seen primitive every
+    log pipeline runs before billing or alerting. One row per input event
+    (counted, not dropped): (id, key..., bucket, is_first).
+
+    Scale shape: ONE shuffle on (key, bucket) — higher cardinality than
+    the raw key, so daily windows also break up hot keys; per-group state
+    is a row_number over the group only. With the log laid out
+    time-partitioned, partition pruning makes any date range a
+    bucket-local scan."""
+    bucket = F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
+    w = Window.partitionBy(*key_cols, "bucket").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        events.select(id_col, *key_cols, bucket, ts_col)
+        .withColumn("is_first", (F.row_number().over(w) == 1).cast("int"))
+        .select(id_col, *key_cols, "bucket", "is_first")
+    )

@@ -159,3 +159,55 @@ def salted_join(
     return bs.join(
         ss, (bs[big_key] == ss[small_key]) & (bs["_salt"] == ss["_salt"])
     ).drop("_salt")
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sequential funnel over an event log: a user reaches step i+1 when
+    an event of that type occurs STRICTLY AFTER their earliest arrival at
+    step i (earliest-arrival semantics — the standard product-analytics
+    funnel; cf. window funnel functions in public OLAP engines). Returns
+    one row per step: (step_idx, step, n_users), n_users monotonically
+    non-increasing.
+
+    Scale shape: each stage is a type-filtered min-aggregate on user_id
+    (the log's natural bucket key) followed by a user_id equi-join with
+    the previous stage's (user, ts) pairs — every exchange carries
+    (user_id, timestamp) rows only, co-partitioned across stages, so the
+    whole funnel reuses ONE hash partitioning; step count bounds the
+    stage chain. NULL users are excluded (no identity to follow)."""
+    if not steps:
+        raise ValueError("need at least one funnel step")
+    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    base = events.filter(u.isNotNull()).select(
+        u.alias("_u"), ty.alias("_ty"), t.alias("_ts")
+    )
+    reached = (
+        base.filter(F.col("_ty") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_arr"))
+    )
+    out_rows = [reached.select(F.lit(0).alias("step_idx"), F.lit(steps[0]).alias("step"), F.col("_u"))]
+    for i, s in enumerate(steps[1:], start=1):
+        nxt = (
+            base.filter(F.col("_ty") == s)
+            .join(reached.select("_u", "_arr"), "_u")
+            .filter(F.col("_ts") > F.col("_arr"))
+            .groupBy("_u")
+            .agg(F.min("_ts").alias("_arr"))
+        )
+        reached = nxt
+        out_rows.append(
+            reached.select(F.lit(i).alias("step_idx"), F.lit(s).alias("step"), F.col("_u"))
+        )
+    allr = out_rows[0]
+    for r in out_rows[1:]:
+        allr = allr.unionByName(r)
+    return allr.groupBy("step_idx", "step").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

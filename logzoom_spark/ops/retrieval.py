@@ -332,3 +332,43 @@ def bm25_query_join(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def tfidf_topk_terms(docs: DataFrame, k: int = 3, scale: int = 1000) -> DataFrame:
+    """Per-document top-k characteristic terms by integer TF-IDF: score =
+    tf * ((N * scale) div df) — fixed-point IDF instead of float log, so
+    every engine ranks identically (log is monotone in N/df, so the top-k
+    SET matches the float formulation whenever no two terms tie across
+    the scale quantum; rank ties break on term asc, deterministic).
+
+    Returns (doc_id, term, tf, df, tfidf, term_rank), term_rank 1..k.
+
+    Scale shape: postings build is the inverted-index exchange
+    (`build_postings`); df is a second vocab-sized aggregate joined back
+    BROADCAST; N inlines as a 1-row broadcast cross join (no driver
+    action). Top-k per doc is row_number ≤ k over (doc_id) — Spark's
+    WindowGroupLimit keeps at most k rows per doc per input partition
+    below the exchange; no global sort."""
+    from pyspark.sql import Window
+
+    postings = build_postings(docs).filter(F.col("token") != "")
+    df_tbl = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        postings.join(F.broadcast(df_tbl), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("token").alias("term"),
+            "tf",
+            "df",
+            F.expr(f"tf * ((_n * {scale}L) div df)").cast("bigint").alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= k)
+    )

@@ -669,3 +669,64 @@ def rp_rerank_topk(
         .orderBy(F.desc("dot"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def knn_recall_eval(
+    emb: DataFrame,
+    max_query_id: int = 50,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """ANN quality harness: recall@k of the IVF `knn_join` against exact
+    brute-force ground truth, per query — the eval every ANN deployment
+    runs when tuning n_cells/n_probe. Returns (query_id, n_hits,
+    recall_bps) with recall_bps = 10000 * |approx ∩ exact| div k.
+
+    Scale shape: ground truth is computed ONLY for the bounded query
+    sample (the standard recall protocol — never corpus × corpus): the
+    sample broadcasts against one scan of the corpus, per-query top-k via
+    WindowGroupLimit (k rows per query per partition cross the exchange).
+    The approx side is the production `knn_join` plan unchanged, so the
+    harness measures exactly what serving runs. Intersection is a
+    digest-width (query_id, vec_id) semi-join."""
+    from pyspark.sql import Window
+
+    queries = emb.filter(F.col("vec_id") < max_query_id)
+    approx = knn_join(
+        emb, queries=queries, k=k, n_cells=n_cells, n_probe=n_probe, scale=scale
+    ).select("query_id", "vec_id")
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        quantize(F.col("embedding"), scale).alias("qq"),
+    )
+    base = emb.select("vec_id", quantize(F.col("embedding"), scale).alias("v"))
+    scored = (
+        base.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dot(F.col("v"), F.col("qq")).alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(f"(10000L * coalesce(n_hits, 0L)) div {k}L").cast("bigint").alias(
+                "recall_bps"
+            ),
+        )
+    )

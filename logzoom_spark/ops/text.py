@@ -427,3 +427,95 @@ def boilerplate_lines(
         F.size(keep_idx).cast("bigint").alias("n_kept"),
         (F.size(lcol) - F.size(keep_idx)).cast("bigint").alias("n_removed"),
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_col: str = "lang",
+    target_value: str = "en",
+    col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, Data Selection via
+    Importance Resampling — public algorithm): score every document by how
+    much its hashed-unigram distribution resembles a TARGET slice of the
+    corpus relative to the RAW distribution. Integer-exact variant: each
+    word's weight is (target_cnt * scale) div raw_cnt — a fixed-point
+    likelihood ratio instead of float log-probabilities, so Spark and any
+    SQL engine agree bit-for-bit — and a doc's score is the sum of its
+    token occurrences' weights, normalized per token (`avg_weight`).
+    Downstream selection keeps the top quantile by avg_weight (compose
+    with `range_shards`/`quality_prune_per_group`).
+
+    Returns (doc_id, n_tokens, dsir_score, avg_weight); docs with no
+    tokens are absent (nothing to score — the SQL GROUP BY convention).
+
+    Scale shape: two vocabulary aggregations (map-side combined,
+    vocab-sized exchanges), ONE broadcast join of the weight table onto
+    the exploded corpus, one doc_id agg. The corpus crosses the wire as
+    (doc_id, word) pairs exactly once; weights are vocabulary-sized and
+    broadcastable at any corpus size (hash-bucket the vocab to cap it,
+    as DSIR's 10^4-bucket hashing does)."""
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+    words = docs.select(
+        "doc_id",
+        F.col(target_col).alias("_tgt"),
+        F.explode(toks).alias("word"),
+    ).filter(F.col("word") != "")
+    weights = (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("raw_cnt"),
+            F.sum((F.col("_tgt") == target_value).cast("bigint")).alias("tgt_cnt"),
+        )
+        .select(
+            "word",
+            F.expr(f"(tgt_cnt * {scale}L) div raw_cnt").alias("w"),
+        )
+    )
+    return (
+        words.join(F.broadcast(weights), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("dsir_score"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dsir_score",
+            F.expr("dsir_score div n_tokens").cast("bigint").alias("avg_weight"),
+        )
+    )
+
+
+def token_length_histogram(
+    docs: DataFrame,
+    group_col: str = "lang",
+    col: str = "text",
+    bin_width: int = 16,
+    max_bin: int = 512,
+) -> DataFrame:
+    """Per-group token-length histogram — the length-filter design input
+    every corpus pipeline computes before choosing min/max-length cuts:
+    (group, bucket_lo, n_docs, sum_tokens) where bucket_lo = the doc's
+    token count floored to ``bin_width`` and capped at ``max_bin`` (one
+    overflow bucket keeps state bounded regardless of the longest doc).
+
+    Zero-joins: one projection computes the count row-locally, one
+    map-side-combined groupBy over (group, bucket) — at most
+    n_groups * (max_bin/bin_width + 1) cells of state at any scale."""
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+    nt = F.size(F.filter(toks, lambda t: t != "")).cast("bigint")
+    bucket = F.least(
+        F.expr(f"(_nt div {bin_width}L) * {bin_width}L"), F.lit(max_bin).cast("bigint")
+    )
+    return (
+        docs.select(F.col(group_col).alias("grp"), nt.alias("_nt"))
+        .select("grp", bucket.alias("bucket_lo"), "_nt")
+        .groupBy("grp", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("sum_tokens"),
+        )
+    )

@@ -3083,3 +3083,192 @@ SELECT doc_id, n_tokens, tok_offset,
 FROM o
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators
+# ---------------------------------------------------------------------------
+
+# DSIR-style importance scoring (ops/text.dsir_importance): fixed-point
+# target/raw likelihood ratios, broadcast weight join
+ORACLES["dsir_importance"] = r"""
+WITH words AS (
+  SELECT d.doc_id, d.lang, w.word
+  FROM documents d,
+       unnest(regexp_split_to_array(lower(trim(coalesce(d.text,''))), '\s+')) AS w(word)
+  WHERE w.word <> ''
+),
+wt AS (
+  SELECT word,
+         (sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000) // count(*) AS w
+  FROM words GROUP BY word
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(w)::BIGINT AS dsir_score,
+       (sum(w) // count(*))::BIGINT AS avg_weight
+FROM words JOIN wt USING (word)
+GROUP BY doc_id
+"""
+
+# Integer TF-IDF top-3 terms per doc (ops/retrieval.tfidf_topk_terms)
+ORACLES["tfidf_topk_terms"] = r"""
+WITH post AS (
+  SELECT d.doc_id, w.word AS term, count(*)::BIGINT AS tf
+  FROM documents d,
+       unnest(regexp_split_to_array(lower(trim(coalesce(d.text,''))), '\s+')) AS w(word)
+  WHERE w.word <> ''
+  GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf, f.df,
+         (p.tf * ((n.n_docs * 1000) // f.df))::BIGINT AS tfidf
+  FROM post p JOIN dfs f USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, term_rank FROM (
+  SELECT *, cast(row_number() OVER (PARTITION BY doc_id
+           ORDER BY tfidf DESC, term ASC) AS INT) AS term_rank
+  FROM scored
+) WHERE term_rank <= 3
+"""
+
+# Levenshtein verification of LSH candidate pairs
+# (ops/dedup.edit_distance_verify over lsh_candidate_pairs' oracle SQL)
+ORACLES["edit_distance_verify"] = f"""
+WITH cand AS ({ORACLES["lsh_candidate_pairs"]}),
+norm AS (
+  SELECT doc_id,
+         substring(regexp_replace(lower(trim(coalesce(text,''))), '\\s+', ' ', 'g'),
+                   1, 2000) AS t
+  FROM documents
+),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+         levenshtein(a.t, b.t)::BIGINT AS edit_dist,
+         greatest(length(a.t), length(b.t))::BIGINT AS longer_len
+  FROM cand c
+  JOIN norm a ON a.doc_id = c.doc_a
+  JOIN norm b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, edit_dist, longer_len,
+       CASE WHEN longer_len > 0
+            THEN 10000 - (10000 * edit_dist) // longer_len
+            ELSE 10000 END::BIGINT AS sim_bps
+FROM j
+"""
+
+# Sequential funnel with earliest-arrival semantics
+# (ops/relational.funnel_counts, steps view -> click -> purchase)
+ORACLES["event_funnel"] = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS arr FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS arr
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.arr
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS arr
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.arr
+  GROUP BY e.user_id
+)
+SELECT 0 AS step_idx, 'view' AS step, count(*)::BIGINT AS n_users FROM s0
+UNION ALL
+SELECT 1, 'click', count(*)::BIGINT FROM s1 WHERE (SELECT count(*) FROM s1) > 0
+UNION ALL
+SELECT 2, 'purchase', count(*)::BIGINT FROM s2 WHERE (SELECT count(*) FROM s2) > 0
+"""
+
+# Daily first-seen dedup verdicts (ops/dedup.window_dedup_first)
+ORACLES["window_dedup_first"] = """
+SELECT event_id, user_id, event_type,
+       cast(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       CASE WHEN row_number() OVER (
+              PARTITION BY user_id, event_type, date_trunc('day', ts)
+              ORDER BY ts ASC, event_id ASC) = 1
+            THEN 1 ELSE 0 END AS is_first
+FROM events
+"""
+
+# JSON field promotion stats (aggregate.json_field_stats)
+ORACLES["json_field_stats"] = """
+WITH x AS (
+  SELECT event_type AS grp,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+  FROM events
+)
+SELECT grp, count(*)::BIGINT AS n_events, count(v)::BIGINT AS n_with_field,
+       sum(v)::BIGINT AS sum_v, min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v,
+       count(DISTINCT v)::BIGINT AS n_distinct_v
+FROM x GROUP BY grp
+"""
+
+# Per-lang token-length histogram (ops/text.token_length_histogram)
+ORACLES["token_length_histogram"] = r"""
+WITH t AS (
+  SELECT lang AS grp,
+    cast(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+         ELSE length(regexp_split_to_array(lower(trim(text)), '\s+')) END AS BIGINT)
+      AS nt
+  FROM documents
+)
+SELECT grp, least((nt // 16) * 16, 512)::BIGINT AS bucket_lo,
+       count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS sum_tokens
+FROM t GROUP BY 1, 2
+"""
+
+# ANN recall@5 harness (ops/similarity.knn_recall_eval): the production
+# knn_join plan (queries vec_id < 50, k = 5, 16 cells, 4 probes) vs exact
+# brute-force ground truth on the same bounded query sample
+ORACLES["knn_recall_eval"] = f"""
+WITH qv AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
+cents AS (SELECT vec_id AS cell, q AS cv FROM qv WHERE vec_id < 16),
+ascored AS (
+  SELECT v.vec_id, v.q, c.cell,
+         cast(list_sum(list_transform(range(1, 65), i -> v.q[i] * c.cv[i])) AS BIGINT)
+           * 16 - c.cell AS ord
+  FROM qv v CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, q, arg_max(cell, ord) AS cell FROM ascored GROUP BY vec_id, q),
+queries AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < 50),
+probe AS (
+  SELECT query_id, qq, cell FROM (
+    SELECT qu.query_id, qu.qq, c.cell,
+           row_number() OVER (PARTITION BY qu.query_id ORDER BY
+             cast(list_sum(list_transform(range(1, 65), i -> c.cv[i] * qu.qq[i])) AS BIGINT)
+               * 16 - c.cell DESC) AS rn
+    FROM queries qu CROSS JOIN cents c
+  ) WHERE rn <= 4
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY
+             cast(list_sum(list_transform(range(1, 65), i -> a.q[i] * p.qq[i])) AS BIGINT)
+               DESC, a.vec_id) AS rnk
+    FROM probe p JOIN assigned a USING (cell)
+    WHERE a.vec_id <> p.query_id
+  ) WHERE rnk <= 5
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, v.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             cast(list_sum(list_transform(range(1, 65), i -> v.q[i] * q.qq[i])) AS BIGINT)
+               DESC, v.vec_id) AS rn
+    FROM queries q CROSS JOIN qv v
+    WHERE v.vec_id <> q.query_id
+  ) WHERE rn <= 5
+)
+SELECT e.query_id,
+       count(a.vec_id)::BIGINT AS n_hits,
+       ((10000 * count(a.vec_id)) // 5)::BIGINT AS recall_bps
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY e.query_id
+"""

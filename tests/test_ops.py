@@ -2901,3 +2901,128 @@ def test_decode_images_real_png_roundtrip(spark):
     # pure-function twin (driver-side escape hatch) agrees with the UDF
     direct = decode_png_bytes(cases[0][1])
     assert direct[:3] == cases[0][2][:3] and direct[4] == cases[0][2][3]
+
+
+def test_dsir_importance_planted_distributions(spark):
+    """Target-only words get weight = scale, raw-only words weight 0; a
+    doc made of target-distribution words outscores a raw-only doc."""
+    from logzoom_spark.ops.text import dsir_importance
+
+    rows = [
+        (1, "alpha alpha beta", "en"),
+        (2, "alpha gamma", "en"),
+        (3, "delta delta gamma", "fr"),
+        (4, "delta", "fr"),
+    ]
+    out = {r.doc_id: r for r in dsir_importance(
+        spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    ).collect()}
+    s = 1_000_000
+    # alpha: 3/3 en -> s; beta: 1/1 -> s; gamma: 1/2 -> s//2; delta: 0/3 -> 0
+    assert out[1].dsir_score == 3 * s
+    assert out[2].dsir_score == s + s // 2
+    assert out[3].dsir_score == s // 2
+    assert out[4].dsir_score == 0
+    assert out[1].avg_weight > out[3].avg_weight
+    assert out[2].n_tokens == 2
+
+
+def test_tfidf_topk_ranks_rare_terms_first(spark):
+    """A term unique to one doc outranks corpus-wide terms; ranks are
+    contiguous from 1 and capped at k; ties break term-asc."""
+    from logzoom_spark.ops.retrieval import tfidf_topk_terms
+
+    rows = [
+        (1, "common zebra common"),
+        (2, "common yak"),
+        (3, "common"),
+    ]
+    out = tfidf_topk_terms(
+        spark.createDataFrame(rows, "doc_id bigint, text string"), k=2
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top1 = {d: min(rs, key=lambda r: r.term_rank) for d, rs in by_doc.items()}
+    assert top1[1].term == "zebra" and top1[2].term == "yak"
+    assert top1[3].term == "common"
+    assert all(1 <= r.term_rank <= 2 for r in out)
+
+
+def test_edit_distance_verify_exact_and_near(spark):
+    """Identical docs get dist 0 / sim 10000; a one-word edit gets the
+    true Levenshtein distance; pair set comes from LSH candidates only."""
+    from logzoom_spark.ops.dedup import edit_distance_verify
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base), (3, base.replace("lazy", "hazy"))]
+    out = {(r.doc_a, r.doc_b): r for r in edit_distance_verify(
+        spark.createDataFrame(rows, "doc_id bigint, text string"), hasher="md5"
+    ).collect()}
+    assert out[(1, 2)].edit_dist == 0 and out[(1, 2)].sim_bps == 10000
+    if (1, 3) in out:  # banding may or may not emit the near pair
+        assert out[(1, 3)].edit_dist == 1
+        assert 0 < out[(1, 3)].sim_bps < 10000
+
+
+def test_funnel_counts_strictly_after_semantics(spark):
+    """A click BEFORE the user's first view must not convert; steps with
+    zero users vanish; counts are monotone non-increasing."""
+    import datetime as dt
+
+    from logzoom_spark.ops.relational import funnel_counts
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: full funnel in order
+        (1, t(1), 1, "view"), (2, t(2), 1, "click"), (3, t(3), 1, "purchase"),
+        # u2: click BEFORE first view -> stalls at view
+        (4, t(5), 2, "click"), (5, t(6), 2, "view"),
+        # u3: view only
+        (6, t(7), 3, "view"),
+        # NULL user ignored
+        (7, t(8), None, "view"),
+    ]
+    out = {r.step: r for r in funnel_counts(
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+    ).collect()}
+    assert out["view"].n_users == 3
+    assert out["click"].n_users == 1
+    assert out["purchase"].n_users == 1
+    assert [out[s].step_idx for s in ("view", "click", "purchase")] == [0, 1, 2]
+
+
+def test_window_dedup_first_per_day_boundaries(spark):
+    """Same (user, type) on two different days -> two firsts; within a
+    day the earliest (ts, id) wins; ties on ts break by id."""
+    import datetime as dt
+
+    from logzoom_spark.ops.dedup import window_dedup_first
+
+    d1, d2 = dt.datetime(2024, 1, 1, 5), dt.datetime(2024, 1, 2, 5)
+    rows = [
+        (10, d1, 1, "click"), (11, d1, 1, "click"),          # tie ts -> id 10
+        (12, d1.replace(hour=9), 1, "click"),                # later same day
+        (13, d2, 1, "click"),                                # new day
+    ]
+    out = {r.event_id: r.is_first for r in window_dedup_first(
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+    ).collect()}
+    assert out == {10: 1, 11: 0, 12: 0, 13: 1}
+
+
+def test_knn_recall_eval_bounds_and_exact_match_regime(spark):
+    """recall_bps in [0, 10000]; with n_probe == n_cells (probe every
+    cell) the IVF join IS exact, so recall must be 10000 everywhere."""
+    from logzoom_spark.ops.similarity import knn_recall_eval
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = knn_recall_eval(emb, max_query_id=10, k=3, n_cells=8, n_probe=8).collect()
+    assert len(out) == 10
+    assert all(r.recall_bps == 10000 and r.n_hits == 3 for r in out)
+    partial = knn_recall_eval(emb, max_query_id=10, k=3, n_cells=8, n_probe=2).collect()
+    assert all(0 <= r.recall_bps <= 10000 for r in partial)
