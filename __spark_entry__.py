@@ -2202,6 +2202,43 @@ def q_knn_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     return knn_recall_eval(_read(spark, sf, "embeddings"), max_query_id=50, k=5)
 
 
+
+def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-100 adjacent-word collocations by fixed-point PMI (phrase
+    mining): vocabulary-bounded pair aggregate, broadcast unigram joins,
+    TakeOrdered final — never a global sort."""
+    from logzoom_spark.ops.text import pmi_collocations
+
+    return pmi_collocations(_read(spark, sf, "documents"), min_pair=5, top_n=100)
+
+
+def q_rank_calibrated_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language percent-rank calibration of a quality score: every
+    language sheds the same bottom fraction (integer pr_bps, rank() under
+    ties) — counted, not dropped."""
+    from logzoom_spark.ops.text import rank_calibrated_quality
+
+    return rank_calibrated_quality(_read(spark, sf, "documents"))
+
+
+def q_rate_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Median/MAD anomaly flags over per-minute event rates
+    (percentile-disc semantics, integer-exact) — the alerting consumer of
+    the reference's rate aggregate."""
+    from logzoom_spark.aggregate import rate_anomaly_mad
+
+    return rate_anomaly_mad(_read(spark, sf, "events"))
+
+
+def q_conv_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-conversation structural profile: turns, roles, alternation
+    breaks, char totals — one conv_id shuffle shared by the lag window
+    and the aggregate."""
+    from logzoom_spark.aggregate import conv_stats
+
+    return conv_stats(_turns(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness run records exactly the FIRST
     # 50 dict keys. Round-5 rotation (per VERDICT r4 top_next): the 44
@@ -2270,6 +2307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_field_stats": q_json_field_stats,
         "token_length_histogram": q_token_length_histogram,
         "knn_recall_eval": q_knn_recall_eval,
+        "pmi_collocations": q_pmi_collocations,
+        "rank_calibrated_quality": q_rank_calibrated_quality,
+        "rate_anomaly_mad": q_rate_anomaly_mad,
+        "conv_stats": q_conv_stats,
         # --- already driver-recorded green in r01..r04 ---
         "semdedup_kmeans": q_semdedup_kmeans,
         "remove_dup_spans": q_remove_dup_spans,

@@ -194,3 +194,90 @@ def json_field_stats(
             F.countDistinct("_v").alias("n_distinct_v"),
         )
     )
+
+
+def rate_anomaly_mad(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    threshold_x100: int = 300,
+) -> DataFrame:
+    """Robust rate-anomaly flags over the per-minute event-rate series —
+    the alerting step on top of `window_counts` (reference: LogZoom's
+    rate aggregate is the monitoring primitive; this is what a consumer
+    does with it): per event type, the minute buckets whose count
+    deviates from the type's MEDIAN by more than (threshold_x100/100) ×
+    MAD are anomalies. Median and MAD use percentile-disc semantics
+    (smallest value whose rank reaches ceil(n/2)) — integer-exact and
+    engine-identical, no float quantiles. MAD=0 series (constant rate)
+    flag any deviation.
+
+    Returns (event_type, minute, cnt, med, mad, is_anomaly) — every
+    bucket, counted not dropped.
+
+    Scale shape: the raw stream collapses to (type, minute) partial
+    counts map-side — the only corpus-sized exchange carries one row per
+    bucket; both disc-percentile windows run over the bucket series
+    (bounded: minutes × types), and the verdict is row-local."""
+    from pyspark.sql import Window
+
+    buckets = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("minute", F.col(ts_col)).alias("minute"),
+        )
+        .groupBy("event_type", "minute")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wt = Window.partitionBy("event_type")
+
+    def disc_median(df, val, out):
+        w_rn = wt.orderBy(F.col(val).asc(), F.col("minute").asc())
+        ranked = df.withColumn("_rn", F.row_number().over(w_rn)).withColumn(
+            "_n", F.count(F.lit(1)).over(wt)
+        )
+        med = ranked.filter(
+            F.col("_rn") == F.expr("(_n + 1) div 2")
+        ).select("event_type", F.col(val).alias(out))
+        return df.join(med, "event_type")
+
+    with_med = disc_median(buckets, "cnt", "med")
+    dev = with_med.withColumn("_dev", F.abs(F.col("cnt") - F.col("med")))
+    with_mad = disc_median(dev, "_dev", "mad")
+    return with_mad.select(
+        "event_type",
+        "minute",
+        "cnt",
+        "med",
+        "mad",
+        (
+            F.col("_dev") * 100 > F.lit(threshold_x100) * F.greatest("mad", F.lit(1))
+        ).cast("int").alias("is_anomaly"),
+    )
+
+
+def conv_stats(turns: DataFrame) -> DataFrame:
+    """Per-conversation structural statistics — the transcript-corpus
+    profiling pass run before filtering/packing: turn count, distinct
+    roles, alternation breaks (a turn whose role equals the previous
+    turn's role in turn_idx order — double-sends / merged messages),
+    total and floored-mean turn length. One shuffle on conv_id (the
+    table's native key); the lag window and the aggregate share it."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("bigint").alias("_len"),
+    ).withColumn("_prev_role", F.lag("role").over(w))
+    return lagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("role").alias("n_roles"),
+        F.sum(
+            (F.col("role").eqNullSafe(F.col("_prev_role"))).cast("int")
+        ).cast("bigint").alias("n_breaks"),
+        F.sum("_len").alias("total_chars"),
+        F.expr("sum(_len) div count(1)").cast("bigint").alias("mean_turn_chars"),
+    )

@@ -519,3 +519,102 @@ def token_length_histogram(
             F.sum("_nt").cast("bigint").alias("sum_tokens"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame, col: str = "text", min_pair: int = 5, top_n: int = 100
+) -> DataFrame:
+    """Top-N adjacent-word collocations by fixed-point PMI — the phrase /
+    multi-word-expression miner (Mikolov et al. 2013 phrase scoring,
+    public algorithm): score1k = (pair_cnt * N_pairs * 1000) div
+    (cnt_a * cnt_b), the integer-exact monotone twin of
+    log p(ab)/(p(a)p(b)) — rank-identical to float PMI up to the fixed
+    quantum, bit-identical across engines. ``min_pair`` drops
+    singleton-pair noise (classic PMI failure mode: a 1-occurrence pair
+    of two rare words maxes the score).
+
+    Returns (a, b, pair_cnt, score1k) — the top_n by (score desc, a, b).
+
+    Scale shape: bigram extraction is row-local (transform over the
+    bound token array); the pair aggregate is map-side combined on the
+    distinct-bigram key (vocabulary²-bounded, corpus-independent);
+    unigram counts and the 1-row total join in BROADCAST; final top-N is
+    orderBy+limit = TakeOrdered, never a global sort."""
+    toks_expr = F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+    base = docs.select(F.array_remove(toks_expr, "").alias("_toks"))
+    toks = F.col("_toks")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    pairs = base.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("a"),
+                    F.element_at(toks, i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pair_cnt = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    uni = (
+        pairs.select(F.col("a").alias("w"))
+        .unionAll(pairs.select(F.col("b").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = pair_cnt.agg(F.sum("pair_cnt").alias("_n"))
+    return (
+        pair_cnt.filter(F.col("pair_cnt") >= min_pair)
+        .join(F.broadcast(uni.selectExpr("w AS a", "cnt AS cnt_a")), "a")
+        .join(F.broadcast(uni.selectExpr("w AS b", "cnt AS cnt_b")), "b")
+        .join(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "pair_cnt",
+            F.expr("(pair_cnt * _n * 1000) div (cnt_a * cnt_b)")
+            .cast("bigint")
+            .alias("score1k"),
+        )
+        .orderBy(F.desc("score1k"), F.asc("a"), F.asc("b"))
+        .limit(top_n)
+    )
+
+
+def rank_calibrated_quality(
+    docs: DataFrame,
+    score_col: str = "n_chars",
+    group_col: str = "lang",
+    keep_bps: int = 2000,
+) -> DataFrame:
+    """Per-group rank calibration of a quality score — the FineWeb-style
+    fix for cross-domain score drift: a raw threshold keeps wildly
+    different fractions of each language, so instead each doc gets its
+    integer percent-rank IN-GROUP (pr_bps = (rank-1)*10000 div (n-1),
+    rank() so ties share a rank deterministically) and the keep verdict
+    compares pr_bps >= keep_bps — every group sheds the same bottom
+    fraction. Counted, not dropped.
+
+    Scale shape: one shuffle on the group key; the rank window runs
+    per-group (AQE skew-split for a fat language); no joins."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id", F.col(group_col).alias("grp"), F.col(score_col).alias("score")
+    )
+    wg = Window.partitionBy("grp")
+    r = F.rank().over(wg.orderBy(F.col("score").asc()))
+    n = F.count(F.lit(1)).over(wg)
+    return (
+        base.withColumn("_r", (r - 1).cast("bigint"))
+        .withColumn("_n1", (n - 1).cast("bigint"))
+        .select(
+            "doc_id",
+            "grp",
+            "score",
+            F.expr("(_r * 10000) div greatest(_n1, 1L)").cast("bigint").alias("pr_bps"),
+        )
+        .withColumn("keep", (F.col("pr_bps") >= keep_bps).cast("int"))
+    )

@@ -3272,3 +3272,94 @@ FROM exact e LEFT JOIN approx a
   ON a.query_id = e.query_id AND a.vec_id = e.vec_id
 GROUP BY e.query_id
 """
+
+
+# Fixed-point PMI collocations (ops/text.pmi_collocations)
+ORACLES["pmi_collocations"] = r"""
+WITH tk AS (
+  SELECT list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT toks[i] AS a, toks[i+1] AS b
+  FROM tk, unnest(generate_series(1, len(toks)-1)) AS t(i)
+  WHERE len(toks) >= 2
+),
+pc AS (SELECT a, b, count(*)::BIGINT AS pair_cnt FROM pairs GROUP BY a, b),
+uni AS (
+  SELECT w, count(*)::BIGINT AS cnt FROM (
+    SELECT a AS w FROM pairs UNION ALL SELECT b AS w FROM pairs
+  ) GROUP BY w
+),
+tot AS (SELECT sum(pair_cnt)::BIGINT AS n FROM pc)
+SELECT pc.a, pc.b, pc.pair_cnt,
+       ((pc.pair_cnt * tot.n * 1000) // (ua.cnt * ub.cnt))::BIGINT AS score1k
+FROM pc
+JOIN uni ua ON ua.w = pc.a
+JOIN uni ub ON ub.w = pc.b
+CROSS JOIN tot
+WHERE pc.pair_cnt >= 5
+ORDER BY score1k DESC, pc.a ASC, pc.b ASC
+LIMIT 100
+"""
+
+# Per-language percent-rank score calibration (ops/text.rank_calibrated_quality)
+ORACLES["rank_calibrated_quality"] = """
+WITH r AS (
+  SELECT doc_id, lang AS grp, n_chars AS score,
+         rank() OVER (PARTITION BY lang ORDER BY n_chars ASC) - 1 AS rk,
+         count(*) OVER (PARTITION BY lang) - 1 AS n1
+  FROM documents
+)
+SELECT doc_id, grp, score,
+       ((rk * 10000) // greatest(n1, 1))::BIGINT AS pr_bps,
+       CASE WHEN (rk * 10000) // greatest(n1, 1) >= 2000 THEN 1 ELSE 0 END AS keep
+FROM r
+"""
+
+# Median/MAD per-minute rate anomalies (aggregate.rate_anomaly_mad):
+# percentile-disc medians via the same row_number construction as Spark
+ORACLES["rate_anomaly_mad"] = """
+WITH b AS (
+  SELECT event_type, cast(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+rm AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt ASC, minute ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM b
+),
+med AS (SELECT event_type, cnt AS med FROM rm WHERE rn = (n + 1) // 2),
+d AS (
+  SELECT b.*, med.med, abs(b.cnt - med.med) AS dev
+  FROM b JOIN med USING (event_type)
+),
+rd AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev ASC, minute ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+mad AS (SELECT event_type, dev AS mad FROM rd WHERE rn = (n + 1) // 2)
+SELECT d.event_type, d.minute, d.cnt, d.med, mad.mad,
+       CASE WHEN d.dev * 100 > 300 * greatest(mad.mad, 1) THEN 1 ELSE 0 END AS is_anomaly
+FROM d JOIN mad USING (event_type)
+"""
+
+# Per-conversation structural stats (aggregate.conv_stats)
+ORACLES["conv_stats"] = f"""
+WITH {TURNS_CTE},
+lagged AS (
+  SELECT conv_id, length(coalesce(text, '')) AS len, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM turns
+)
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       count(DISTINCT role)::BIGINT AS n_roles,
+       sum(CASE WHEN role IS NOT DISTINCT FROM prev_role THEN 1 ELSE 0 END)::BIGINT
+         AS n_breaks,
+       sum(len)::BIGINT AS total_chars,
+       (sum(len) // count(*))::BIGINT AS mean_turn_chars
+FROM lagged GROUP BY conv_id
+"""

@@ -3026,3 +3026,84 @@ def test_knn_recall_eval_bounds_and_exact_match_regime(spark):
     assert all(r.recall_bps == 10000 and r.n_hits == 3 for r in out)
     partial = knn_recall_eval(emb, max_query_id=10, k=3, n_cells=8, n_probe=2).collect()
     assert all(0 <= r.recall_bps <= 10000 for r in partial)
+
+
+def test_pmi_collocations_planted_phrase(spark):
+    """A phrase whose words only ever co-occur together ('hong kong')
+    outranks pairs of independently common words; min_pair drops
+    singleton noise."""
+    from logzoom_spark.ops.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "hong kong visit " + "the cat the dog " * 3) for i in range(5)]
+        + [(100, "rare singleton")],
+        "doc_id bigint, text string",
+    )
+    out = pmi_collocations(docs, min_pair=5, top_n=10).collect()
+    assert out, "no collocations found"
+    assert (out[0].a, out[0].b) == ("hong", "kong")
+    assert not any((r.a, r.b) == ("rare", "singleton") for r in out)  # min_pair
+    scores = [r.score1k for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rank_calibrated_quality_per_group_fractions(spark):
+    """Each group sheds its own bottom fraction regardless of score
+    scale; extremes get pr_bps 0 and 10000; ties share a rank."""
+    from logzoom_spark.ops.text import rank_calibrated_quality
+
+    rows = [(i, "en", i * 10) for i in range(1, 12)] + [
+        (100 + i, "fr", 1000000 + i) for i in range(5)
+    ]
+    out = {r.doc_id: r for r in rank_calibrated_quality(
+        spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+    ).collect()}
+    assert out[1].pr_bps == 0 and out[1].keep == 0
+    assert out[11].pr_bps == 10000 and out[11].keep == 1
+    assert out[100].pr_bps == 0 and out[104].pr_bps == 10000
+    # en: 11 docs, keep_bps=2000 -> ranks 0,1 of 0..10 dropped (pr<2000)
+    dropped_en = [d for d in range(1, 12) if out[d].keep == 0]
+    assert dropped_en == [1, 2]
+
+
+def test_rate_anomaly_mad_flags_spike_only(spark):
+    """A steady 2-per-minute series with one 50-count spike flags exactly
+    the spike; MAD=0 (constant deviations) falls back to the >=1 guard."""
+    import datetime as dt
+
+    from logzoom_spark.aggregate import rate_anomaly_mad
+
+    rows = []
+    eid = 0
+    for m in range(10):
+        n = 50 if m == 5 else 2
+        for i in range(n):
+            rows.append((eid, dt.datetime(2024, 1, 1, 0, m, 1 + i % 50), 1, "click"))
+            eid += 1
+    out = {r.minute.minute: r for r in rate_anomaly_mad(
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+    ).collect()}
+    assert len(out) == 10
+    assert out[5].is_anomaly == 1 and out[5].cnt == 50
+    assert all(out[m].is_anomaly == 0 for m in range(10) if m != 5)
+    assert out[0].med == 2 and out[0].mad == 0
+
+
+def test_conv_stats_alternation_breaks(spark):
+    """Double-sends count as breaks; NULL text counts 0 chars; distinct
+    roles and floored mean are exact."""
+    from logzoom_spark.aggregate import conv_stats
+
+    rows = [
+        ("c1", 0, "user", "hi"),          # 2 chars
+        ("c1", 1, "assistant", "hello"),  # 5
+        ("c1", 2, "assistant", None),     # 0 chars, break
+        ("c1", 3, "user", "bye bye"),     # 7
+    ]
+    r = conv_stats(
+        spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    ).first()
+    assert (r.n_turns, r.n_roles, r.n_breaks) == (4, 2, 1)
+    assert r.total_chars == 14 and r.mean_turn_chars == 3
