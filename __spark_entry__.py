@@ -2239,6 +2239,42 @@ def q_conv_stats(spark: SparkSession, sf: str) -> DataFrame:
     return conv_stats(_turns(spark, sf))
 
 
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first active day,
+    distinct-user counts per (cohort_day, day_offset) cell — one user_id
+    shuffle serves the distinct, the first-day aggregate and the join."""
+    from logzoom_spark.aggregate import cohort_retention
+
+    return cohort_retention(_read(spark, sf, "events"))
+
+
+def q_decayed_activity(spark: SparkSession, sf: str) -> DataFrame:
+    """Half-life-decayed per-user activity score: integer shift decay
+    (scale >> whole_halflives), broadcast 1-row reference timestamp,
+    one map-side-combined groupBy."""
+    from logzoom_spark.aggregate import decayed_activity
+
+    return decayed_activity(_read(spark, sf, "events"))
+
+
+def q_session_path_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 within-session event-type trigrams (sequence mining for
+    funnel discovery): one user_id shuffle for sessionize + path
+    assembly, row-local trigram expansion, TakeOrdered final."""
+    from logzoom_spark.aggregate import session_path_trigrams
+
+    return session_path_trigrams(_read(spark, sf, "events"))
+
+
+def q_nfc_normalize_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC canonicalization audit via a single Arrow-batched
+    pandas_udf (stdlib unicodedata) — the documented slow-path pattern;
+    oracle is DuckDB's independent nfc_normalize builtin."""
+    from logzoom_spark.ops.text import nfc_normalize_docs
+
+    return nfc_normalize_docs(_read(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness run records exactly the FIRST
     # 50 dict keys. Round-5 rotation (per VERDICT r4 top_next): the 44
@@ -2311,6 +2347,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_calibrated_quality": q_rank_calibrated_quality,
         "rate_anomaly_mad": q_rate_anomaly_mad,
         "conv_stats": q_conv_stats,
+        "cohort_retention": q_cohort_retention,
+        "decayed_activity": q_decayed_activity,
+        "session_path_trigrams": q_session_path_trigrams,
+        "nfc_normalize_docs": q_nfc_normalize_docs,
         # --- already driver-recorded green in r01..r04 ---
         "semdedup_kmeans": q_semdedup_kmeans,
         "remove_dup_spans": q_remove_dup_spans,

@@ -281,3 +281,141 @@ def conv_stats(turns: DataFrame) -> DataFrame:
         F.sum("_len").alias("total_chars"),
         F.expr("sum(_len) div count(1)").cast("bigint").alias("mean_turn_chars"),
     )
+
+
+def cohort_retention(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Classic cohort-retention matrix over the event stream — the
+    engagement report every telemetry consumer builds on top of the
+    reference's rate counters: users are bucketed by their FIRST active
+    day (the cohort), and each (cohort_day, day_offset) cell counts the
+    distinct users of that cohort still active `offset` days later.
+    offset 0 is the cohort size itself, so retention fractions are
+    ratios of integer cells — no floats anywhere.
+
+    Returns (cohort_day, offset_d, n_users) — cohort_day as the
+    day-start epoch-second BIGINT (house rule: no DATE/TIMESTAMP in
+    oracle-compared output).
+
+    Scale shape: the stream first collapses to distinct (user, day) —
+    map-side partial distinct, one shuffle keyed on user_id; the
+    first-day aggregate and the join back both reuse that same user_id
+    partitioning (no second corpus shuffle); the final matrix aggregate
+    is bounded (days × offsets cells)."""
+    ud = (
+        events.select(
+            F.col("user_id"),
+            F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
+            .cast("bigint")
+            .alias("d"),
+        )
+        .distinct()
+    )
+    first = ud.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ud.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.expr("(d - cohort_day) div 86400").cast("bigint").alias("offset_d"),
+        )
+        .groupBy("cohort_day", "offset_d")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def decayed_activity(
+    events: DataFrame,
+    ts_col: str = "ts",
+    halflife_min: int = 1440,
+    scale: int = 10000,
+) -> DataFrame:
+    """Half-life-decayed activity score per user — the recency-weighted
+    engagement metric (exponential decay, the standard 'hotness' rank):
+    an event `h` whole half-lives before the corpus max timestamp
+    contributes `scale >> h` points. Pure integer arithmetic (seconds
+    div, shift) — bit-identical across engines, no float pow/exp.
+
+    Returns (user_id, n_events, score).
+
+    Scale shape: the 1-row max-timestamp aggregate joins in BROADCAST;
+    the per-event weight is row-local codegen; the score is one
+    map-side-combined groupBy on user_id. In an incremental pipeline
+    the score re-ages by a constant shift per period, so the standing
+    table updates without rescanning history."""
+    ref = events.agg(F.max(F.unix_timestamp(F.col(ts_col))).alias("_ref"))
+    w = F.expr(
+        f"{int(scale)}L div shiftleft(1L, cast(least("
+        f"(_ref - unix_timestamp({ts_col})) div {60 * int(halflife_min)}, 62) as int))"
+    )
+    return (
+        events.join(F.broadcast(ref))
+        .select("user_id", w.cast("bigint").alias("_w"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_w").alias("score"),
+        )
+    )
+
+
+def session_path_trigrams(
+    events: DataFrame,
+    gap_min: int = 30,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top-N event-type trigrams along within-session user paths — the
+    sequence-mining pass behind funnel discovery: sessions split on a
+    >gap_min silence per user (same sessionize rule as the transcript
+    sessionizer), the path is the session's event types in (ts,
+    event_id) order, and every length-3 window of the path is counted
+    corpus-wide.
+
+    Returns (e1, e2, e3, cnt) — top_n by (cnt desc, e1, e2, e3).
+
+    Scale shape: ONE shuffle on user_id serves the session-boundary lag
+    window, the cumulative session counter, and the per-session
+    collect; path assembly uses sort_array(collect_list(struct)) so the
+    order is deterministic whatever the shuffle delivered; trigram
+    expansion is row-local; the count aggregate is map-side combined on
+    the (bounded: |types|³) trigram key and the final top-N is
+    orderBy+limit = TakeOrdered, never a global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "_new",
+            F.when(gap.isNull() | (gap > 60 * int(gap_min)), 1).otherwise(0),
+        )
+        .withColumn("_sess", F.sum("_new").over(w))
+    )
+    paths = sess.groupBy("user_id", "_sess").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ).alias("_path")
+    )
+    p = F.col("_path")
+    idx = F.when(
+        F.size(p) >= 3, F.sequence(F.lit(1), F.size(p) - 2)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    tri = paths.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(p, i).alias("e1"),
+                    F.element_at(p, i + 1).alias("e2"),
+                    F.element_at(p, i + 2).alias("e3"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.e1", "t.e2", "t.e3")
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+        .limit(top_n)
+    )

@@ -8,6 +8,8 @@ hash-identical across engines (no float formatting drift in oracles).
 
 from __future__ import annotations
 
+import pandas as pd  # driver-side: only for pandas_udf type-hint resolution
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -617,4 +619,43 @@ def rank_calibrated_quality(
             F.expr("(_r * 10000) div greatest(_n1, 1L)").cast("bigint").alias("pr_bps"),
         )
         .withColumn("keep", (F.col("pr_bps") >= keep_bps).cast("int"))
+    )
+
+
+def nfc_normalize_docs(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Unicode NFC normalization audit — the canonicalization pass run
+    before any exact/near dedup of multilingual text (a decomposed
+    'é' (e + U+0301) and the precomposed U+00E9 are byte-different but
+    the SAME text; skipping this step silently splits duplicates).
+    Spark has no normalization builtin, so this is the documented
+    Arrow-batched slow path: one `pandas_udf` applying stdlib
+    `unicodedata.normalize("NFC", ...)` per batch — never per-row
+    Python.
+
+    Returns (doc_id, changed, n_before, n_after, norm_md5): whether NFC
+    rewrote the doc, code-point lengths before/after, and the digest of
+    the normalized form (the key a downstream exact-dedup would group
+    on). Counted, not dropped.
+
+    Scale shape: row-local — one Arrow round-trip per batch, no
+    shuffle; length/digest/compare stay JVM-side codegen on the UDF
+    output."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t or ""))
+
+    raw = F.coalesce(F.col(col), F.lit(""))
+    return (
+        docs.select("doc_id", raw.alias("_raw"), _nfc(raw).alias("_nfc"))
+        .select(
+            "doc_id",
+            (F.col("_raw") != F.col("_nfc")).cast("int").alias("changed"),
+            F.length("_raw").cast("bigint").alias("n_before"),
+            F.length("_nfc").cast("bigint").alias("n_after"),
+            F.md5(F.col("_nfc").cast("binary")).alias("norm_md5"),
+        )
     )

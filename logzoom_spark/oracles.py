@@ -3363,3 +3363,81 @@ SELECT conv_id, count(*)::BIGINT AS n_turns,
        (sum(len) // count(*))::BIGINT AS mean_turn_chars
 FROM lagged GROUP BY conv_id
 """
+
+
+# Cohort retention matrix (aggregate.cohort_retention): distinct (user, day)
+# -> first-day cohort -> (cohort, offset) distinct-user cells
+ORACLES["cohort_retention"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         cast(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS d
+  FROM events
+),
+f AS (SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY user_id)
+SELECT f.cohort_day, ((ud.d - f.cohort_day) // 86400)::BIGINT AS offset_d,
+       count(DISTINCT ud.user_id)::BIGINT AS n_users
+FROM ud JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+# Half-life-decayed activity score (aggregate.decayed_activity): integer
+# shift decay, seconds truncated identically (floor(epoch)) on both engines
+ORACLES["decayed_activity"] = """
+WITH ref AS (
+  SELECT max(cast(floor(epoch(ts)) AS BIGINT)) AS r FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       sum(10000 // (1::BIGINT << least(
+             (ref.r - cast(floor(epoch(ts)) AS BIGINT)) // 86400, 62)::INT)
+       )::BIGINT AS score
+FROM events CROSS JOIN ref
+GROUP BY user_id
+"""
+
+# Within-session event-type trigram paths (aggregate.session_path_trigrams):
+# 30-min-gap sessionize per user, ordered path, length-3 windows, top-50
+ORACLES["session_path_trigrams"] = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR cast(floor(epoch(ts)) AS BIGINT)
+                   - cast(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+  FROM e
+),
+p AS (
+  SELECT user_id, sess, list(event_type ORDER BY ts, event_id) AS path
+  FROM s GROUP BY user_id, sess
+),
+tri AS (
+  SELECT path[i] AS e1, path[i+1] AS e2, path[i+2] AS e3
+  FROM p, unnest(generate_series(1, len(path) - 2)) AS t(i)
+  WHERE len(path) >= 3
+)
+SELECT e1, e2, e3, count(*)::BIGINT AS cnt
+FROM tri GROUP BY 1, 2, 3
+ORDER BY cnt DESC, e1 ASC, e2 ASC, e3 ASC
+LIMIT 50
+"""
+
+# NFC normalization audit (ops/text.nfc_normalize_docs): DuckDB's builtin
+# nfc_normalize vs the Spark side's stdlib unicodedata pandas_udf — two
+# independent implementations of the same public Unicode algorithm
+ORACLES["nfc_normalize_docs"] = """
+WITH n AS (
+  SELECT doc_id, coalesce(text, '') AS raw,
+         nfc_normalize(coalesce(text, '')) AS nfc
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN raw <> nfc THEN 1 ELSE 0 END AS changed,
+       length(raw)::BIGINT AS n_before,
+       length(nfc)::BIGINT AS n_after,
+       md5(nfc) AS norm_md5
+FROM n
+"""

@@ -3107,3 +3107,99 @@ def test_conv_stats_alternation_breaks(spark):
     ).first()
     assert (r.n_turns, r.n_roles, r.n_breaks) == (4, 2, 1)
     assert r.total_chars == 14 and r.mean_turn_chars == 3
+
+
+def test_cohort_retention_cells(spark):
+    """u1's cohort is day 0 with activity at offsets 0/1/3; u2 joins day 1;
+    multiple same-day events dedupe to one cell contribution."""
+    import datetime as dt
+
+    from logzoom_spark.aggregate import cohort_retention
+
+    d = lambda day, h: dt.datetime(2024, 1, 1 + day, h)
+    rows = [
+        (0, d(0, 1), 1, "a"), (1, d(0, 2), 1, "a"),   # u1 day0 twice
+        (2, d(1, 5), 1, "a"), (3, d(3, 9), 1, "a"),   # u1 day1, day3
+        (4, d(1, 7), 2, "a"),                          # u2 day1 only
+    ]
+    out = {
+        (r.cohort_day, r.offset_d): r.n_users
+        for r in cohort_retention(
+            spark.createDataFrame(
+                rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+            )
+        ).collect()
+    }
+    day0 = int(dt.datetime(2024, 1, 1).timestamp())
+    day1 = day0 + 86400
+    assert out == {(day0, 0): 1, (day0, 1): 1, (day0, 3): 1, (day1, 0): 1}
+
+
+def test_decayed_activity_shift_weights(spark):
+    """Whole half-lives before the corpus max contribute scale >> h:
+    10000 + 5000 + 2500; a second user far in the past decays to 0."""
+    import datetime as dt
+
+    from logzoom_spark.aggregate import decayed_activity
+
+    ref = dt.datetime(2024, 6, 1)
+    rows = [
+        (0, ref, 1, "a"),
+        (1, ref - dt.timedelta(days=1), 1, "a"),
+        (2, ref - dt.timedelta(days=2), 1, "a"),
+        (3, ref - dt.timedelta(days=400), 2, "a"),
+    ]
+    out = {r.user_id: r for r in decayed_activity(
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+    ).collect()}
+    assert (out[1].n_events, out[1].score) == (3, 17500)
+    assert (out[2].n_events, out[2].score) == (1, 0)
+
+
+def test_session_path_trigrams_gap_split(spark):
+    """Trigrams never cross a >30-min gap; counts aggregate across
+    sessions and users; order is (ts, event_id)-deterministic."""
+    import datetime as dt
+
+    from logzoom_spark.aggregate import session_path_trigrams
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        (0, m(0), 1, "a"), (1, m(1), 1, "b"), (2, m(2), 1, "c"), (3, m(3), 1, "d"),
+        # >30 min gap -> new session; too short for a trigram
+        (4, m(60), 1, "x"), (5, m(61), 1, "y"),
+        # second user repeats a,b,c
+        (6, m(0), 2, "a"), (7, m(1), 2, "b"), (8, m(2), 2, "c"),
+    ]
+    out = {(r.e1, r.e2, r.e3): r.cnt for r in session_path_trigrams(
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+    ).collect()}
+    assert out == {("a", "b", "c"): 2, ("b", "c", "d"): 1}
+
+
+def test_nfc_normalize_docs_composed_vs_decomposed(spark):
+    """Decomposed e+COMBINING ACUTE collapses to the precomposed char
+    (changed=1, length 2 -> 1) with the SAME digest as an already-NFC
+    doc; ASCII and NULL text pass through unchanged. Digest parity is
+    cross-checked against DuckDB's independent nfc_normalize."""
+    import duckdb
+
+    from logzoom_spark.ops.text import nfc_normalize_docs
+
+    rows = [(1, "café"), (2, "café"), (3, "plain ascii"), (4, None)]
+    out = {r.doc_id: r for r in nfc_normalize_docs(
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+    ).collect()}
+    assert out[1].changed == 0 and out[2].changed == 1
+    assert (out[2].n_before, out[2].n_after) == (5, 4)
+    assert out[1].norm_md5 == out[2].norm_md5
+    assert out[3].changed == 0 and out[4].n_before == 0
+    duck = duckdb.sql(
+        "SELECT md5(nfc_normalize('cafe' || chr(769)))"
+    ).fetchone()[0]
+    assert out[2].norm_md5 == duck
