@@ -2275,6 +2275,33 @@ def q_nfc_normalize_docs(spark: SparkSession, sf: str) -> DataFrame:
     return nfc_normalize_docs(_read(spark, sf, "documents"))
 
 
+def q_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Jaccard (bps) between event-type user sets: distinct
+    (type, user) then a co-located self-join on user_id; set sizes
+    broadcast back."""
+    from logzoom_spark.aggregate import audience_overlap
+
+    return audience_overlap(_read(spark, sf, "events"))
+
+
+def q_conv_protocol_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-conversation protocol gate: opens system/user, closes
+    assistant/tool, no late system turns, user/assistant subsequence
+    alternates — violations counted, never dropped."""
+    from logzoom_spark.aggregate import conv_protocol_check
+
+    return conv_protocol_check(_turns(spark, sf))
+
+
+def q_intra_conv_dup_turns(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-conversation repeated-turn counts (loop/spam gate),
+    digest-first: the (conv_id, md5) window never shuffles turn
+    bodies."""
+    from logzoom_spark.aggregate import intra_conv_dup_turns
+
+    return intra_conv_dup_turns(_turns(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness run records exactly the FIRST
     # 50 dict keys. Round-5 rotation (per VERDICT r4 top_next): the 44
@@ -2351,6 +2378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_activity": q_decayed_activity,
         "session_path_trigrams": q_session_path_trigrams,
         "nfc_normalize_docs": q_nfc_normalize_docs,
+        "audience_overlap": q_audience_overlap,
+        "conv_protocol_check": q_conv_protocol_check,
+        "intra_conv_dup_turns": q_intra_conv_dup_turns,
         # --- already driver-recorded green in r01..r04 ---
         "semdedup_kmeans": q_semdedup_kmeans,
         "remove_dup_spans": q_remove_dup_spans,

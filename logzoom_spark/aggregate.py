@@ -419,3 +419,134 @@ def session_path_trigrams(
         .orderBy(F.desc("cnt"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
         .limit(top_n)
     )
+
+
+def audience_overlap(events: DataFrame, type_col: str = "event_type") -> DataFrame:
+    """Audience-overlap matrix between event types — 'how many users who
+    do X also do Y', the cross-sink counterpart of the reference's
+    distinct-sources counter (websocket.go:111-138 keeps one such set
+    per sink): exact Jaccard in integer bps between every pair of
+    event-type user sets.
+
+    Returns (t1, t2, n_a, n_b, inter, jaccard_bps) for t1 < t2.
+
+    Scale shape: the stream collapses to distinct (type, user) first —
+    map-side partial distinct, one shuffle on user_id; the pair
+    expansion is a self-equi-join on that SAME user_id partitioning
+    (co-located, no second corpus shuffle) and emits ≤ |types|² rows
+    per user; set sizes join back in BROADCAST (|types| rows). For
+    unbounded type cardinality swap the exact distinct for the KMV
+    sketch ops."""
+    ua = events.select(F.col(type_col).alias("t"), "user_id").distinct()
+    sizes = ua.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        ua.select(F.col("t").alias("t1"), "user_id")
+        .join(ua.select(F.col("t").alias("t2"), "user_id"), "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(F.broadcast(sizes.selectExpr("t AS t1", "n AS n_a")), "t1")
+        .join(F.broadcast(sizes.selectExpr("t AS t2", "n AS n_b")), "t2")
+        .select(
+            "t1",
+            "t2",
+            "n_a",
+            "n_b",
+            "inter",
+            F.expr("(inter * 10000) div (n_a + n_b - inter)")
+            .cast("bigint")
+            .alias("jaccard_bps"),
+        )
+    )
+
+
+def conv_protocol_check(turns: DataFrame) -> DataFrame:
+    """Transcript protocol validation — the structural gate a training
+    pipeline runs before packing conversations: a well-formed
+    conversation opens with system or user, closes with assistant or
+    tool, never carries a system turn after position 0, and its
+    user/assistant subsequence strictly alternates. Violations are
+    COUNTED per conversation (never dropped), with the verdict as an
+    integer flag.
+
+    Returns (conv_id, n_turns, first_role, last_role, late_system,
+    ua_violations, protocol_ok).
+
+    Scale shape: one conv_id shuffle; first/last roles come from
+    min/max over (turn_idx, role) structs inside the same aggregate —
+    no window, no second pass; the alternation check is a lag window
+    over the filtered user/assistant subsequence riding the identical
+    partitioning."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ua = (
+        turns.filter(F.col("role").isin("user", "assistant"))
+        .withColumn("_prev", F.lag("role").over(w))
+        .groupBy("conv_id")
+        .agg(
+            F.sum((F.col("role") == F.col("_prev")).cast("int"))
+            .cast("bigint")
+            .alias("ua_violations")
+        )
+    )
+    base = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min(F.struct("turn_idx", "role"))["role"].alias("first_role"),
+        F.max(F.struct("turn_idx", "role"))["role"].alias("last_role"),
+        F.sum(
+            ((F.col("role") == "system") & (F.col("turn_idx") > 0)).cast("int")
+        ).cast("bigint").alias("late_system"),
+    )
+    return (
+        base.join(ua, "conv_id", "left")
+        .withColumn("ua_violations", F.coalesce("ua_violations", F.lit(0)))
+        .withColumn(
+            "protocol_ok",
+            (
+                F.col("first_role").isin("system", "user")
+                & F.col("last_role").isin("assistant", "tool")
+                & (F.col("late_system") == 0)
+                & (F.col("ua_violations") == 0)
+            ).cast("int"),
+        )
+    )
+
+
+def intra_conv_dup_turns(turns: DataFrame) -> DataFrame:
+    """Within-conversation repeated-turn detector — the loop/spam gate
+    for chat-log corpora (an assistant stuck repeating itself inflates
+    next-token loss): a turn is a dup if its exact text bytes appeared
+    at an EARLIER turn_idx of the same conversation. Digest-first: the
+    dedup key is md5(text) so the exchange never carries turn bodies
+    (the conv_dedup discipline applied within the conversation).
+
+    Returns (conv_id, n_turns, n_distinct_texts, n_dup_turns).
+
+    Scale shape: one shuffle on (conv_id, digest) for the first-seen
+    window, then a map-side-combined rollup to conv_id; both keys hash
+    within the same Exchange because the second groupBy is a prefix of
+    nothing — AQE coalesces the bounded conv aggregate."""
+    from pyspark.sql import Window
+
+    d = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias("_h"),
+    )
+    w = Window.partitionBy("conv_id", "_h").orderBy("turn_idx")
+    return (
+        d.withColumn("_seen", F.row_number().over(w))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum((F.col("_seen") == 1).cast("int"))
+            .cast("bigint")
+            .alias("n_distinct_texts"),
+            F.sum((F.col("_seen") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_dup_turns"),
+        )
+    )

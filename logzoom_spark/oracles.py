@@ -3441,3 +3441,65 @@ SELECT doc_id,
        md5(nfc) AS norm_md5
 FROM n
 """
+
+
+# Audience-overlap matrix (aggregate.audience_overlap): exact Jaccard in
+# bps between event-type user sets, pairs via co-located self-join
+ORACLES["audience_overlap"] = """
+WITH ua AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+sz AS (SELECT t, count(*)::BIGINT AS n FROM ua GROUP BY t)
+SELECT a.t AS t1, b.t AS t2, sa.n AS n_a, sb.n AS n_b,
+       count(*)::BIGINT AS inter,
+       ((count(*) * 10000) // (sa.n + sb.n - count(*)))::BIGINT AS jaccard_bps
+FROM ua a
+JOIN ua b ON a.user_id = b.user_id AND a.t < b.t
+JOIN sz sa ON sa.t = a.t
+JOIN sz sb ON sb.t = b.t
+GROUP BY a.t, b.t, sa.n, sb.n
+"""
+
+# Transcript protocol validation (aggregate.conv_protocol_check)
+ORACLES["conv_protocol_check"] = f"""
+WITH {TURNS_CTE},
+ua AS (
+  SELECT conv_id,
+         sum(CASE WHEN role = prev THEN 1 ELSE 0 END)::BIGINT AS ua_violations
+  FROM (
+    SELECT conv_id, role,
+           lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+    FROM turns WHERE role IN ('user', 'assistant')
+  ) GROUP BY conv_id
+),
+base AS (
+  SELECT conv_id, count(*)::BIGINT AS n_turns,
+         arg_min(role, turn_idx) AS first_role,
+         arg_max(role, turn_idx) AS last_role,
+         sum(CASE WHEN role = 'system' AND turn_idx > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS late_system
+  FROM turns GROUP BY conv_id
+)
+SELECT b.conv_id, b.n_turns, b.first_role, b.last_role, b.late_system,
+       coalesce(ua.ua_violations, 0)::BIGINT AS ua_violations,
+       CASE WHEN b.first_role IN ('system', 'user')
+             AND b.last_role IN ('assistant', 'tool')
+             AND b.late_system = 0
+             AND coalesce(ua.ua_violations, 0) = 0
+            THEN 1 ELSE 0 END AS protocol_ok
+FROM base b LEFT JOIN ua USING (conv_id)
+"""
+
+# Within-conversation repeated-turn detector (aggregate.intra_conv_dup_turns)
+ORACLES["intra_conv_dup_turns"] = f"""
+WITH {TURNS_CTE},
+d AS (
+  SELECT conv_id,
+         row_number() OVER (
+           PARTITION BY conv_id, md5(coalesce(text, ''))
+           ORDER BY turn_idx) AS seen
+  FROM turns
+)
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN seen = 1 THEN 1 ELSE 0 END)::BIGINT AS n_distinct_texts,
+       sum(CASE WHEN seen > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_turns
+FROM d GROUP BY conv_id
+"""

@@ -3203,3 +3203,63 @@ def test_nfc_normalize_docs_composed_vs_decomposed(spark):
         "SELECT md5(nfc_normalize('cafe' || chr(769)))"
     ).fetchone()[0]
     assert out[2].norm_md5 == duck
+
+
+def test_audience_overlap_exact_jaccard(spark):
+    """Users {1,2,3} do 'click', {2,3,4} do 'view', {9} does 'error':
+    click∩view = 2 of 4 union -> 5000 bps; disjoint pairs emit 0 bps
+    only if a shared user exists (none -> no row)."""
+    import datetime as dt
+
+    from logzoom_spark.aggregate import audience_overlap
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(i, t, u, e) for i, (u, e) in enumerate(
+        [(1, "click"), (2, "click"), (3, "click"), (2, "click"),
+         (2, "view"), (3, "view"), (4, "view"), (9, "error")]
+    )]
+    out = {(r.t1, r.t2): r for r in audience_overlap(
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+    ).collect()}
+    r = out[("click", "view")]
+    assert (r.n_a, r.n_b, r.inter, r.jaccard_bps) == (3, 3, 2, 5000)
+    assert not any("error" in k for k in out)  # no shared users -> no row
+
+
+def test_conv_protocol_check_flags(spark):
+    """Good conv passes; late system turn, bad opener, and a double
+    user send each trip exactly their own counter."""
+    from logzoom_spark.aggregate import conv_protocol_check
+
+    rows = [
+        ("good", 0, "system"), ("good", 1, "user"), ("good", 2, "assistant"),
+        ("late", 0, "user"), ("late", 1, "system"), ("late", 2, "assistant"),
+        ("open", 0, "assistant"), ("open", 1, "user"), ("open", 2, "assistant"),
+        ("dbl", 0, "user"), ("dbl", 1, "user"), ("dbl", 2, "assistant"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    df = df.selectExpr("conv_id", "turn_idx", "role", "'x' AS text")
+    out = {r.conv_id: r for r in conv_protocol_check(df).collect()}
+    assert out["good"].protocol_ok == 1
+    assert (out["late"].late_system, out["late"].protocol_ok) == (1, 0)
+    assert (out["open"].first_role, out["open"].protocol_ok) == ("assistant", 0)
+    assert (out["dbl"].ua_violations, out["dbl"].protocol_ok) == (1, 0)
+
+
+def test_intra_conv_dup_turns_digest_counts(spark):
+    """Three copies of one message = 2 dups; NULL and '' collide by
+    design (both empty bytes); other convs unaffected."""
+    from logzoom_spark.aggregate import intra_conv_dup_turns
+
+    rows = [
+        ("c1", 0, "u", "loop"), ("c1", 1, "a", "loop"), ("c1", 2, "u", "loop"),
+        ("c1", 3, "a", "fresh"),
+        ("c2", 0, "u", None), ("c2", 1, "a", ""),
+    ]
+    out = {r.conv_id: r for r in intra_conv_dup_turns(
+        spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    ).collect()}
+    assert (out["c1"].n_turns, out["c1"].n_distinct_texts, out["c1"].n_dup_turns) == (4, 2, 2)
+    assert (out["c2"].n_distinct_texts, out["c2"].n_dup_turns) == (1, 1)
