@@ -2302,6 +2302,74 @@ def q_intra_conv_dup_turns(spark: SparkSession, sf: str) -> DataFrame:
     return intra_conv_dup_turns(_turns(spark, sf))
 
 
+def q_token_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer fixed-point PageRank over the token-adjacency graph:
+    5 unrolled power-iteration rounds as broadcast joins against the
+    persisted vocab-bounded edge table; bit-identical across engines
+    (oracle unrolls the same rounds as chained CTEs, the BPE
+    precedent)."""
+    from logzoom_spark.ops.graph import token_pagerank
+
+    return token_pagerank(_read(spark, sf, "documents"))
+
+
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC snapshot diff: digests projected per side BEFORE the
+    full-outer key join, so the exchange moves (key, 32B md5) only.
+    Old/new snapshots synthesized deterministically from documents
+    (%10 drop + %7 mutation vs %13 drop) so all four statuses
+    populate."""
+    from logzoom_spark.ops.maintenance import snapshot_diff
+
+    docs = _read(spark, sf, "documents")
+    old = docs.filter("doc_id % 10 != 0").withColumn(
+        "text",
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN coalesce(text,'') || ' [v1]' "
+            "ELSE coalesce(text,'') END"
+        ),
+    )
+    new = docs.filter("doc_id % 13 != 0").withColumn(
+        "text", F.expr("coalesce(text,'')")
+    )
+    return snapshot_diff(old, new, key_col="doc_id", payload_cols=("text",))
+
+
+def q_partition_checksums(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-independent per-bucket table checksums (copy/migration
+    verification without a second data motion): portable 60-bit row
+    digests, commutative aggregates only (count/xor/mod-sum/min/max) on
+    a bounded 256-ary key — shuffle bytes independent of table size."""
+    from logzoom_spark.ops.maintenance import partition_checksums
+
+    return partition_checksums(_read(spark, sf, "documents"))
+
+
+def q_spell_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SymSpell deletion-neighborhood blocking + exact Levenshtein
+    verify over the corpus vocabulary (short-string linkage where
+    LSH banding fails); deterministic planted typos (doc_id%37) give
+    the op real positives to find."""
+    from logzoom_spark.ops.text import spell_candidate_pairs
+
+    docs = _read(spark, sf, "documents")
+    t1 = (
+        "element_at(array_remove(split(lower(trim(coalesce(text,''))), "
+        r"'\\s+'), ''), 1)"
+    )
+    docs2 = docs.withColumn(
+        "text",
+        F.expr(
+            f"CASE WHEN doc_id % 37 = 0 AND {t1} IS NOT NULL "
+            f"AND length({t1}) >= 5 "
+            f"THEN coalesce(text,'') || ' ' || "
+            f"(substr({t1}, 1, 1) || substr({t1}, 3)) "
+            "ELSE coalesce(text,'') END"
+        ),
+    )
+    return spell_candidate_pairs(docs2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness run records exactly the FIRST
     # 50 dict keys. Round-5 rotation (per VERDICT r4 top_next): the 44
@@ -2381,6 +2449,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap": q_audience_overlap,
         "conv_protocol_check": q_conv_protocol_check,
         "intra_conv_dup_turns": q_intra_conv_dup_turns,
+        "token_pagerank": q_token_pagerank,
+        "snapshot_diff": q_snapshot_diff,
+        "partition_checksums": q_partition_checksums,
+        "spell_candidate_pairs": q_spell_candidate_pairs,
         # --- already driver-recorded green in r01..r04 ---
         "semdedup_kmeans": q_semdedup_kmeans,
         "remove_dup_spans": q_remove_dup_spans,

@@ -84,3 +84,102 @@ def compaction_plan(
         F.col(bytes_col).cast("bigint").alias(bytes_col),
         F.floor(run / F.lit(target_bytes)).cast("bigint").alias("bin"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """CDC-style diff of two table snapshots: classify every key as
+    added / removed / changed / unchanged — the incremental-pipeline
+    primitive (what changed since the last curation run feeds the
+    incremental dedup / index-maintenance paths, ops/dedup.py:412 and
+    ops/similarity.py:336) and the replica-verification half of a
+    cross-region copy.
+
+    Payload equality is by md5 over a canonical 0x1F-joined rendering of
+    ``payload_cols`` (NULL -> ''), projected on EACH SIDE BEFORE the
+    join — the full-outer join and its exchange move (key, 32-byte
+    digest) only, never row bodies, so the diff costs one
+    co-partitioned digest shuffle regardless of payload width.
+
+    Returns (``key_col``, status) for every key in either snapshot.
+    """
+    sep = "\x1f"
+
+    def digest(df: DataFrame, name: str) -> DataFrame:
+        rendered = F.concat_ws(
+            sep,
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(""))
+                for c in payload_cols
+            ],
+        )
+        return df.select(F.col(key_col), F.md5(rendered).alias(name))
+
+    o = digest(old, "_h_old")
+    nw = digest(new, "_h_new")
+    joined = o.join(nw, on=key_col, how="full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(F.col(key_col), status.alias("status"))
+
+
+def partition_checksums(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    n_buckets: int = 256,
+    mod_prime: int = 1_000_003,
+) -> DataFrame:
+    """Order-independent per-bucket table checksums — the integrity
+    primitive for verifying a 100 TB copy/migration without moving the
+    data twice: run on both sides, diff the (bucket, ...) rows, and a
+    mismatch localizes to 1/n_buckets of the table (re-run with a
+    bucket predicate to bisect further). Merkle-style but with
+    COMMUTATIVE aggregates, so no sort and no collect_list: every
+    combinator is exact under any partitioning / arrival order.
+
+    Row digest = portable 60-bit hash of the canonical 0x1F-joined row
+    rendering (``cols`` sorted by name when omitted, NULL -> ''); bucket
+    = digest mod n_buckets. Per bucket: row count, bit-XOR of digests,
+    modular digest sum (mod ``mod_prime``; residues < 2^20 keep the
+    intermediate BIGINT sum exact up to ~9e12 rows per bucket — size
+    n_buckets so buckets stay under that), min and max digest.
+
+    Returns (bucket, n_rows, xor_h, sum_mod, min_h, max_h).
+
+    Scale shape: hashing is row-local codegen; the single exchange is a
+    map-side-combined aggregate on a bounded n_buckets-ary key carrying
+    five BIGINTs per partial — bytes shuffled are O(n_buckets x
+    partitions), independent of table size.
+    """
+    from ..hashing import portable_hash
+
+    use_cols = sorted(df.columns) if cols is None else list(cols)
+    rendered = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in use_cols],
+    )
+    h = portable_hash(rendered)
+    return (
+        df.select(
+            F.pmod(h, F.lit(n_buckets)).cast("bigint").alias("bucket"),
+            h.alias("_h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(_h)").cast("bigint").alias("xor_h"),
+            F.pmod(F.sum(F.pmod(F.col("_h"), F.lit(mod_prime))), F.lit(mod_prime))
+            .cast("bigint")
+            .alias("sum_mod"),
+            F.min("_h").alias("min_h"),
+            F.max("_h").alias("max_h"),
+        )
+    )

@@ -659,3 +659,59 @@ def nfc_normalize_docs(docs: DataFrame, col: str = "text") -> DataFrame:
             F.md5(F.col("_nfc").cast("binary")).alias("norm_md5"),
         )
     )
+
+
+def spell_candidate_pairs(
+    docs: DataFrame,
+    col: str = "text",
+    min_len: int = 4,
+    min_cnt: int = 1,
+) -> DataFrame:
+    """SymSpell-style misspelling candidate pairs over the corpus
+    vocabulary: block by 1-deletion neighborhoods, verify with exact
+    Levenshtein — the short-string record-linkage pattern where
+    shingle/LSH banding fails (a 4-char token has no useful shingles).
+    Public algorithm: Garbe's SymSpell; distance-1 completeness holds
+    because any substitution/insertion/deletion pair shares a deletion
+    variant (a word is its own 0-deletion variant).
+
+    Returns (w1, w2, cnt1, cnt2) with w1 < w2 and levenshtein(w1,w2)=1
+    — typo-correction candidates ranked by the caller (typically
+    cnt ratio).
+
+    Scale shape: the corpus collapses to the distinct-word vocabulary
+    first (map-side combined, vocabulary-bounded); variants multiply
+    the VOCAB by ~(len+1), never the corpus; the blocking equi-join
+    shuffles short variant strings with bucket sizes bounded by
+    neighborhood density; Levenshtein runs on candidates only (JVM
+    builtin), never all pairs."""
+    toks_expr = F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+    vocab = (
+        docs.select(F.explode(F.array_remove(toks_expr, "")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter((F.length("w") >= min_len) & (F.col("cnt") >= min_cnt))
+    )
+    variants = vocab.select(
+        "w",
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(w)), "
+                "i -> if(i = 0, w, concat(substr(w, 1, i - 1), substr(w, i + 1))))"
+            )
+        ).alias("v"),
+    ).distinct()
+    left = variants.select(
+        F.col("w").alias("w1"), F.col("cnt").alias("cnt1"), "v"
+    )
+    right = variants.select(
+        F.col("w").alias("w2"), F.col("cnt").alias("cnt2"), "v"
+    )
+    return (
+        left.join(right, "v")
+        .filter(F.col("w1") < F.col("w2"))
+        .select("w1", "w2", "cnt1", "cnt2")
+        .distinct()
+        .filter(F.levenshtein("w1", "w2") == 1)
+    )

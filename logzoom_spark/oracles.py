@@ -3503,3 +3503,141 @@ SELECT conv_id, count(*)::BIGINT AS n_turns,
        sum(CASE WHEN seen > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_turns
 FROM d GROUP BY conv_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Integer fixed-point PageRank over the token-adjacency graph
+# (ops/graph.token_pagerank): the iterative rounds unroll as chained CTEs
+# exactly like the BPE merge loop above — same PMI tokenization, top-200
+# node cut, 5 rounds of (r*w)//W_out contributions with 85% damping.
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_sql(iters: int = 5, top_n: int = 200, scale: int = 10**12,
+                  d_pct: int = 85) -> str:
+    base = rf"""tk AS (
+  SELECT list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT toks[i] AS a, toks[i+1] AS b
+  FROM tk, unnest(generate_series(1, len(toks)-1)) AS t(i)
+  WHERE len(toks) >= 2
+),
+uni AS (
+  SELECT w, count(*)::BIGINT AS cnt FROM (
+    SELECT a AS w FROM pairs UNION ALL SELECT b AS w FROM pairs
+  ) GROUP BY w
+),
+nd AS (SELECT w FROM uni ORDER BY cnt DESC, w ASC LIMIT {top_n}),
+e AS (
+  SELECT pairs.a, pairs.b, count(*)::BIGINT AS w
+  FROM pairs JOIN nd na ON na.w = pairs.a JOIN nd nb ON nb.w = pairs.b
+  GROUP BY pairs.a, pairs.b
+),
+ow AS (SELECT a, sum(w)::BIGINT AS w_out FROM e GROUP BY a),
+nodes AS (
+  SELECT DISTINCT token FROM (
+    SELECT a AS token FROM e UNION ALL SELECT b AS token FROM e)
+),
+nn AS (SELECT count(*)::BIGINT AS c FROM nodes),
+r0 AS (SELECT nodes.token, ({scale} // nn.c)::BIGINT AS r
+       FROM nodes CROSS JOIN nn)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""s{i} AS (
+  SELECT e.b AS token, sum((r{i-1}.r * e.w) // ow.w_out)::BIGINT AS s
+  FROM e JOIN r{i-1} ON r{i-1}.token = e.a JOIN ow ON ow.a = e.a
+  GROUP BY e.b
+),
+r{i} AS (
+  SELECT nodes.token,
+         ((({100 - d_pct} * ({scale} // nn.c)) // 100)
+          + ({d_pct} * coalesce(s{i}.s, 0)) // 100)::BIGINT AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN s{i} USING (token)
+)""")
+    return (
+        "WITH " + base + ",\n" + ",\n".join(rounds)
+        + f"\nSELECT token, r AS rank_fp FROM r{iters}"
+    )
+
+
+ORACLES["token_pagerank"] = _pagerank_sql()
+
+# CDC snapshot diff (ops/maintenance.snapshot_diff): old = documents minus
+# doc_id%10==0 with a ' [v1]' mutation on doc_id%7==0; new = documents
+# minus doc_id%13==0 — all four statuses populated, digests joined not
+# bodies (single payload col => md5(text) == md5(concat_ws-rendering)).
+ORACLES["snapshot_diff"] = """
+WITH o AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN coalesce(text,'') || ' [v1]'
+                  ELSE coalesce(text,'') END) AS h
+  FROM documents WHERE doc_id % 10 <> 0
+),
+n AS (
+  SELECT doc_id, md5(coalesce(text,'')) AS h
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT doc_id,
+       CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n USING (doc_id)
+"""
+
+# Order-independent per-bucket table checksums
+# (ops/maintenance.partition_checksums) over documents, cols sorted by
+# name: doc_id, lang, n_chars, source, text.
+_PC_RENDER = (
+    "concat_ws(chr(31), coalesce(cast(doc_id AS VARCHAR),''), "
+    "coalesce(lang,''), coalesce(cast(n_chars AS VARCHAR),''), "
+    "coalesce(source,''), coalesce(text,''))"
+)
+ORACLES["partition_checksums"] = f"""
+WITH r AS (SELECT {portable_hash_sql(_PC_RENDER)} AS h FROM documents)
+SELECT (h % 256)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_rows,
+       bit_xor(h)::BIGINT AS xor_h,
+       (sum(h % 1000003) % 1000003)::BIGINT AS sum_mod,
+       min(h)::BIGINT AS min_h,
+       max(h)::BIGINT AS max_h
+FROM r GROUP BY 1
+"""
+
+# SymSpell deletion-neighborhood spell pairs (ops/text.spell_candidate_pairs)
+# over documents with deterministic planted typos: docs with doc_id%37==0
+# append their first token minus its 2nd char (tokens of length >= 5).
+ORACLES["spell_candidate_pairs"] = r"""
+WITH d0 AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+'),
+                     x -> x <> '')[1] AS t1
+  FROM documents
+),
+docs2 AS (
+  SELECT CASE WHEN doc_id % 37 = 0 AND t1 IS NOT NULL AND length(t1) >= 5
+              THEN coalesce(text,'') || ' ' || (substr(t1,1,1) || substr(t1,3))
+              ELSE coalesce(text,'') END AS text
+  FROM d0
+),
+vocab AS (
+  SELECT w, count(*)::BIGINT AS cnt FROM (
+    SELECT u.w
+    FROM docs2,
+         unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+'),
+                            x -> x <> '')) AS u(w)
+  ) GROUP BY w HAVING length(w) >= 4
+),
+var AS (
+  SELECT DISTINCT w, cnt,
+         CASE WHEN i = 0 THEN w
+              ELSE substr(w, 1, i-1) || substr(w, i+1) END AS v
+  FROM vocab, unnest(generate_series(0, length(w))) AS t(i)
+)
+SELECT DISTINCT l.w AS w1, r.w AS w2, l.cnt AS cnt1, r.cnt AS cnt2
+FROM var l JOIN var r USING (v)
+WHERE l.w < r.w AND levenshtein(l.w, r.w) = 1
+"""

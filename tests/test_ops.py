@@ -3263,3 +3263,107 @@ def test_intra_conv_dup_turns_digest_counts(spark):
     ).collect()}
     assert (out["c1"].n_turns, out["c1"].n_distinct_texts, out["c1"].n_dup_turns) == (4, 2, 2)
     assert (out["c2"].n_distinct_texts, out["c2"].n_dup_turns) == (1, 1)
+
+
+def test_token_pagerank_matches_integer_reference(spark):
+    """The distributed power iteration reproduces a pure-Python
+    implementation of the identical integer recurrence, edge for edge."""
+    from logzoom_spark.ops.graph import token_pagerank
+
+    docs = spark.createDataFrame(
+        [(i, "aa bb") for i in range(3)]
+        + [(10 + i, "bb cc") for i in range(2)]
+        + [(20, "cc aa")],
+        "doc_id bigint, text string",
+    )
+    edges = [("aa", "bb", 3), ("bb", "cc", 2), ("cc", "aa", 1)]
+    scale, d, iters = 10**12, 85, 5
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    n = len(nodes)
+    r0 = scale // n
+    base = ((100 - d) * r0) // 100
+    wout = {}
+    for a, _, w in edges:
+        wout[a] = wout.get(a, 0) + w
+    r = {t: r0 for t in nodes}
+    for _ in range(iters):
+        s = {t: 0 for t in nodes}
+        for a, b, w in edges:
+            s[b] += (r[a] * w) // wout[a]
+        r = {t: base + (d * s[t]) // 100 for t in nodes}
+    got = {row.token: row.rank_fp for row in token_pagerank(docs).collect()}
+    assert got == r
+    # determinism across runs
+    again = {row.token: row.rank_fp for row in token_pagerank(docs).collect()}
+    assert again == got
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from logzoom_spark.ops.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_partition_checksums_order_invariant_and_sensitive(spark):
+    """Identical content under any row order / partitioning yields
+    byte-identical checksums; a single-row mutation changes them."""
+    from logzoom_spark.ops.maintenance import partition_checksums
+
+    rows = [(i, f"text-{i}", i % 5) for i in range(500)]
+    a = spark.createDataFrame(rows, "id bigint, text string, grp int")
+    b = (
+        spark.createDataFrame(list(reversed(rows)), "id bigint, text string, grp int")
+        .repartition(17)
+    )
+    key = lambda r: r.bucket  # noqa: E731
+    ca = sorted(partition_checksums(a, n_buckets=16).collect(), key=key)
+    cb = sorted(partition_checksums(b, n_buckets=16).collect(), key=key)
+    assert [tuple(r) for r in ca] == [tuple(r) for r in cb]
+    assert sum(r.n_rows for r in ca) == 500
+    mut = [(i, f"text-{i}" if i != 250 else "TAMPERED", i % 5) for i in range(500)]
+    cm = sorted(
+        partition_checksums(
+            spark.createDataFrame(mut, "id bigint, text string, grp int"),
+            n_buckets=16,
+        ).collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in cm] != [tuple(r) for r in ca]
+
+
+def test_spell_candidate_pairs_symspell_completeness(spark):
+    """All three edit-kind pairs at distance 1 (substitution, deletion,
+    insertion) are found via deletion blocking; distance-2 words are
+    not; short words fall under min_len."""
+    from logzoom_spark.ops.text import spell_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello hello world"),
+            (2, "jello helo"),      # jello: substitution; helo: deletion
+            (3, "hhello"),           # insertion
+            (4, "hxyllo"),           # distance 2 from hello
+            (5, "cat bat"),          # below min_len
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {(r.w1, r.w2) for r in spell_candidate_pairs(docs).collect()}
+    assert ("hello", "jello") in pairs
+    assert ("hello", "helo") in pairs  # "hello" < "helo" ('l' < 'o' at idx 3)
+    assert ("hello", "hhello") in pairs
+    assert not any("hxyllo" in p and "hello" in p for p in pairs)
+    assert not any("cat" in p or "bat" in p for p in pairs)
+    cnts = {
+        (r.w1, r.w2): (r.cnt1, r.cnt2)
+        for r in spell_candidate_pairs(docs).collect()
+    }
+    assert cnts[("hello", "jello")] == (2, 1)
