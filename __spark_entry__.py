@@ -2370,6 +2370,88 @@ def q_spell_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return spell_candidate_pairs(docs2)
 
 
+def q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the undirected
+    token graph (weight-argmax update, 4 fixed rounds): broadcast
+    literal labels vs persisted edges, argmax via one struct-min
+    aggregate — no window over unbounded data."""
+    from logzoom_spark.ops.graph import label_propagation
+
+    return label_propagation(_read(spark, sf, "documents"))
+
+
+def q_khop_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """Min-hop BFS reachability (k=3) from the most frequent token:
+    per-round broadcast frontier join against the persisted directed
+    edge table; oracle unrolls the relaxation rounds."""
+    from logzoom_spark.ops.graph import khop_reach
+
+    return khop_reach(_read(spark, sf, "documents"))
+
+
+def q_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-distribution drift gate between corpus halves (planted
+    ' driftterm' on doc_id%11 odd docs): integer ppm rate-deviation,
+    vocabulary-bounded outer join, broadcast totals, TakeOrdered."""
+    from logzoom_spark.ops.text import vocab_drift
+
+    docs = _read(spark, sf, "documents")
+    base = docs.filter("doc_id % 2 = 0")
+    cand = docs.filter("doc_id % 2 = 1").withColumn(
+        "text",
+        F.expr(
+            "CASE WHEN doc_id % 11 = 0 THEN coalesce(text,'') || ' driftterm' "
+            "ELSE coalesce(text,'') END"
+        ),
+    )
+    return vocab_drift(base, cand)
+
+
+def q_monthly_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact integer OLS slope of monthly order volume per priority:
+    stream collapses to bounded (group, month) cells map-side, then
+    one regression aggregate — no window, no sort."""
+    from logzoom_spark.aggregate import monthly_trend_slope
+
+    return monthly_trend_slope(_read(spark, sf, "orders"))
+
+
+def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion of three BM25 query-expansion rankings:
+    per-list integer 1e6//(60+rank) contributions, bounded no-partition
+    rank windows (inputs are top-50 lists), union + one groupBy."""
+    from logzoom_spark.ops.retrieval import bm25_topk, build_postings, rrf_fuse
+
+    docs = _read(spark, sf, "documents")
+    postings = build_postings(docs)
+    rankings = [
+        bm25_topk(docs, terms, k=50, postings=postings)
+        for terms in (
+            ["spark", "vector", "scan"],
+            ["join", "shuffle", "table"],
+            ["query", "filter"],
+        )
+    ]
+    return rrf_fuse(rankings, k=10)
+
+
+def q_hll_sliding_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-3-day distinct users per day by merging daily HLL
+    registers (raw stream scanned once, windows re-use registers) —
+    identical integer estimate arithmetic to hll_distinct_users."""
+    from logzoom_spark.ops.sketch import hll_sliding_distinct
+
+    return hll_sliding_distinct(_read(spark, sf, "events"))
+
+
+def q_role_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide role-to-role transition matrix: one conv_id shuffle
+    feeds the lag window, bounded roles-squared aggregate."""
+    from logzoom_spark.aggregate import role_transitions
+
+    return role_transitions(_turns(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness run records exactly the FIRST
     # 50 dict keys. Round-5 rotation (per VERDICT r4 top_next): the 44
@@ -2453,6 +2535,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "partition_checksums": q_partition_checksums,
         "spell_candidate_pairs": q_spell_candidate_pairs,
+        "label_propagation": q_label_propagation,
+        "khop_reach": q_khop_reach,
+        "vocab_drift": q_vocab_drift,
+        "monthly_trend_slope": q_monthly_trend_slope,
+        "rrf_fusion": q_rrf_fusion,
+        "hll_sliding_distinct": q_hll_sliding_distinct,
+        "role_transitions": q_role_transitions,
         # --- already driver-recorded green in r01..r04 ---
         "semdedup_kmeans": q_semdedup_kmeans,
         "remove_dup_spans": q_remove_dup_spans,

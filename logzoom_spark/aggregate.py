@@ -550,3 +550,98 @@ def intra_conv_dup_turns(turns: DataFrame) -> DataFrame:
             .alias("n_dup_turns"),
         )
     )
+
+
+def monthly_trend_slope(
+    orders: DataFrame,
+    group_col: str = "o_orderpriority",
+    ts_col: str = "o_orderdate",
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-group least-squares slope of monthly order volume — the
+    capacity-trend report (is this priority class growing?), computed
+    EXACTLY in integers: with x = month index and y = monthly count,
+
+        slope_milli = (n*Sxy - Sx*Sy) * scale // (n*Sxx - Sx*Sx)
+
+    the closed-form OLS slope as one integer division (floor), plus the
+    raw numerator/denominator so callers needing full precision keep
+    the exact rational. Groups with a single distinct month (den = 0)
+    report 0 slope — flat by definition, never a divide error.
+
+    Returns (group, n_months, slope_num, slope_den, slope_milli).
+
+    Scale shape: the stream collapses to bounded (group, month) cells
+    first (map-side combined); the regression aggregates run over those
+    cells — group-cardinality x months state, corpus-independent; no
+    window, no sort."""
+    month_idx = (
+        F.year(F.col(ts_col)) * F.lit(12) + F.month(F.col(ts_col))
+    ).cast("bigint")
+    cells = (
+        orders.select(F.col(group_col).alias("grp"), month_idx.alias("m"))
+        .groupBy("grp", "m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    base = cells.groupBy("grp").agg(
+        F.min("m").alias("_m0"),
+    )
+    stats = (
+        cells.join(base, "grp")
+        .select(
+            "grp",
+            (F.col("m") - F.col("_m0")).alias("x"),
+            "y",
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return stats.select(
+        F.col("grp").alias("grp"),
+        F.col("n").alias("n_months"),
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        F.when(den == 0, F.lit(0))
+        .otherwise(F.expr(f"(n * sxy - sx * sy) * {scale}L div (n * sxx - sx * sx)"))
+        .cast("bigint")
+        .alias("slope_milli"),
+    )
+
+
+def role_transitions(turns: DataFrame) -> DataFrame:
+    """Corpus-wide role-to-role turn-transition matrix — the
+    conversation-dynamics report (who speaks after whom: tool-loop
+    density, system-interrupt rate) that complements the per-conv
+    protocol gate with an aggregate view.
+
+    Returns (role_from, role_to, n_transitions, n_convs) — transition
+    counts and how many distinct conversations exhibit each.
+
+    Scale shape: ONE conv_id shuffle feeds the lag window (turn_idx
+    order inside the conversation's own partition); the matrix
+    aggregate is map-side combined onto a bounded roles² key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        turns.select("conv_id", "turn_idx", "role")
+        .withColumn("_prev", F.lag("role").over(w))
+        .filter(F.col("_prev").isNotNull())
+    )
+    return (
+        pairs.groupBy(
+            F.col("_prev").alias("role_from"), F.col("role").alias("role_to")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        )
+    )

@@ -155,3 +155,133 @@ def token_pagerank(
         )
     finally:
         edges.unpersist()
+
+
+def undirected_token_graph(
+    docs: DataFrame, col: str = "text", top_n: int = 200
+) -> DataFrame:
+    """Symmetrized token graph: directed adjacency weights folded into
+    undirected (a, b, w) with both orientations present (w(a,b) ==
+    w(b,a)) — the neighbor view label propagation and degree analytics
+    consume. Same vocabulary-bounded scale shape as token_graph."""
+    g = token_graph(docs, col=col, top_n=top_n)
+    return (
+        g.unionAll(
+            g.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def label_propagation(
+    docs: DataFrame,
+    col: str = "text",
+    top_n: int = 200,
+    iters: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    undirected token graph, made fully deterministic: every node starts
+    as its own community; each round every node adopts the label with
+    the greatest incident edge weight among its neighbors, ties broken
+    (weight desc, label asc); a fixed ``iters`` rounds replace the
+    usual convergence test so the oracle can unroll the rounds as
+    chained CTEs (the ops/bpe.py precedent).
+
+    Returns (token, community) for every node.
+
+    Scale shape: identical to token_pagerank — per round one broadcast
+    join of the node-bounded literal label frame against the persisted
+    edge table, a map-side-combined (dst, label) weight aggregate, and
+    an argmax via a single struct-min aggregate (no window over
+    unbounded data); lineage stays flat via bounded (<= top_n rows)
+    driver collects."""
+    spark = docs.sparkSession
+    edges = undirected_token_graph(docs, col=col, top_n=top_n).persist()
+    try:
+        nodes = sorted(r["a"] for r in edges.select("a").distinct().collect())
+        if not nodes:
+            return spark.createDataFrame([], "token string, community string")
+        labels = {t: t for t in nodes}
+        for _ in range(iters):
+            ldf = spark.createDataFrame(
+                sorted(labels.items()), "token string, label string"
+            )
+            rows = (
+                edges.join(F.broadcast(ldf), edges["a"] == ldf["token"])
+                .groupBy(F.col("b"), F.col("label"))
+                .agg(F.sum("w").alias("ws"))
+                .groupBy("b")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("ws")).alias("nw"),
+                            F.col("label").alias("label"),
+                        )
+                    ).alias("s")
+                )
+                .select("b", "s.label")
+                .collect()
+            )
+            labels = {row["b"]: row["label"] for row in rows}
+        return spark.createDataFrame(
+            sorted(labels.items()), "token string, community string"
+        )
+    finally:
+        edges.unpersist()
+
+
+def khop_reach(
+    docs: DataFrame,
+    col: str = "text",
+    seed: str | None = None,
+    k: int = 3,
+    top_n: int = 200,
+) -> DataFrame:
+    """Minimum-hop BFS reachability from a seed node over the directed
+    token graph, k relaxation rounds (paths of length <= k) — the
+    bounded graph-traversal primitive (lineage walk, expansion set for
+    contamination / link spam). ``seed`` defaults to the most frequent
+    token (count desc, token asc — deterministic).
+
+    Returns (token, hops) for every node reached within k hops.
+
+    Scale shape: per round one broadcast join of the reached-set
+    literal (bounded by the node set) against the persisted edge table
+    and a min-hop aggregate; k is fixed, so the oracle unrolls the
+    rounds as chained CTEs."""
+    spark = docs.sparkSession
+    edges = token_graph(docs, col=col, top_n=top_n).persist()
+    try:
+        if seed is None:
+            pairs = _token_pairs(docs, col)
+            uni = (
+                pairs.select(F.col("a").alias("w"))
+                .unionAll(pairs.select(F.col("b").alias("w")))
+                .groupBy("w")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            top = uni.orderBy(F.col("cnt").desc(), F.col("w").asc()).limit(1).collect()
+            if not top:
+                return spark.createDataFrame([], "token string, hops int")
+            seed = top[0]["w"]
+        reach = {seed: 0}
+        for i in range(1, k + 1):
+            rdf = spark.createDataFrame(
+                sorted(reach.items()), "token string, hops int"
+            )
+            rows = (
+                edges.join(F.broadcast(rdf), edges["a"] == rdf["token"])
+                .select("b")
+                .distinct()
+                .collect()
+            )
+            for row in rows:
+                reach.setdefault(row["b"], i)
+        return spark.createDataFrame(
+            sorted(reach.items()), "token string, hops int"
+        )
+    finally:
+        edges.unpersist()

@@ -372,3 +372,60 @@ def tfidf_topk_terms(docs: DataFrame, k: int = 3, scale: int = 1000) -> DataFram
         scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("term_rank") <= k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "bm25_scaled",
+    k: int = 10,
+    rrf_c: int = 60,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N candidate
+    rankings — the hybrid-retrieval combiner (lexical BM25 + semantic
+    ANN, or multi-query expansion fan-out) and the standard way a
+    curation pipeline merges evidence from heterogeneous scorers
+    without calibrating their score scales.
+
+    Each input ranking contributes ``scale // (rrf_c + rank)`` per
+    item (rank = 1-based position by score desc, id asc); fused score
+    = integer sum — scale-free, exact, bit-identical across engines.
+
+    Returns top-k (``id_col``, rrf_score, n_lists) by (score desc, id
+    asc); n_lists = how many input rankings contained the item.
+
+    Scale shape: every input ranking is already a bounded top-k' list
+    (the expensive corpus work happened inside the upstream retriever),
+    so the no-partition rank window runs over <= k' rows per list —
+    the same bounded-aggregate exemption as ops/corpus.pack_sequences'
+    64-row bucket window; the union + groupBy touch N*k' rows total,
+    corpus-independent."""
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.row_number().over(w).alias("_rk"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"{scale}L div ({rrf_c} + _rk)").alias("_contrib"),
+        )
+        for r in rankings
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    return (
+        allc.groupBy(id_col)
+        .agg(
+            F.sum("_contrib").cast("bigint").alias("rrf_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

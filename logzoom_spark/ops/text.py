@@ -715,3 +715,75 @@ def spell_candidate_pairs(
         .distinct()
         .filter(F.levenshtein("w1", "w2") == 1)
     )
+
+
+def vocab_drift(
+    base: DataFrame,
+    cand: DataFrame,
+    col: str = "text",
+    min_cnt: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Token-distribution drift monitor between a baseline corpus and a
+    candidate corpus — the data-drift gate a recurring training-data
+    pipeline runs before admitting a new crawl/dump (vocabulary shift =
+    upstream format change, spam influx, or language drift).
+
+    Integer statistic per token (monotone twin of the rate-ratio test,
+    same fixed-point discipline as pmi_collocations): with per-side
+    totals N_b / N_c,
+
+        drift_ppm = |cnt_c * N_b - cnt_b * N_c| * 1_000_000
+                    // ((cnt_b + 1) * N_c)
+
+    i.e. the relative deviation of the candidate rate from the baseline
+    rate in parts-per-million, +1-smoothed so unseen-in-baseline tokens
+    rank by their candidate mass instead of dividing by zero. Exact
+    integers end-to-end — bit-identical across engines.
+
+    Returns the top_n drifted tokens (token, cnt_base, cnt_cand,
+    drift_ppm) among tokens with cnt_base + cnt_cand >= min_cnt,
+    ordered (drift_ppm desc, token asc).
+
+    Scale shape: each corpus collapses to its vocabulary count
+    (map-side combined); the outer join runs on the vocabulary, never
+    the corpus; totals join in BROADCAST (1 row each); final cut is
+    TakeOrdered."""
+    toks_expr = F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(F.array_remove(toks_expr, "")).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    cb = counts(base, "cnt_base")
+    cc = counts(cand, "cnt_cand")
+    nb = cb.agg(F.sum("cnt_base").alias("_nb"))
+    nc = cc.agg(F.sum("cnt_cand").alias("_nc"))
+    joined = (
+        cb.join(cc, "w", "full_outer")
+        .select(
+            "w",
+            F.coalesce("cnt_base", F.lit(0)).alias("cnt_base"),
+            F.coalesce("cnt_cand", F.lit(0)).alias("cnt_cand"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nc))
+    )
+    drift = F.expr(
+        "abs(cnt_cand * _nb - cnt_base * _nc) * 1000000L"
+        " div ((cnt_base + 1) * _nc)"
+    )
+    return (
+        joined.filter(F.col("cnt_base") + F.col("cnt_cand") >= min_cnt)
+        .select(
+            F.col("w").alias("token"),
+            F.col("cnt_base").cast("bigint").alias("cnt_base"),
+            F.col("cnt_cand").cast("bigint").alias("cnt_cand"),
+            drift.cast("bigint").alias("drift_ppm"),
+        )
+        .orderBy(F.col("drift_ppm").desc(), F.col("token").asc())
+        .limit(top_n)
+    )

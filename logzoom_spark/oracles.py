@@ -3641,3 +3641,259 @@ SELECT DISTINCT l.w AS w1, r.w AS w2, l.cnt AS cnt1, r.cnt AS cnt2
 FROM var l JOIN var r USING (v)
 WHERE l.w < r.w AND levenshtein(l.w, r.w) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Label propagation + k-hop reachability (ops/graph.py): same unrolled-CTE
+# strategy as token_pagerank; shared tokenization/edge CTEs.
+# ---------------------------------------------------------------------------
+
+_GRAPH_BASE = r"""tk AS (
+  SELECT list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT toks[i] AS a, toks[i+1] AS b
+  FROM tk, unnest(generate_series(1, len(toks)-1)) AS t(i)
+  WHERE len(toks) >= 2
+),
+uni AS (
+  SELECT w, count(*)::BIGINT AS cnt FROM (
+    SELECT a AS w FROM pairs UNION ALL SELECT b AS w FROM pairs
+  ) GROUP BY w
+),
+nd AS (SELECT w FROM uni ORDER BY cnt DESC, w ASC LIMIT 200),
+e AS (
+  SELECT pairs.a, pairs.b, count(*)::BIGINT AS w
+  FROM pairs JOIN nd na ON na.w = pairs.a JOIN nd nb ON nb.w = pairs.b
+  GROUP BY pairs.a, pairs.b
+)"""
+
+
+def _label_propagation_sql(iters: int = 4) -> str:
+    parts = [_GRAPH_BASE + r""",
+eu AS (
+  SELECT a, b, sum(w)::BIGINT AS w FROM (
+    SELECT a, b, w FROM e UNION ALL SELECT b AS a, a AS b, w FROM e
+  ) GROUP BY a, b
+),
+l0 AS (
+  SELECT DISTINCT token, token AS label FROM (
+    SELECT a AS token FROM e UNION ALL SELECT b AS token FROM e)
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""l{i} AS (
+  SELECT b AS token, label
+  FROM (
+    SELECT eu.b, l{i-1}.label, sum(eu.w)::BIGINT AS ws
+    FROM eu JOIN l{i-1} ON l{i-1}.token = eu.a
+    GROUP BY eu.b, l{i-1}.label
+  ) t
+  QUALIFY row_number() OVER (PARTITION BY b ORDER BY ws DESC, label ASC) = 1
+)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT token, label AS community FROM l{iters}"
+    )
+
+
+def _khop_sql(k: int = 3) -> str:
+    parts = [_GRAPH_BASE + """,
+sd AS (SELECT w AS token FROM uni ORDER BY cnt DESC, w ASC LIMIT 1),
+h0 AS (SELECT token, 0 AS hops FROM sd)"""]
+    for i in range(1, k + 1):
+        parts.append(f"""h{i} AS (
+  SELECT token, min(hops)::INT AS hops FROM (
+    SELECT token, hops FROM h{i-1}
+    UNION ALL
+    SELECT e.b AS token, {i} AS hops FROM e JOIN h{i-1} ON h{i-1}.token = e.a
+  ) GROUP BY token
+)""")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT token, hops FROM h{k}"
+
+
+ORACLES["label_propagation"] = _label_propagation_sql()
+ORACLES["khop_reach"] = _khop_sql()
+
+# Token-distribution drift monitor (ops/text.vocab_drift): base = even
+# doc_ids, cand = odd doc_ids with ' driftterm' planted on doc_id%11==0 —
+# integer ppm rate-deviation statistic, +1-smoothed.
+ORACLES["vocab_drift"] = r"""
+WITH base AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+cand AS (
+  SELECT CASE WHEN doc_id % 11 = 0 THEN coalesce(text,'') || ' driftterm'
+              ELSE coalesce(text,'') END AS text
+  FROM documents WHERE doc_id % 2 = 1
+),
+cb AS (
+  SELECT u.w, count(*)::BIGINT AS cnt_base
+  FROM base, unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+'),
+                                x -> x <> '')) AS u(w)
+  GROUP BY u.w
+),
+cc AS (
+  SELECT u.w, count(*)::BIGINT AS cnt_cand
+  FROM cand, unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text,''))), '\s+'),
+                                x -> x <> '')) AS u(w)
+  GROUP BY u.w
+),
+nb AS (SELECT sum(cnt_base)::BIGINT AS _nb FROM cb),
+nc AS (SELECT sum(cnt_cand)::BIGINT AS _nc FROM cc),
+j AS (
+  SELECT coalesce(cb.w, cc.w) AS w,
+         coalesce(cnt_base, 0)::BIGINT AS cnt_base,
+         coalesce(cnt_cand, 0)::BIGINT AS cnt_cand
+  FROM cb FULL OUTER JOIN cc ON cb.w = cc.w
+)
+SELECT w AS token, cnt_base, cnt_cand,
+       (abs(cnt_cand * _nb - cnt_base * _nc) * 1000000
+        // ((cnt_base + 1) * _nc))::BIGINT AS drift_ppm
+FROM j CROSS JOIN nb CROSS JOIN nc
+WHERE cnt_base + cnt_cand >= 5
+ORDER BY drift_ppm DESC, token ASC
+LIMIT 100
+"""
+
+# Integer OLS slope of monthly order volume per priority class
+# (aggregate.monthly_trend_slope). Spark `div` and DuckDB `//` both
+# truncate toward zero, so negative slopes bin identically.
+ORACLES["monthly_trend_slope"] = """
+WITH cells AS (
+  SELECT o_orderpriority AS grp,
+         (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS m,
+         count(*)::BIGINT AS y
+  FROM orders GROUP BY 1, 2
+),
+b AS (SELECT grp, min(m) AS m0 FROM cells GROUP BY grp),
+x AS (SELECT cells.grp, (m - m0)::BIGINT AS x, y FROM cells JOIN b USING (grp)),
+s AS (
+  SELECT grp, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy,
+         sum(x*x)::BIGINT AS sxx
+  FROM x GROUP BY grp
+)
+SELECT grp, n AS n_months,
+       (n*sxy - sx*sy)::BIGINT AS slope_num,
+       (n*sxx - sx*sx)::BIGINT AS slope_den,
+       (CASE WHEN n*sxx - sx*sx = 0 THEN 0
+             ELSE (n*sxy - sx*sy) * 1000 // (n*sxx - sx*sx) END)::BIGINT
+         AS slope_milli
+FROM s
+"""
+
+
+# Reciprocal-rank fusion of three BM25 query-expansion rankings
+# (ops/retrieval.rrf_fuse): contrib = 1e6 // (60 + rank), ranks from the
+# same fixed-point BM25 as bm25_query_join, per-list top-50.
+ORACLES["rrf_fusion"] = r"""
+WITH q(query_id, token) AS (VALUES
+  (1, 'spark'), (1, 'vector'), (1, 'scan'),
+  (2, 'join'), (2, 'shuffle'), (2, 'table'),
+  (3, 'query'), (3, 'filter')),
+tk AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS toks
+  FROM documents
+),
+lens AS (SELECT doc_id, cast(len(toks) AS BIGINT) AS dlen FROM tk),
+tot AS (
+  SELECT count(*) AS n_docs, (10 * sum(dlen)) // count(*) AS avg10 FROM lens
+),
+posts AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+cand AS (
+  SELECT q.query_id, p.token, p.doc_id
+  FROM posts p JOIN q ON q.token = p.token
+),
+tfs AS (
+  SELECT query_id, token, doc_id, cast(count(*) AS BIGINT) AS tf
+  FROM cand GROUP BY query_id, token, doc_id
+),
+stats AS (
+  SELECT token, count(DISTINCT doc_id) AS df
+  FROM tfs GROUP BY token
+),
+scored AS (
+  SELECT t.query_id, t.doc_id,
+    (cast(floor(ln(cast(2 * tot.n_docs + 2 AS DOUBLE) / (2 * s.df + 1)) * 10000)
+          AS BIGINT)
+     * t.tf * 22 * tot.avg10)
+    // (10 * t.tf * tot.avg10 + 3 * tot.avg10 + 90 * l.dlen) AS contrib
+  FROM tfs t JOIN stats s USING (token) JOIN lens l USING (doc_id), tot
+),
+agg AS (
+  SELECT query_id, doc_id, cast(sum(contrib) AS BIGINT) AS sc
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sc DESC, doc_id ASC) AS rk
+  FROM agg
+),
+contribs AS (
+  SELECT doc_id, 1000000 // (60 + rk) AS c
+  FROM ranked WHERE rk <= 50
+)
+SELECT doc_id, sum(c)::BIGINT AS rrf_score, count(*)::BIGINT AS n_lists
+FROM contribs GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def _hll_sliding_oracle(p: int = 6, window_days: int = 3) -> str:
+    """Sliding-window twin of _hll_oracle: daily registers expanded to
+    each trailing window they feed, max-merged, same integer estimate."""
+    from .ops.sketch import _hll_alpha_c
+
+    m = 1 << p
+    rbits = 60 - p
+    c = _hll_alpha_c(p)
+    shift = 61 - c.bit_length()
+    s_unit = 1 << shift
+    return f"""
+WITH h AS (
+  SELECT cast(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS d,
+         {portable_hash_sql("cast(user_id AS VARCHAR)")} AS hh
+  FROM events WHERE user_id IS NOT NULL
+),
+reg AS (
+  SELECT d, hh // {1 << rbits} AS bucket,
+         max(CASE WHEN hh % {1 << rbits} = 0 THEN {rbits + 1}
+             ELSE {rbits + 1} - length(bin(hh % {1 << rbits})) END) AS rho
+  FROM h GROUP BY d, bucket
+),
+exp AS (
+  SELECT d + i * 86400 AS wd, bucket, rho
+  FROM reg, unnest(generate_series(0, {window_days - 1})) AS t(i)
+),
+mg AS (SELECT wd, bucket, max(rho) AS rho FROM exp GROUP BY wd, bucket),
+days AS (SELECT DISTINCT d FROM h),
+mgd AS (SELECT mg.wd, mg.bucket, mg.rho FROM mg JOIN days ON days.d = mg.wd),
+agg AS (
+  SELECT wd, count(*) AS nb, sum({s_unit} >> rho) AS sm
+  FROM mgd GROUP BY wd
+)
+SELECT wd::BIGINT AS day,
+       cast({c * s_unit} // greatest(sm + ({m} - nb) * {s_unit}, 1) AS BIGINT)
+         AS hll_est
+FROM agg
+"""
+
+
+ORACLES["hll_sliding_distinct"] = _hll_sliding_oracle()
+
+# Corpus-wide role-transition matrix (aggregate.role_transitions)
+ORACLES["role_transitions"] = f"""
+WITH {TURNS_CTE},
+lagged AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM turns
+)
+SELECT prev AS role_from, role AS role_to,
+       count(*)::BIGINT AS n_transitions,
+       count(DISTINCT conv_id)::BIGINT AS n_convs
+FROM lagged WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""

@@ -49,6 +49,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # e.g. "-XX:+UseParallelGC" — throughput GC for batch benches; empty
+        # default keeps the JVM's G1. Applies identically to every session
+        # (both legs of a scaling pair), so it never skews a comparison.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.shuffle.spill.compress", "true")  # no 'sql.' in this key
     )

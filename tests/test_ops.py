@@ -3367,3 +3367,161 @@ def test_spell_candidate_pairs_symspell_completeness(spark):
         for r in spell_candidate_pairs(docs).collect()
     }
     assert cnts[("hello", "jello")] == (2, 1)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two densely connected word cliques joined by a single weak
+    bridge resolve into two communities."""
+    from logzoom_spark.ops.graph import label_propagation
+
+    clique1 = "aa bb cc aa bb cc aa bb cc"
+    clique2 = "xx yy zz xx yy zz xx yy zz"
+    docs = spark.createDataFrame(
+        [(i, clique1) for i in range(5)]
+        + [(10 + i, clique2) for i in range(5)]
+        + [(20, "cc xx")],  # weak bridge
+        "doc_id bigint, text string",
+    )
+    out = {r.token: r.community for r in label_propagation(docs).collect()}
+    # labels never cross the weak bridge (synchronous LPA may oscillate
+    # WITHIN a clique, so assert side-purity, not single-label collapse)
+    left, right = {"aa", "bb", "cc"}, {"xx", "yy", "zz"}
+    assert all(out[t] in left for t in left)
+    assert all(out[t] in right for t in right)
+
+
+def test_khop_reach_hop_distances(spark):
+    """Chain a->b->c->d->e from the seed: hop distances are the chain
+    positions and k bounds the frontier."""
+    from logzoom_spark.ops.graph import khop_reach
+
+    docs = spark.createDataFrame(
+        # 'aa' most frequent -> seed; directed chain aa->bb->cc->dd->ee
+        [(0, "aa aa aa aa")]
+        + [(1, "aa bb"), (2, "bb cc"), (3, "cc dd"), (4, "dd ee")],
+        "doc_id bigint, text string",
+    )
+    out = {r.token: r.hops for r in khop_reach(docs, k=3).collect()}
+    assert out["aa"] == 0 and out["bb"] == 1 and out["cc"] == 2
+    assert out["dd"] == 3 and "ee" not in out  # beyond k
+    # self-loop from the 'aa aa' doc keeps aa at hop 0 (min rule)
+    assert min(out.values()) == 0
+
+
+def test_vocab_drift_planted_term_ranks_first(spark):
+    from logzoom_spark.ops.text import vocab_drift
+
+    base = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    cand = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(45)]
+        + [(100 + i, "alpha beta gamma delta newterm") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    out = vocab_drift(base, cand, min_cnt=5).collect()
+    assert out[0].token == "newterm" and out[0].cnt_base == 0
+    stable = {r.token: r.drift_ppm for r in out if r.token != "newterm"}
+    # the four stable words share identical rates -> near-zero drift
+    assert all(v < out[0].drift_ppm // 10 for v in stable.values())
+
+
+def test_monthly_trend_slope_exact_integer_ols(spark):
+    """Known monthly counts give the closed-form rational slope,
+    including a negative trend (div-truncation parity case)."""
+    import datetime
+
+    from logzoom_spark.aggregate import monthly_trend_slope
+
+    rows = []
+    key = 0
+    # group 'up': counts 1,2,3 over Jan..Mar -> slope exactly +1
+    for m, cnt in [(1, 1), (2, 2), (3, 3)]:
+        for _ in range(cnt):
+            rows.append((key, "up", datetime.datetime(2024, m, 15)))
+            key += 1
+    # group 'down': counts 5,3,1 -> slope exactly -2
+    for m, cnt in [(1, 5), (2, 3), (3, 1)]:
+        for _ in range(cnt):
+            rows.append((key, "down", datetime.datetime(2024, m, 15)))
+            key += 1
+    # group 'flat1': single month -> den 0 -> slope 0
+    rows.append((key, "flat1", datetime.datetime(2024, 6, 1)))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderpriority string, o_orderdate timestamp"
+    )
+    out = {r.grp: r for r in monthly_trend_slope(orders).collect()}
+    assert out["up"].slope_milli == 1000
+    assert out["down"].slope_milli == -2000
+    assert out["flat1"].slope_den == 0 and out["flat1"].slope_milli == 0
+
+
+def test_rrf_fuse_consensus_beats_single_list_winner(spark):
+    """An item ranked mid-list in ALL rankings outranks an item that
+    tops one list but misses the others; contributions are the exact
+    integer 1e6 // (60 + rank)."""
+    from logzoom_spark.ops.retrieval import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(1, 900), (2, 800), (3, 700)], "doc_id bigint, bm25_scaled bigint"
+    )
+    r2 = spark.createDataFrame(
+        [(9, 950), (2, 850), (3, 750)], "doc_id bigint, bm25_scaled bigint"
+    )
+    r3 = spark.createDataFrame(
+        [(8, 990), (3, 880), (2, 770)], "doc_id bigint, bm25_scaled bigint"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([r1, r2, r3], k=10).collect()}
+    c = lambda rk: 10**6 // (60 + rk)  # noqa: E731
+    assert out[2].rrf_score == c(2) + c(2) + c(3)
+    assert out[2].n_lists == 3 and out[9].n_lists == 1
+    # consensus doc 2 beats single-list winners 9 and 8
+    assert out[2].rrf_score > out[9].rrf_score
+    assert out[2].rrf_score > out[8].rrf_score
+
+
+def test_hll_sliding_distinct_matches_per_window_direct_build(spark):
+    """Merging daily registers across a trailing window gives the SAME
+    estimate as building one sketch over the window's raw rows (max-merge
+    exactness), for every anchored day."""
+    import datetime
+
+    from logzoom_spark.ops.sketch import hll_distinct, hll_sliding_distinct
+
+    rows = []
+    base = datetime.datetime(2024, 3, 1)
+    for d in range(6):
+        for u in range(20 + 7 * d):
+            rows.append((base + datetime.timedelta(days=d, hours=u % 24), u * (d + 1)))
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id bigint")
+    got = {r.day: r.hll_est for r in hll_sliding_distinct(ev, window_days=3).collect()}
+    assert len(got) == 6
+    from pyspark.sql import functions as F
+
+    day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).cast("bigint")
+    ev_d = ev.select(day.alias("d"), "user_id")
+    for anchor in sorted(got):  # session-tz-agnostic: anchors from output
+        window_rows = ev_d.filter(
+            (F.col("d") >= anchor - 2 * 86400) & (F.col("d") <= anchor)
+        ).withColumn("one", F.lit(1))
+        direct = hll_distinct(window_rows, "one", "user_id").collect()[0].hll_est
+        assert got[anchor] == direct, f"anchor {anchor}"
+
+
+def test_role_transitions_counts(spark):
+    from logzoom_spark.aggregate import role_transitions
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "user"),
+            ("c2", 0, "user"), ("c2", 1, "assistant"),
+            ("c3", 0, "system"),
+        ],
+        "conv_id string, turn_idx int, role string",
+    )
+    out = {(r.role_from, r.role_to): r for r in role_transitions(turns).collect()}
+    assert out[("user", "assistant")].n_transitions == 2
+    assert out[("user", "assistant")].n_convs == 2
+    assert out[("assistant", "user")].n_transitions == 1
+    assert len(out) == 2  # c3's single turn contributes no transition
