@@ -2452,6 +2452,27 @@ def q_role_transitions(spark: SparkSession, sf: str) -> DataFrame:
     return role_transitions(_turns(spark, sf))
 
 
+def q_ngram_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment over LSH candidates — catches a short doc
+    embedded in a long one (high containment, low Jaccard); same
+    two-stage banded plan as the Jaccard verify, exact set ops on
+    survivors only."""
+    from logzoom_spark.ops.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _read(spark, sf, "documents"), threshold=0.3, hasher="md5"
+    )
+
+
+def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity-gated telemetry release: sub-k cells emitted
+    suppressed with metrics nulled (counted, not dropped); one bounded
+    cube-key aggregate."""
+    from logzoom_spark.aggregate import kanon_release
+
+    return kanon_release(_read(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness run records exactly the FIRST
     # 50 dict keys. Round-5 rotation (per VERDICT r4 top_next): the 44
@@ -2542,6 +2563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "hll_sliding_distinct": q_hll_sliding_distinct,
         "role_transitions": q_role_transitions,
+        "ngram_containment_pairs": q_ngram_containment_pairs,
+        "kanon_release": q_kanon_release,
         # --- already driver-recorded green in r01..r04 ---
         "semdedup_kmeans": q_semdedup_kmeans,
         "remove_dup_spans": q_remove_dup_spans,

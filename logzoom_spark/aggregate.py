@@ -645,3 +645,47 @@ def role_transitions(turns: DataFrame) -> DataFrame:
             F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
         )
     )
+
+
+def kanon_release(
+    events: DataFrame,
+    dims: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    by_day: bool = True,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity-gated aggregate release (Sweeney 2002): a cell of the
+    dims × day cube is released only when it aggregates >= k distinct
+    users; smaller cells are SUPPRESSED — emitted with the flag set and
+    their metrics nulled, never silently dropped (the engine's
+    counted-not-dropped house rule applied to privacy gating). This is
+    the release gate in front of any externally shared telemetry
+    rollup.
+
+    Returns (*dims[, day], suppressed, n_users, n_events) — n_users /
+    n_events are NULL on suppressed rows (releasing the sub-k count
+    itself would leak the cohort size k-anonymity hides).
+
+    Scale shape: one map-side-combined aggregate onto the bounded cube
+    key; the distinct-user count is the only expansion and rides the
+    same shuffle."""
+    cols = [F.col(d) for d in dims]
+    names = list(dims)
+    if by_day:
+        cols.append(
+            F.unix_timestamp(F.date_trunc("day", F.col(ts_col)))
+            .cast("bigint")
+            .alias("day")
+        )
+        names.append("day")
+    cells = events.groupBy(*cols).agg(
+        F.countDistinct("user_id").cast("bigint").alias("_nu"),
+        F.count(F.lit(1)).cast("bigint").alias("_ne"),
+    )
+    sup = F.col("_nu") < k
+    return cells.select(
+        *names,
+        sup.cast("int").alias("suppressed"),
+        F.when(sup, F.lit(None)).otherwise(F.col("_nu")).alias("n_users"),
+        F.when(sup, F.lit(None)).otherwise(F.col("_ne")).alias("n_events"),
+    )

@@ -747,3 +747,87 @@ def window_dedup_first(
         .withColumn("is_first", (F.row_number().over(w) == 1).cast("int"))
         .select(id_col, *key_cols, "bucket", "is_first")
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    hasher: str = "xx",
+    max_df: int = 50,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT — the subset-duplication detector
+    symmetric Jaccard misses: a short doc fully embedded in a long one
+    (quote farms, boilerplate wrappers, prompt-in-completion leakage)
+    has containment |A∩B|/|A| = 1 while Jaccard |A∩B|/|A∪B| is tiny.
+    Broder 1997 distinguishes resemblance vs containment.
+
+    Candidate generation CANNOT reuse MinHash/LSH banding here: MinHash
+    collision probability tracks JACCARD, so the very pairs containment
+    exists to find (low-Jaccard subsets) are exactly the ones banding
+    drops. Instead candidates come from a rare-shingle inverted index:
+    two docs are candidates iff they share a shingle with document
+    frequency in [2, max_df]. An embedded doc shares ALL its shingles
+    with its host, so any of its rare shingles recalls the pair; the df
+    cap bounds the per-shingle self-join at O(max_df²) and drops
+    boilerplate shingles that would explode it (those pairs are
+    boilerplate_lines' job, not containment's).
+
+    Returns (doc_a, doc_b, cont_ab10k, cont_ba10k): floor(|∩|·10000 /
+    |shingles(X)|) each direction, kept when EITHER meets ``threshold``.
+    Integer-exact, engine-identical.
+
+    Scale shape: the inverted index shuffles (gram-digest, doc_id)
+    pairs — digest-only, never text; the df filter runs map-side
+    combined; the bounded self-join emits ≤ C(max_df,2) pairs per rare
+    shingle; exact set ops run on candidates only, never all pairs."""
+    hf = _hash_fn(hasher)
+    sh = shingles(docs, n=n)
+    posts = sh.select(
+        "doc_id", F.explode("shingles").alias("_g")
+    ).select("doc_id", hf(F.col("_g")).alias("gh")).distinct()
+    df_counts = posts.groupBy("gh").agg(F.count(F.lit(1)).alias("_df"))
+    rare = df_counts.filter(
+        (F.col("_df") >= 2) & (F.col("_df") <= max_df)
+    ).select("gh")
+    rposts = posts.join(rare, "gh")
+    cand = (
+        rposts.alias("x")
+        .join(rposts.alias("y"), "gh")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    j = (
+        cand.join(
+            sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "shingles", "sh_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "shingles", "sh_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "cont_ab10k",
+            F.expr(
+                "(size(array_intersect(sh_a, sh_b)) * 10000L) div size(sh_a)"
+            ),
+        )
+        .withColumn(
+            "cont_ba10k",
+            F.expr(
+                "(size(array_intersect(sh_a, sh_b)) * 10000L) div size(sh_b)"
+            ),
+        )
+    )
+    cut = int(round(threshold * 10000))
+    return j.filter(
+        (F.col("cont_ab10k") >= cut) | (F.col("cont_ba10k") >= cut)
+    ).select("doc_a", "doc_b", "cont_ab10k", "cont_ba10k")

@@ -3897,3 +3897,55 @@ SELECT prev AS role_from, role AS role_to,
 FROM lagged WHERE prev IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+# Asymmetric n-gram containment (ops/dedup.ngram_containment_pairs):
+# rare-shingle inverted-index candidates (df in [2, 50]) — NOT MinHash
+# banding, whose collision rate tracks Jaccard and drops exactly the
+# low-Jaccard subset pairs containment exists to find — then exact
+# directional ratios, EITHER >= 3000 kept.
+ORACLES["ngram_containment_pairs"] = f"""
+WITH {_SHINGLE_CTES},
+posts AS (
+  SELECT DISTINCT doc_id, {portable_hash_sql('g.g')} AS gh
+  FROM sh, unnest(sh.sh) AS g(g)
+),
+rare AS (
+  SELECT gh FROM posts GROUP BY gh
+  HAVING count(*) >= 2 AND count(*) <= 50
+),
+rp AS (SELECT posts.doc_id, posts.gh FROM posts JOIN rare USING (gh)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM rp x JOIN rp y ON x.gh = y.gh AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, cont_ab10k, cont_ba10k FROM (
+  SELECT p.doc_a, p.doc_b,
+    cast((len(list_intersect(a.sh, b.sh)) * 10000) // len(a.sh) AS BIGINT)
+      AS cont_ab10k,
+    cast((len(list_intersect(a.sh, b.sh)) * 10000) // len(b.sh) AS BIGINT)
+      AS cont_ba10k
+  FROM cand p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b
+)
+WHERE cont_ab10k >= 3000 OR cont_ba10k >= 3000
+"""
+
+# k-anonymity-gated release (aggregate.kanon_release): cells of the
+# (event_type, day) cube with < 5 distinct users are suppressed with
+# metrics nulled (counted, not dropped).
+ORACLES["kanon_release"] = """
+WITH cells AS (
+  SELECT event_type,
+         cast(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day,
+         count(DISTINCT user_id)::BIGINT AS nu,
+         count(*)::BIGINT AS ne
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       (CASE WHEN nu < 5 THEN 1 ELSE 0 END)::INT AS suppressed,
+       CASE WHEN nu < 5 THEN NULL ELSE nu END AS n_users,
+       CASE WHEN nu < 5 THEN NULL ELSE ne END AS n_events
+FROM cells
+"""

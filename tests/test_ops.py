@@ -3525,3 +3525,44 @@ def test_role_transitions_counts(spark):
     assert out[("user", "assistant")].n_convs == 2
     assert out[("assistant", "user")].n_transitions == 1
     assert len(out) == 2  # c3's single turn contributes no transition
+
+
+def test_ngram_containment_asymmetric_subset(spark):
+    """A short doc fully embedded in a long doc: containment short-in-long
+    = 10000 while Jaccard stays below a symmetric threshold."""
+    from logzoom_spark.ops.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally different words here now")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in ngram_containment_pairs(docs, threshold=0.9, hasher="md5").collect()
+    }
+    pair = out.get((1, 2)) or out.get((2, 1))
+    assert pair is not None, "embedded pair not found"
+    assert max(pair.cont_ab10k, pair.cont_ba10k) == 10000
+    assert min(pair.cont_ab10k, pair.cont_ba10k) < 2000
+    jac = ngram_jaccard_pairs(docs, threshold=0.5, hasher="md5").collect()
+    assert not any({r.doc_a, r.doc_b} == {1, 2} for r in jac)  # Jaccard misses it
+
+
+def test_kanon_release_suppression(spark):
+    import datetime
+
+    from logzoom_spark.aggregate import kanon_release
+
+    ts = datetime.datetime(2024, 5, 1, 12)
+    rows = [(i, ts, i, "big") for i in range(8)] + [
+        (100 + i, ts, 1000 + i, "small") for i in range(3)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    out = {r.event_type: r for r in kanon_release(ev, k=5).collect()}
+    assert out["big"].suppressed == 0 and out["big"].n_users == 8
+    assert out["small"].suppressed == 1
+    assert out["small"].n_users is None and out["small"].n_events is None
