@@ -2473,6 +2473,25 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_log_template_mine(spark: SparkSession, sf: str) -> DataFrame:
+    """Drain/SLCT-style template mining: digit-run masking collapses the
+    stream to a bounded template vocabulary; one map-side-combined
+    aggregate yields volume, spread, and first-seen (novelty) per
+    template."""
+    from logzoom_spark.ops.templates import log_template_mine
+
+    return log_template_mine(_turns(spark, sf))
+
+
+def q_template_latency_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-template exact discrete p50/p95 latency — signature-level SLO
+    triage; percentile shuffle carries the (template, latency) histogram,
+    not the rows."""
+    from logzoom_spark.ops.templates import template_latency_profile
+
+    return template_latency_profile(_turns(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness run records exactly the FIRST
     # 50 dict keys. Round-5 rotation (per VERDICT r4 top_next): the 44
@@ -2565,6 +2584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": q_role_transitions,
         "ngram_containment_pairs": q_ngram_containment_pairs,
         "kanon_release": q_kanon_release,
+        "log_template_mine": q_log_template_mine,
+        "template_latency_profile": q_template_latency_profile,
         # --- already driver-recorded green in r01..r04 ---
         "semdedup_kmeans": q_semdedup_kmeans,
         "remove_dup_spans": q_remove_dup_spans,

@@ -1,0 +1,92 @@
+"""Drain-style log template mining over transcript turn text.
+
+The reference ships raw lines to its sinks and leaves signature analysis
+to whatever sits behind Elasticsearch (reference:
+output/elasticsearch/elasticsearch.go:119-152 — bulk-index and done); a
+100 TB log pipeline needs the mining INSIDE the engine: collapse the
+variable parts of each line into a placeholder so billions of raw lines
+reduce to a bounded template vocabulary, then aggregate per template.
+The public designs this follows are SLCT (Vaarandi 2003) and Drain
+(He et al., ICWS 2017); instead of Drain's incremental parse tree we use
+the deterministic masking both papers start from (digit runs -> ``<#>``),
+which makes the operator a pure projection — engine-portable,
+oracle-checkable, and streaming-safe (stateless).
+
+Scale shape: the masking is a row-local regexp projection (codegen,
+zero exchange); the only shuffle in `log_template_mine` is the groupBy
+on the TEMPLATE — a vocabulary that is bounded by log-format diversity,
+not data volume — so map-side combine collapses each task's output to
+(distinct templates/task) rows regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["mask_template", "log_template_mine", "template_latency_profile"]
+
+
+def mask_template(col: Column) -> Column:
+    """Digit runs -> ``<#>``: 'seq=42 level=ERROR msg="evt-42"' and
+    'seq=7 level=ERROR msg="evt-9"' mask to the same template. Pure
+    projection; identical bytes in every engine."""
+    return F.regexp_replace(col, "[0-9]+", "<#>")
+
+
+def log_template_mine(turns: DataFrame, col: str = "text") -> DataFrame:
+    """Mine the template vocabulary of a log stream: one row per masked
+    template with volume (`n_lines`), spread (`n_convs`), and lifetime
+    (`first_day` / `last_day` epoch-second day starts, `n_days` active).
+    `first_day` IS the novelty signal: a template whose first_day is
+    today is a brand-new log signature (new code path, new failure mode)
+    — the downstream filter the Drain paper motivates.
+
+    One map-side-combined aggregate onto the bounded template key."""
+    day = (
+        F.unix_timestamp(F.date_trunc("day", F.col("ts").cast("timestamp")))
+        .cast("bigint")
+        .alias("_day")
+    )
+    return (
+        turns.filter(F.col(col).isNotNull())
+        .select(mask_template(F.col(col)).alias("template"), "conv_id", day)
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+            F.min("_day").alias("first_day"),
+            F.max("_day").alias("last_day"),
+            F.countDistinct("_day").cast("bigint").alias("n_days"),
+        )
+    )
+
+
+def template_latency_profile(turns: DataFrame) -> DataFrame:
+    """Per-template latency SLO profile: exact discrete p50/p95 of the
+    parsed `latency_ms` field grouped by the line's masked template,
+    plus the line count. The per-signature latency distribution is what
+    turns template mining from inventory into triage — "which log
+    signature got slow" rather than "which endpoint".
+
+    Exactness note: rides `exact_percentiles_disc`, whose shuffle and
+    window carry one row per DISTINCT (template, latency) — integer
+    latencies make that a histogram, not the data. For continuous
+    measures at extreme scale use ops.sketch.hist_quantiles (documented
+    approximate path)."""
+    from ..parse import parse_turns
+    from .sketch import exact_percentiles_disc
+
+    base = (
+        parse_turns(turns, with_attrs=False)
+        .filter(F.col("latency_ms").isNotNull())
+        .select(mask_template(F.col("text")).alias("template"), "latency_ms")
+    )
+    pct = exact_percentiles_disc(base, "template", "latency_ms", (0.5, 0.95))
+    counts = base.groupBy("template").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    # template-keyed join of two already-bounded aggregates
+    return counts.join(pct, "template").select(
+        "template", "n_lines", "p50", "p95"
+    )

@@ -3949,3 +3949,42 @@ SELECT event_type, day,
        CASE WHEN nu < 5 THEN NULL ELSE ne END AS n_events
 FROM cells
 """
+
+
+# Drain/SLCT-style template mining (ops/templates.log_template_mine):
+# digit-run masking, then one aggregate on the bounded template key.
+ORACLES["log_template_mine"] = f"""
+WITH {TURNS_CTE},
+tpl AS (
+  SELECT regexp_replace(text, '[0-9]+', '<#>', 'g') AS template, conv_id,
+         cast(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day
+  FROM turns WHERE text IS NOT NULL
+)
+SELECT template, count(*)::BIGINT AS n_lines,
+       count(DISTINCT conv_id)::BIGINT AS n_convs,
+       min(day) AS first_day, max(day) AS last_day,
+       count(DISTINCT day)::BIGINT AS n_days
+FROM tpl GROUP BY 1
+"""
+
+# Per-template latency SLO profile (ops/templates.template_latency_profile):
+# exact discrete percentiles (rank ceil(p*n)), same definition as the
+# latency_percentiles oracle, partitioned by the masked template.
+ORACLES["template_latency_profile"] = f"""
+{_WITH_PARSED},
+base AS (
+  SELECT regexp_replace(text, '[0-9]+', '<#>', 'g') AS template,
+         latency_ms AS val
+  FROM parsed WHERE latency_ms IS NOT NULL
+),
+r AS (
+  SELECT template, val,
+         row_number() OVER (PARTITION BY template ORDER BY val) AS rn,
+         count(*) OVER (PARTITION BY template) AS n
+  FROM base
+)
+SELECT template, max(n)::BIGINT AS n_lines,
+       max(CASE WHEN rn = (5000 * n + 9999) // 10000 THEN val END) AS p50,
+       max(CASE WHEN rn = (9500 * n + 9999) // 10000 THEN val END) AS p95
+FROM r GROUP BY template
+"""

@@ -3566,3 +3566,48 @@ def test_kanon_release_suppression(spark):
     assert out["big"].suppressed == 0 and out["big"].n_users == 8
     assert out["small"].suppressed == 1
     assert out["small"].n_users is None and out["small"].n_events is None
+
+
+def test_log_template_mine_masks_and_counts(spark):
+    import datetime
+
+    from logzoom_spark.ops.templates import log_template_mine
+
+    d0 = datetime.datetime(2024, 1, 1, 5)
+    d1 = datetime.datetime(2024, 1, 2, 6)
+    rows = [
+        ("c1", 'seq=4 level=ERROR msg="evt-4"', d0),
+        ("c2", 'seq=99 level=ERROR msg="evt-123"', d1),  # same template
+        ("c1", 'seq=7 level=INFO msg="evt-7"', d0),  # different template
+        ("c1", None, d0),  # null text dropped
+    ]
+    turns = spark.createDataFrame(rows, "conv_id string, text string, ts timestamp")
+    out = {r.template: r for r in log_template_mine(turns).collect()}
+    err = out['seq=<#> level=ERROR msg="evt-<#>"']
+    assert err.n_lines == 2 and err.n_convs == 2 and err.n_days == 2
+    assert err.first_day < err.last_day
+    assert out['seq=<#> level=INFO msg="evt-<#>"'].n_lines == 1
+    assert len(out) == 2
+
+
+def test_template_latency_profile_exact_percentiles(spark):
+    import datetime
+
+    from logzoom_spark.ops.templates import template_latency_profile
+
+    ts = datetime.datetime(2024, 1, 1)
+    mk = lambda i, lat: (
+        "c1", i, "system",
+        f'seq={i} level=ERROR log_type=log_type1 latency_ms={lat} msg="evt-{i}"',
+        None, ts,
+    )
+    # latencies 1..20: p50 = rank ceil(0.5*20)=10 -> 10; p95 = rank 19 -> 19
+    turns = spark.createDataFrame(
+        [mk(i, i) for i in range(1, 21)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    rows = template_latency_profile(turns).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_lines == 20 and r.p50 == 10 and r.p95 == 19
+    assert "latency_ms=<#>" in r.template
