@@ -2473,6 +2473,39 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_burn_rate_alerts(spark: SparkSession, sf: str) -> DataFrame:
+    """SRE Workbook multiwindow multi-burn-rate SLO alert: hourly burn
+    joined to its enclosing day; pages only when BOTH windows burn the
+    25% error budget at >= 1.5x."""
+    from logzoom_spark.ops.sre import burn_rate_alerts
+
+    return burn_rate_alerts(_turns(spark, sf))
+
+
+def q_latency_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-over-day exact-p95 latency shift per log_type; >= +2000 bp
+    flags a regression; first day per type has NULL baseline (counted,
+    not dropped)."""
+    from logzoom_spark.ops.sre import latency_regression
+
+    return latency_regression(_turns(spark, sf))
+
+
+def q_flap_suppress_errors(spark: SparkSession, sf: str) -> DataFrame:
+    """Cooldown alert suppression over ERROR lines keyed by log_type:
+    running decision-dependent scan (applyInPandas per key), oracled by
+    a DuckDB recursive CTE replaying the identical walk."""
+    from logzoom_spark.ops.sre import flap_suppress
+    from logzoom_spark.parse import parse_turns
+
+    p = parse_turns(_turns(spark, sf), with_attrs=False).filter(
+        (F.col("level") == "ERROR") & F.col("log_type").isNotNull()
+    )
+    return flap_suppress(
+        p, ("log_type",), ("conv_id", "turn_idx"), cooldown_s=14400
+    )
+
+
 def q_log_template_mine(spark: SparkSession, sf: str) -> DataFrame:
     """Drain/SLCT-style template mining: digit-run masking collapses the
     stream to a bounded template vocabulary; one map-side-combined
@@ -2586,6 +2619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kanon_release": q_kanon_release,
         "log_template_mine": q_log_template_mine,
         "template_latency_profile": q_template_latency_profile,
+        "burn_rate_alerts": q_burn_rate_alerts,
+        "latency_regression": q_latency_regression,
+        "flap_suppress_errors": q_flap_suppress_errors,
         # --- already driver-recorded green in r01..r04 ---
         "semdedup_kmeans": q_semdedup_kmeans,
         "remove_dup_spans": q_remove_dup_spans,

@@ -1,0 +1,201 @@
+"""SRE-style alerting analytics over parsed log turns.
+
+The reference stops at shipping lines to sinks (reference: output/
+elasticsearch/elasticsearch.go, output/s3/s3.go — no in-engine alerting);
+at 100 TB the alert math has to run where the data is. Three public
+designs re-expressed Spark-first:
+
+- `burn_rate_alerts` — the multiwindow, multi-burn-rate SLO alert from
+  the Google SRE Workbook (ch. 5, "Alerting on SLOs", public): page only
+  when BOTH a short and a long window burn the error budget faster than
+  a factor, killing flappy single-window alerts.
+- `latency_regression` — day-over-day exact-p95 shift per log_type; the
+  "which signature got slow yesterday" triage query.
+- `flap_suppress` — cooldown-based alert de-duplication: after an alert
+  fires for a key, suppress repeats until `cooldown_s` has elapsed SINCE
+  THE LAST EMITTED alert (a running, decision-dependent scan — not a
+  fixed-bucket dedup, which `window_dedup_first` already covers).
+
+Integer discipline throughout: ratios ship as ×100/×10000 BIGINTs so
+every engine computes identical bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["burn_rate_alerts", "latency_regression", "flap_suppress"]
+
+
+def burn_rate_alerts(
+    turns: DataFrame,
+    short_s: int = 3600,
+    long_s: int = 86400,
+    slo_den: int = 4,
+    factor_x100: int = 150,
+) -> DataFrame:
+    """Multiwindow multi-burn-rate SLO alert (SRE Workbook ch. 5).
+
+    The error budget is ``1/slo_den`` (slo_den=4 → 25% of lines may be
+    level=ERROR). Burn rate = observed error ratio ÷ budget; a short
+    window (fast detection) and its enclosing long window (sustained
+    burn) must BOTH exceed ``factor_x100``/100 to page.
+
+    Returns one row per short window:
+    (window_start, n_short, err_short, burn_short_x100, burn_long_x100,
+    page) — burn columns are floor(rate·100) BIGINTs, page ∈ {0,1}.
+
+    Scale shape: two map-side-combined aggregates onto bounded time-bucket
+    keys; the long side is broadcast-sized (windows/epoch, not rows) so
+    the alignment join never shuffles the short side twice."""
+    from ..parse import parse_turns
+
+    base = (
+        parse_turns(turns, with_attrs=False)
+        .filter(F.col("level").isNotNull())
+        .select(
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("_ep"),
+            (F.col("level") == "ERROR").cast("int").alias("_err"),
+        )
+    )
+    sw = (F.floor(F.col("_ep") / short_s) * short_s).cast("bigint")
+    lw = (F.floor(F.col("_ep") / long_s) * long_s).cast("bigint")
+    short = base.groupBy(sw.alias("window_start")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_short"),
+        F.sum("_err").cast("bigint").alias("err_short"),
+    )
+    long = base.groupBy(lw.alias("_lw")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nl"),
+        F.sum("_err").cast("bigint").alias("_el"),
+    )
+    parent = (F.floor(F.col("window_start") / long_s) * long_s).cast("bigint")
+    j = short.join(
+        F.broadcast(long), parent == F.col("_lw"), "left"
+    )
+    burn_s = F.expr(f"(err_short * {slo_den} * 100) div n_short")
+    burn_l = F.expr(f"(_el * {slo_den} * 100) div _nl")
+    return j.select(
+        "window_start",
+        "n_short",
+        "err_short",
+        burn_s.alias("burn_short_x100"),
+        burn_l.alias("burn_long_x100"),
+        (
+            (burn_s >= factor_x100) & (burn_l >= factor_x100)
+        ).cast("int").alias("page"),
+    )
+
+
+def latency_regression(
+    turns: DataFrame, threshold_bp: int = 2000
+) -> DataFrame:
+    """Day-over-day exact-p95 latency shift per log_type: flags a day
+    whose p95 rose ≥ ``threshold_bp`` basis points over the PREVIOUS
+    OBSERVED day. First observed day per log_type has no baseline and is
+    emitted with NULLs (counted, not dropped).
+
+    Returns (log_type, day, n_lines, p95, prev_p95, delta_bp, regressed).
+
+    Scale shape: the percentile rides the (log_type, day, latency)
+    histogram (`exact_percentiles_disc`); the lag window runs over the
+    bounded per-day aggregate, never the rows."""
+    from ..parse import parse_turns
+    from .sketch import exact_percentiles_disc
+    from pyspark.sql import Window
+
+    day = (
+        F.unix_timestamp(F.date_trunc("day", F.col("ts").cast("timestamp")))
+        .cast("bigint")
+    )
+    base = (
+        parse_turns(turns, with_attrs=False)
+        .filter(F.col("latency_ms").isNotNull() & F.col("log_type").isNotNull())
+        .select(
+            F.concat_ws("|", F.col("log_type"), day.cast("string")).alias("_g"),
+            "log_type",
+            day.alias("day"),
+            "latency_ms",
+        )
+    )
+    pct = exact_percentiles_disc(base, "_g", "latency_ms", (0.95,)).select(
+        "_g", F.col("p95")
+    )
+    counts = base.groupBy("_g", "log_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    daily = counts.join(pct, "_g").drop("_g")
+    w = Window.partitionBy("log_type").orderBy("day")
+    prev = F.lag("p95").over(w)
+    # FLOOR division, not `div`: deltas go negative when p95 improves, and
+    # Spark's `div` truncates toward zero while floor matches DuckDB `//`
+    delta = F.floor((F.col("p95") - F.col("prev_p95")) * 10000 / F.col("prev_p95")).cast(
+        "bigint"
+    )
+    return (
+        daily.withColumn("prev_p95", prev)
+        .withColumn("delta_bp", delta)
+        .withColumn(
+            "regressed",
+            F.when(F.col("prev_p95").isNull(), F.lit(None).cast("int")).otherwise(
+                (F.col("delta_bp") >= threshold_bp).cast("int")
+            ),
+        )
+        .select(
+            "log_type", "day", "n_lines", "p95", "prev_p95", "delta_bp", "regressed"
+        )
+    )
+
+
+def flap_suppress(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    ts_col: str = "ts",
+    cooldown_s: int = 14400,
+) -> DataFrame:
+    """Cooldown flap suppression: within each key, emit a row iff at
+    least ``cooldown_s`` elapsed since the LAST EMITTED row — a running,
+    decision-dependent scan (kept(i) depends on which earlier rows were
+    kept), which no fixed-bucket dedup reproduces. Alertmanager's
+    `repeat_interval` is the public analogue.
+
+    All rows come back with a `kept` flag (suppressed rows are counted,
+    never dropped — house rule). Order inside a key is (ts_us,
+    *order_cols) for engine-identical tie-breaks.
+
+    Scale shape: the ONLY legitimate per-row sequential state in this
+    module — implemented as applyInPandas partitioned by key, so each
+    key's scan is a single Arrow-batched pass and keys parallelize
+    across executors. A key's alert history fits memory by construction
+    (alerts, not raw lines). The DuckDB oracle replays the same scan as
+    a recursive CTE — see oracles.py `flap_suppress_errors`."""
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cool_us = int(cooldown_s) * 1_000_000
+    keys = list(key_cols)
+    order = list(order_cols)
+    inp = df.select(*keys, *order, ts_us.alias("ts_us"))
+    out_schema = T.StructType(
+        [inp.schema[c] for c in keys + order]
+        + [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("kept", T.IntegerType()),
+        ]
+    )
+
+    def scan(pdf):
+        pdf = pdf.sort_values(["ts_us"] + order, kind="mergesort").reset_index(
+            drop=True
+        )
+        kept = []
+        last = None
+        for t in pdf["ts_us"]:
+            ok = last is None or t >= last + cool_us
+            kept.append(1 if ok else 0)
+            if ok:
+                last = t
+        pdf["kept"] = kept
+        return pdf[keys + order + ["ts_us", "kept"]]
+
+    return inp.groupBy(*keys).applyInPandas(scan, out_schema)

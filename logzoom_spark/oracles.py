@@ -3988,3 +3988,96 @@ SELECT template, max(n)::BIGINT AS n_lines,
        max(CASE WHEN rn = (9500 * n + 9999) // 10000 THEN val END) AS p95
 FROM r GROUP BY template
 """
+
+
+# SRE Workbook multiwindow multi-burn-rate alert (ops/sre.burn_rate_alerts):
+# hourly burn joined to the enclosing day; 25% budget, page at >= 1.5x both.
+ORACLES["burn_rate_alerts"] = f"""
+{_WITH_PARSED},
+base AS (
+  SELECT cast(floor(epoch(ts)) AS BIGINT) AS ep,
+         CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END AS err
+  FROM parsed WHERE level IS NOT NULL
+),
+s AS (
+  SELECT (ep // 3600) * 3600 AS window_start,
+         count(*)::BIGINT AS n_short, sum(err)::BIGINT AS err_short
+  FROM base GROUP BY 1
+),
+l AS (
+  SELECT (ep // 86400) * 86400 AS lw,
+         count(*)::BIGINT AS nl, sum(err)::BIGINT AS el
+  FROM base GROUP BY 1
+)
+SELECT s.window_start, s.n_short, s.err_short,
+       (s.err_short * 4 * 100) // s.n_short AS burn_short_x100,
+       (l.el * 4 * 100) // l.nl AS burn_long_x100,
+       (CASE WHEN (s.err_short * 4 * 100) // s.n_short >= 150
+              AND (l.el * 4 * 100) // l.nl >= 150
+             THEN 1 ELSE 0 END)::INT AS page
+FROM s JOIN l ON (s.window_start // 86400) * 86400 = l.lw
+"""
+
+# Day-over-day exact-p95 shift per log_type (ops/sre.latency_regression):
+# FLOOR division on the delta (matches Spark F.floor) so negative deltas
+# bin identically; first day per type emitted with NULL baseline.
+ORACLES["latency_regression"] = f"""
+{_WITH_PARSED},
+base AS (
+  SELECT log_type,
+         cast(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day,
+         latency_ms AS val
+  FROM parsed WHERE latency_ms IS NOT NULL AND log_type IS NOT NULL
+),
+r AS (
+  SELECT log_type, day, val,
+         row_number() OVER (PARTITION BY log_type, day ORDER BY val) AS rn,
+         count(*) OVER (PARTITION BY log_type, day) AS n
+  FROM base
+),
+daily AS (
+  SELECT log_type, day, max(n)::BIGINT AS n_lines,
+         max(CASE WHEN rn = (9500 * n + 9999) // 10000 THEN val END) AS p95
+  FROM r GROUP BY 1, 2
+),
+lagged AS (
+  SELECT *, lag(p95) OVER (PARTITION BY log_type ORDER BY day) AS prev_p95
+  FROM daily
+)
+SELECT log_type, day, n_lines, p95, prev_p95,
+       CASE WHEN prev_p95 IS NULL THEN NULL
+            ELSE cast(floor((p95 - prev_p95) * 10000.0 / prev_p95) AS BIGINT)
+       END AS delta_bp,
+       (CASE WHEN prev_p95 IS NULL THEN NULL
+             WHEN floor((p95 - prev_p95) * 10000.0 / prev_p95) >= 2000 THEN 1
+             ELSE 0 END)::INT AS regressed
+FROM lagged
+"""
+
+# Cooldown flap suppression (ops/sre.flap_suppress): the recursive CTE
+# replays the per-key decision-dependent scan the Spark side runs in
+# applyInPandas — kept(i) depends on the last KEPT row, so a plain window
+# cannot express it; linear recursion over the rank chain can.
+ORACLES["flap_suppress_errors"] = f"""
+WITH RECURSIVE {TURNS_CTE}, {PARSED_CTE},
+base AS (
+  SELECT log_type, conv_id, turn_idx, epoch_us(ts) AS ts_us
+  FROM parsed WHERE level = 'ERROR' AND log_type IS NOT NULL
+),
+ordered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY log_type ORDER BY ts_us, conv_id, turn_idx) AS rn
+  FROM base
+),
+walk AS (
+  SELECT log_type, conv_id, turn_idx, ts_us, rn, ts_us AS last_kept, 1 AS kept
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.log_type, o.conv_id, o.turn_idx, o.ts_us, o.rn,
+         CASE WHEN o.ts_us >= w.last_kept + 14400000000 THEN o.ts_us
+              ELSE w.last_kept END,
+         CASE WHEN o.ts_us >= w.last_kept + 14400000000 THEN 1 ELSE 0 END
+  FROM ordered o JOIN walk w ON o.log_type = w.log_type AND o.rn = w.rn + 1
+)
+SELECT log_type, conv_id, turn_idx, ts_us, kept::INT AS kept FROM walk
+"""

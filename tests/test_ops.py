@@ -3611,3 +3611,76 @@ def test_template_latency_profile_exact_percentiles(spark):
     r = rows[0]
     assert r.n_lines == 20 and r.p50 == 10 and r.p95 == 19
     assert "latency_ms=<#>" in r.template
+
+
+def _mk_turn(conv, idx, level, lat, ts):
+    return (
+        conv, idx, "system",
+        f'seq={idx} level={level} log_type=log_type1 latency_ms={lat} msg="evt-{idx}"',
+        None, ts,
+    )
+
+
+_TURN_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def test_burn_rate_alerts_pages_both_windows(spark):
+    import datetime
+
+    from logzoom_spark.ops.sre import burn_rate_alerts
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [  # hour 0: all ERROR; hour 1: all INFO; same day
+        _mk_turn("c1", i, "ERROR", 5, base + datetime.timedelta(minutes=i))
+        for i in range(10)
+    ] + [
+        _mk_turn("c2", i, "INFO", 5, base + datetime.timedelta(hours=1, minutes=i))
+        for i in range(10)
+    ]
+    turns = spark.createDataFrame(rows, _TURN_SCHEMA)
+    out = {r.window_start: r for r in burn_rate_alerts(turns).collect()}
+    h0, h1 = out[1704067200], out[1704070800]
+    # day burn: 10/20 errors * 4 * 100 = 200 >= 150 in both rows
+    assert h0.burn_short_x100 == 400 and h0.burn_long_x100 == 200 and h0.page == 1
+    assert h1.burn_short_x100 == 0 and h1.page == 0
+
+
+def test_latency_regression_flags_and_floor_delta(spark):
+    import datetime
+
+    from logzoom_spark.ops.sre import latency_regression
+
+    d = lambda n: datetime.datetime(2024, 1, 1 + n, 12)
+    rows = (
+        [_mk_turn("c1", i, "INFO", i, d(0)) for i in range(1, 21)]  # p95=19
+        + [_mk_turn("c2", i, "INFO", 100, d(1)) for i in range(5)]  # p95=100
+        + [_mk_turn("c3", i, "INFO", 50, d(2)) for i in range(5)]  # p95=50
+    )
+    turns = spark.createDataFrame(rows, _TURN_SCHEMA)
+    out = sorted(latency_regression(turns).collect(), key=lambda r: r.day)
+    assert [r.p95 for r in out] == [19, 100, 50]
+    assert out[0].prev_p95 is None and out[0].regressed is None
+    assert out[1].delta_bp == (100 - 19) * 10000 // 19 and out[1].regressed == 1
+    assert out[2].delta_bp == -5000 and out[2].regressed == 0  # floor, not trunc
+
+
+def test_flap_suppress_decision_dependent(spark):
+    import datetime
+
+    from logzoom_spark.ops.sre import flap_suppress
+
+    base = datetime.datetime(2024, 1, 1)
+    hrs = [0, 1, 5, 6]  # cooldown 4h -> kept at 0h and 5h only
+    rows = [
+        ("k1", f"c{i}", i, base + datetime.timedelta(hours=h))
+        for i, h in enumerate(hrs)
+    ]
+    df = spark.createDataFrame(rows, "log_type string, conv_id string, turn_idx int, ts timestamp")
+    out = flap_suppress(
+        df, ("log_type",), ("conv_id", "turn_idx"), cooldown_s=4 * 3600
+    ).collect()
+    kept = {r.conv_id: r.kept for r in out}
+    assert kept == {"c0": 1, "c1": 0, "c2": 1, "c3": 0}
+    assert len(out) == 4  # suppressed rows counted, not dropped
