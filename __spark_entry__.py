@@ -2473,6 +2473,40 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_lateness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured event-time disorder per conversation (arrival order =
+    turn_idx) — the empirical input for sizing a streaming watermark."""
+    from logzoom_spark.ops.audit import lateness_audit
+
+    return lateness_audit(_turns(spark, sf))
+
+
+def q_seq_gap_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Producer seq-number reconciliation per conversation: span minus
+    distinct = dropped, observed minus distinct = redelivered."""
+    from logzoom_spark.ops.audit import seq_gap_audit
+
+    return seq_gap_audit(_turns(spark, sf))
+
+
+def q_dq_profile_turns(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style column profile of the turns table (null/distinct/
+    completeness per column, type-agnostic via string casts)."""
+    from logzoom_spark.ops.audit import dq_profile
+
+    return dq_profile(
+        _turns(spark, sf), ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
+def q_storage_tiering_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Age-based hot/warm/cold lifecycle plan per day partition with
+    newest-first cumulative bytes (working-set curve)."""
+    from logzoom_spark.ops.audit import storage_tiering_plan
+
+    return storage_tiering_plan(_turns(spark, sf))
+
+
 def q_burn_rate_alerts(spark: SparkSession, sf: str) -> DataFrame:
     """SRE Workbook multiwindow multi-burn-rate SLO alert: hourly burn
     joined to its enclosing day; pages only when BOTH windows burn the
@@ -2622,6 +2656,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burn_rate_alerts": q_burn_rate_alerts,
         "latency_regression": q_latency_regression,
         "flap_suppress_errors": q_flap_suppress_errors,
+        "lateness_audit": q_lateness_audit,
+        "seq_gap_audit": q_seq_gap_audit,
+        "dq_profile_turns": q_dq_profile_turns,
+        "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---
         "semdedup_kmeans": q_semdedup_kmeans,
         "remove_dup_spans": q_remove_dup_spans,

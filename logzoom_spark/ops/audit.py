@@ -1,0 +1,167 @@
+"""Pipeline-integrity and data-quality audits over the transcript stream.
+
+The reference's delivery contract is at-least-once with no in-engine
+verification (reference: input/filebeat/filebeat.go — ACK after enqueue,
+drops counted but never reconciled); these operators are the audits a
+100 TB deployment runs ON the engine's own output to prove the contract
+held, plus the profiling that sizes its streaming and storage knobs:
+
+- `lateness_audit` — measured event-time disorder per conversation;
+  the empirical basis for choosing a Structured Streaming watermark
+  (`withWatermark` delay should dominate the observed max lateness).
+- `seq_gap_audit` — producer sequence-number reconciliation: missing
+  seqs = dropped messages, duplicate seqs = at-least-once redelivery.
+- `dq_profile` — Deequ-style column profile (completeness, distinctness;
+  Schelter et al., VLDB 2018 is the public design).
+- `storage_tiering_plan` — per-day bytes/rows with age-based hot/warm/
+  cold tiers and newest-first cumulative bytes: the lifecycle policy
+  input for a time-sliced sink (reference: output/s3/s3.go time slicing).
+
+All outputs are integer-exact (epoch seconds, byte counts, ×10000 ratios).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "lateness_audit",
+    "seq_gap_audit",
+    "dq_profile",
+    "storage_tiering_plan",
+]
+
+
+def lateness_audit(turns: DataFrame) -> DataFrame:
+    """Event-time disorder per conversation: a turn is LATE when its
+    event time precedes the running max of all earlier-ARRIVING turns
+    (arrival order = turn_idx); its lateness is that deficit in seconds.
+    Returns (conv_id, n_turns, n_late, max_late_s, total_late_s) — the
+    max over conversations is the smallest safe watermark delay.
+
+    Scale shape: one window partitioned by the table's native conv key
+    (bounded by conversation length), then a map-side-combined rollup."""
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.greatest(F.max("_ep").over(w) - F.col("_ep"), F.lit(0))
+    return (
+        turns.select("conv_id", "turn_idx", ep.alias("_ep"))
+        .withColumn("_late", F.coalesce(late, F.lit(0)))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.sum((F.col("_late") > 0).cast("int")).cast("bigint").alias("n_late"),
+            F.max("_late").cast("bigint").alias("max_late_s"),
+            F.sum("_late").cast("bigint").alias("total_late_s"),
+        )
+    )
+
+
+def seq_gap_audit(turns: DataFrame) -> DataFrame:
+    """Producer sequence reconciliation per conversation over the KV
+    lines carrying ``seq=N``: span − distinct = messages MISSING
+    (dropped somewhere before the sink), observed − distinct = DUPLICATED
+    (at-least-once redelivery). Conversations with no seq-bearing lines
+    are absent by construction (nothing to reconcile).
+
+    Returns (conv_id, n_seq_lines, min_seq, max_seq, n_missing, n_dups).
+    One aggregate on the native conv key; the distinct count rides the
+    same shuffle."""
+    seq = F.regexp_extract(F.col("text"), r"seq=(\d+)", 1)
+    base = (
+        turns.select("conv_id", seq.alias("_s"))
+        .filter(F.col("_s") != "")
+        .select("conv_id", F.col("_s").cast("bigint").alias("seq"))
+    )
+    return base.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seq_lines"),
+        F.min("seq").alias("min_seq"),
+        F.max("seq").alias("max_seq"),
+        (
+            F.max("seq") - F.min("seq") + 1 - F.countDistinct("seq")
+        ).cast("bigint").alias("n_missing"),
+        (F.count(F.lit(1)) - F.countDistinct("seq")).cast("bigint").alias("n_dups"),
+    )
+
+
+def dq_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Deequ-style column quality profile: for each named column,
+    (col_name, n_rows, n_null, n_distinct, completeness_bp) with
+    completeness = non-null fraction in basis points (floor). Values are
+    compared as their string casts so the profile is type-agnostic.
+
+    Scale shape: one map-side-combined aggregate per column (each a
+    separate shuffle on that column's values — the price of exact
+    distinct counts; swap in HLL from ops.sketch when approximate is
+    acceptable). The final assembly is a union of k one-row frames —
+    driver-bounded, k = len(cols)."""
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        one = df.select(s.alias("_v")).agg(
+            F.lit(c).alias("col_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.isnull("_v").cast("int")).cast("bigint").alias("n_null"),
+            F.countDistinct("_v").cast("bigint").alias("n_distinct"),
+            F.expr(
+                "((count(1) - sum(cast(_v IS NULL AS INT))) * 10000) div count(1)"
+            )
+            .cast("bigint")
+            .alias("completeness_bp"),
+        )
+        parts.append(one)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def storage_tiering_plan(
+    turns: DataFrame, hot_days: int = 7, warm_days: int = 30
+) -> DataFrame:
+    """Age-based lifecycle plan for a day-partitioned log store: per day,
+    row count and text bytes; age in days versus the newest day in the
+    corpus; tier ∈ hot/warm/cold by the two thresholds; and the
+    cumulative bytes of this-day-and-newer (the hot+ working set if the
+    cutoff were placed here).
+
+    Returns (day, n_rows, bytes, age_days, tier, cum_bytes_newer).
+
+    Scale shape: the per-day rollup is map-side combined; the newest-day
+    scalar broadcasts; the cumulative window runs over the bounded
+    per-day aggregate (rows = days retained, not data)."""
+    day = (
+        F.unix_timestamp(F.date_trunc("day", F.col("ts").cast("timestamp")))
+        .cast("bigint")
+    )
+    daily = (
+        turns.select(day.alias("day"), F.octet_length("text").alias("_b"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("_b").cast("bigint").alias("bytes"),
+        )
+    )
+    newest = daily.agg(F.max("day").alias("_newest"))
+    j = daily.crossJoin(F.broadcast(newest))
+    age = F.expr("(_newest - day) div 86400")
+    w = (
+        Window.orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        j.withColumn("age_days", age)
+        .withColumn(
+            "tier",
+            F.when(F.col("age_days") < hot_days, F.lit("hot"))
+            .when(F.col("age_days") < warm_days, F.lit("warm"))
+            .otherwise(F.lit("cold")),
+        )
+        .withColumn("cum_bytes_newer", F.sum("bytes").over(w).cast("bigint"))
+        .select("day", "n_rows", "bytes", "age_days", "tier", "cum_bytes_newer")
+    )

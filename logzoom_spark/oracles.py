@@ -4081,3 +4081,84 @@ walk AS (
 )
 SELECT log_type, conv_id, turn_idx, ts_us, kept::INT AS kept FROM walk
 """
+
+
+# Event-time disorder per conversation (ops/audit.lateness_audit):
+# lateness(i) = max(0, runmax(ep over earlier-arriving turns) - ep(i)).
+ORACLES["lateness_audit"] = f"""
+WITH {TURNS_CTE},
+b AS (
+  SELECT conv_id, turn_idx, cast(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM turns
+),
+l AS (
+  SELECT conv_id,
+         greatest(coalesce(max(ep) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ep, 0), 0)
+           AS late
+  FROM b
+)
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN late > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+       max(late)::BIGINT AS max_late_s,
+       sum(late)::BIGINT AS total_late_s
+FROM l GROUP BY 1
+"""
+
+# Producer seq reconciliation (ops/audit.seq_gap_audit): span - distinct =
+# dropped; observed - distinct = redelivered (at-least-once).
+ORACLES["seq_gap_audit"] = f"""
+WITH {TURNS_CTE},
+b AS (
+  SELECT conv_id,
+         TRY_CAST(nullif(regexp_extract(text, 'seq=(\\d+)', 1), '') AS BIGINT)
+           AS seq
+  FROM turns
+)
+SELECT conv_id, count(*)::BIGINT AS n_seq_lines,
+       min(seq) AS min_seq, max(seq) AS max_seq,
+       (max(seq) - min(seq) + 1 - count(DISTINCT seq))::BIGINT AS n_missing,
+       (count(*) - count(DISTINCT seq))::BIGINT AS n_dups
+FROM b WHERE seq IS NOT NULL GROUP BY 1
+"""
+
+# Deequ-style column profile of turns (ops/audit.dq_profile): one row per
+# column, values compared as string casts (injective in both engines, so
+# null/distinct counts agree even though formatting may differ).
+_DQ_COL = """
+SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       count(DISTINCT cast({c} AS VARCHAR))::BIGINT AS n_distinct,
+       ((count(*) - sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)) * 10000)
+         // count(*) AS completeness_bp
+FROM turns
+"""
+ORACLES["dq_profile_turns"] = (
+    f"WITH {TURNS_CTE}\n"
+    + "\nUNION ALL\n".join(
+        _DQ_COL.format(c=c)
+        for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+)
+
+# Age-based lifecycle plan (ops/audit.storage_tiering_plan): per-day
+# rows/bytes, hot<7d / warm<30d / cold, newest-first cumulative bytes.
+ORACLES["storage_tiering_plan"] = f"""
+WITH {TURNS_CTE},
+daily AS (
+  SELECT cast(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day,
+         count(*)::BIGINT AS n_rows, sum(strlen(text))::BIGINT AS bytes
+  FROM turns GROUP BY 1
+),
+j AS (SELECT daily.*, (SELECT max(day) FROM daily) AS newest FROM daily)
+SELECT day, n_rows, bytes,
+       (newest - day) // 86400 AS age_days,
+       CASE WHEN (newest - day) // 86400 < 7 THEN 'hot'
+            WHEN (newest - day) // 86400 < 30 THEN 'warm'
+            ELSE 'cold' END AS tier,
+       sum(bytes) OVER (ORDER BY day DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS cum_bytes_newer
+FROM j
+"""

@@ -3684,3 +3684,62 @@ def test_flap_suppress_decision_dependent(spark):
     kept = {r.conv_id: r.kept for r in out}
     assert kept == {"c0": 1, "c1": 0, "c2": 1, "c3": 0}
     assert len(out) == 4  # suppressed rows counted, not dropped
+
+
+def test_lateness_audit_running_max(spark):
+    import datetime
+
+    from logzoom_spark.ops.audit import lateness_audit
+
+    h = lambda n: datetime.datetime(2024, 1, 1, n)
+    rows = [("c1", 0, h(10)), ("c1", 1, h(9)), ("c1", 2, h(11)), ("c1", 3, h(8))]
+    turns = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    r = lateness_audit(turns).collect()[0]
+    # turn1 late by 1h vs runmax 10:00; turn3 late by 3h vs runmax 11:00
+    assert r.n_turns == 4 and r.n_late == 2
+    assert r.max_late_s == 3 * 3600 and r.total_late_s == 4 * 3600
+
+
+def test_seq_gap_audit_missing_and_dups(spark):
+    from logzoom_spark.ops.audit import seq_gap_audit
+
+    rows = [
+        ("c1", 'seq=1 level=INFO msg="a"'),
+        ("c1", 'seq=2 level=INFO msg="b"'),
+        ("c1", 'seq=2 level=INFO msg="b2"'),  # redelivery
+        ("c1", 'seq=5 level=INFO msg="c"'),  # 3,4 dropped
+        ("c1", '{"message":"no seq here"}'),  # not seq-bearing
+    ]
+    turns = spark.createDataFrame(rows, "conv_id string, text string")
+    r = seq_gap_audit(turns).collect()[0]
+    assert r.n_seq_lines == 4 and (r.min_seq, r.max_seq) == (1, 5)
+    assert r.n_missing == 2 and r.n_dups == 1
+
+
+def test_dq_profile_counts(spark):
+    from logzoom_spark.ops.audit import dq_profile
+
+    df = spark.createDataFrame(
+        [(1, "x"), (None, "x"), (1, None)], "a int, b string"
+    )
+    out = {r.col_name: r for r in dq_profile(df, ("a", "b")).collect()}
+    assert out["a"].n_null == 1 and out["a"].n_distinct == 1
+    assert out["a"].completeness_bp == 6666
+    assert out["b"].n_null == 1 and out["b"].n_distinct == 1
+
+
+def test_storage_tiering_plan_tiers_and_cum(spark):
+    import datetime
+
+    from logzoom_spark.ops.audit import storage_tiering_plan
+
+    newest = datetime.datetime(2024, 3, 1)
+    mk = lambda dback, txt: ("c", txt, newest - datetime.timedelta(days=dback))
+    turns = spark.createDataFrame(
+        [mk(0, "aaaa"), mk(0, "bb"), mk(10, "ccc"), mk(40, "d")],
+        "conv_id string, text string, ts timestamp",
+    )
+    out = {r.age_days: r for r in storage_tiering_plan(turns).collect()}
+    assert out[0].tier == "hot" and out[0].bytes == 6 and out[0].cum_bytes_newer == 6
+    assert out[10].tier == "warm" and out[10].cum_bytes_newer == 9
+    assert out[40].tier == "cold" and out[40].cum_bytes_newer == 10
