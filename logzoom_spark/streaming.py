@@ -738,3 +738,66 @@ def streaming_conv_dedup(
         else writer.trigger(processingTime="10 seconds")
     )
     return writer.start()
+
+
+def streaming_flap_suppress(
+    alerts_stream: DataFrame,
+    key_col: str = "log_type",
+    cooldown_s: int = 14400,
+    state_ttl_minutes: int = 24 * 60,
+) -> DataFrame:
+    """Streaming twin of ops.sre.flap_suppress: per key, emit an alert
+    iff ``cooldown_s`` elapsed since the LAST EMITTED one — the running
+    decision-dependent scan, with the last-kept timestamp carried as
+    typed state across micro-batches via ``applyInPandasWithState``
+    (Alertmanager's `repeat_interval`, public analogue).
+
+    Equals the batch operator whenever arrival order respects event-time
+    order across batches (within a batch, rows are event-time sorted
+    before the scan) — the pytest drives both on the same data and
+    asserts identical kept sets.
+
+    State is one BIGINT per key (bounded by alert-key cardinality, not
+    volume) and is evicted after ``state_ttl_minutes`` of inactivity;
+    a key resuming after eviction re-fires immediately, which is the
+    safe failure mode for an alert de-duplicator (duplicate page, never
+    a suppressed real page)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, ts_us bigint, kept int"
+    state_schema = "last_kept long"
+    cool_us = int(cooldown_s) * 1_000_000
+    ttl_ms = state_ttl_minutes * 60 * 1000
+
+    def scan(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (k,) = key
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({key_col: [], "ts_us": [], "kept": []})
+            return
+        (last,) = state.get if state.exists else (None,)
+        pdf = pd.concat(list(pdfs)).sort_values("ts_us")
+        kept = []
+        for t in pdf["ts_us"]:
+            ok = last is None or t >= last + cool_us
+            kept.append(1 if ok else 0)
+            if ok:
+                last = int(t)
+        state.update((last,))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {key_col: k, "ts_us": pdf["ts_us"].to_numpy(), "kept": kept}
+        )
+
+    return (
+        alerts_stream.select(
+            key_col, F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            scan, out_schema, state_schema, "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -836,3 +836,59 @@ def test_streaming_bloom_gate_parity_and_bypass(spark, tmp_path):
     q2.awaitTermination(300)
     assert stats2 == []
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == expected
+
+
+def test_streaming_flap_suppress_state_crosses_batches(spark, tmp_path):
+    """The last-kept timestamp must survive the batch boundary: batch 1's
+    first alert for k1 is inside batch 0's cooldown and must be
+    suppressed. Final kept set equals the batch flap_suppress over the
+    union."""
+    import datetime as dt
+
+    from logzoom_spark.ops.sre import flap_suppress
+    from logzoom_spark.streaming import streaming_flap_suppress
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = lambda n: t0 + dt.timedelta(hours=n)
+    batches = [
+        [("k1", h(0)), ("k1", h(1)), ("k2", h(0))],  # k1@1h suppressed
+        # k1@3h inside [0h + 4h) cooldown -> suppressed ONLY if state
+        # crossed the boundary; k1@5h fires; k2@6h fires
+        [("k1", h(3)), ("k1", h(5)), ("k2", h(6))],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "log_type string, ts timestamp"
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{b}"), mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/b*")
+    )
+    q = (
+        streaming_flap_suppress(stream, cooldown_s=4 * 3600)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("flap_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.log_type, r.ts_us): r.kept
+        for r in spark.sql("select * from flap_out").collect()
+    }
+    union = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    ).withColumn("turn_idx", F.lit(0))
+    want = {
+        (r.log_type, r.ts_us): r.kept
+        for r in flap_suppress(
+            union, ("log_type",), ("turn_idx",), cooldown_s=4 * 3600
+        ).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 4  # k1@0h, k1@5h, k2@0h, k2@6h
