@@ -2473,6 +2473,34 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_sli_attainment(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(log_type, day) latency-SLO attainment in basis points with
+    breach flag — the SLI feeding burn_rate_alerts."""
+    from logzoom_spark.ops.sre import sli_attainment
+
+    return sli_attainment(_turns(spark, sf))
+
+
+def q_incident_mttr(spark: SparkSession, sf: str) -> DataFrame:
+    """MTTR per log_type: each ERROR's recovery is the earliest
+    event-time INFO arriving later in the conversation; unresolved
+    errors counted, not dropped."""
+    from logzoom_spark.ops.sre import incident_mttr
+
+    return incident_mttr(_turns(spark, sf))
+
+
+def q_erasure_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-erasure rewrite plan per day partition for a
+    deterministic tombstone set (user_id % 53 == 0): deletion share and
+    copy-on-write amplification."""
+    from logzoom_spark.ops.maintenance import erasure_plan
+
+    ev = _read(spark, sf, "events")
+    tomb = ev.select("user_id").filter(F.col("user_id") % 53 == 0).distinct()
+    return erasure_plan(ev, tomb)
+
+
 def q_lateness_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Measured event-time disorder per conversation (arrival order =
     turn_idx) — the empirical input for sizing a streaming watermark."""
@@ -2658,6 +2686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flap_suppress_errors": q_flap_suppress_errors,
         "lateness_audit": q_lateness_audit,
         "seq_gap_audit": q_seq_gap_audit,
+        "sli_attainment": q_sli_attainment,
+        "incident_mttr": q_incident_mttr,
+        "erasure_plan": q_erasure_plan,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

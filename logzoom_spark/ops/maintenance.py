@@ -183,3 +183,49 @@ def partition_checksums(
             F.max("_h").alias("max_h"),
         )
     )
+
+
+def erasure_plan(
+    events: DataFrame, tombstones: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Right-to-erasure rewrite plan over a day-partitioned event store:
+    for each day partition, how many rows a tombstoned-user purge
+    touches and the rewrite amplification — rows that must be rewritten
+    per row actually deleted (the copy-on-write cost a deletion-vector
+    layout avoids; Delta/Iceberg DV docs are the public framing).
+
+    `tombstones` is a 1-column (user_id) frame of erasure requests —
+    small by nature, broadcast to flag rows without shuffling the facts.
+
+    Returns (day, n_rows, n_del, del_share_bp, rewrite_amp_bp) —
+    rewrite_amp_bp = floor(n_rows·10000/n_del), NULL for untouched
+    partitions (nothing to rewrite).
+
+    Scale shape: broadcast left-join flag + one map-side-combined rollup
+    onto the bounded day key; the fact table never shuffles."""
+    day = (
+        F.unix_timestamp(F.date_trunc("day", F.col(ts_col).cast("timestamp")))
+        .cast("bigint")
+    )
+    tomb = tombstones.select(F.col("user_id").alias("_tomb_uid")).distinct()
+    flagged = events.select(day.alias("day"), "user_id").join(
+        F.broadcast(tomb), F.col("user_id") == F.col("_tomb_uid"), "left"
+    )
+    cells = flagged.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("_tomb_uid").isNotNull().cast("int")).cast("bigint").alias(
+            "n_del"
+        ),
+    )
+    return cells.select(
+        "day",
+        "n_rows",
+        "n_del",
+        F.expr("(n_del * 10000) div n_rows").cast("bigint").alias("del_share_bp"),
+        F.when(
+            F.col("n_del") > 0,
+            F.expr("(n_rows * 10000) div n_del"),
+        )
+        .cast("bigint")
+        .alias("rewrite_amp_bp"),
+    )

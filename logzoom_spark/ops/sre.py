@@ -199,3 +199,96 @@ def flap_suppress(
         return pdf[keys + order + ["ts_us", "kept"]]
 
     return inp.groupBy(*keys).applyInPandas(scan, out_schema)
+
+
+def sli_attainment(
+    turns: DataFrame,
+    latency_slo_ms: int = 1000,
+    objective_bp: int = 5000,
+) -> DataFrame:
+    """Per-(log_type, day) SLI attainment: the fraction of lines whose
+    parsed latency meets the SLO threshold, in basis points, with a
+    breach flag against the objective. This is the SLI the burn-rate
+    alert consumes upstream (SRE Workbook ch. 2/5 split: SLI here,
+    alerting policy in `burn_rate_alerts`).
+
+    Returns (log_type, day, n_lines, n_good, sli_bp, breach).
+    One map-side-combined aggregate on the bounded (log_type, day) key."""
+    from ..parse import parse_turns
+
+    day = (
+        F.unix_timestamp(F.date_trunc("day", F.col("ts").cast("timestamp")))
+        .cast("bigint")
+    )
+    base = (
+        parse_turns(turns, with_attrs=False)
+        .filter(F.col("latency_ms").isNotNull() & F.col("log_type").isNotNull())
+        .select(
+            "log_type",
+            day.alias("day"),
+            (F.col("latency_ms") <= latency_slo_ms).cast("int").alias("_good"),
+        )
+    )
+    return base.groupBy("log_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("_good").cast("bigint").alias("n_good"),
+        F.expr("(sum(_good) * 10000) div count(1)").cast("bigint").alias("sli_bp"),
+        (F.expr("(sum(_good) * 10000) div count(1)") < objective_bp)
+        .cast("int")
+        .alias("breach"),
+    )
+
+
+def incident_mttr(turns: DataFrame) -> DataFrame:
+    """Mean-time-to-recovery per log_type: each ERROR line's recovery is
+    the EARLIEST event-time INFO line that arrives later in the same
+    conversation (arrival order = turn_idx); ttr = recovery − error in
+    seconds (raw event-time difference — negative under event-time
+    disorder, which `lateness_audit` measures; unresolved errors are
+    counted, not dropped).
+
+    Returns (log_type, n_errors, n_resolved, total_ttr_s, mean_ttr_s,
+    max_ttr_s) — mean is floor(total/resolved), NULL when nothing
+    resolved.
+
+    Scale shape: one window on the native conv key (frame bounded by
+    conversation length), then a rollup onto the bounded log_type key."""
+    from pyspark.sql import Window
+
+    from ..parse import parse_turns
+
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint")
+    p = (
+        parse_turns(turns, with_attrs=False)
+        .filter(F.col("level").isNotNull() & F.col("log_type").isNotNull())
+        .select("conv_id", "turn_idx", "log_type", "level", ep.alias("_ep"))
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    rec = F.min(
+        F.when(F.col("level") == "INFO", F.col("_ep"))
+    ).over(w)
+    errs = (
+        p.withColumn("_rec", rec)
+        .filter(F.col("level") == "ERROR")
+        .withColumn("_ttr", F.col("_rec") - F.col("_ep"))
+    )
+    return errs.groupBy("log_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_errors"),
+        F.sum(F.col("_ttr").isNotNull().cast("int")).cast("bigint").alias(
+            "n_resolved"
+        ),
+        F.sum("_ttr").cast("bigint").alias("total_ttr_s"),
+        F.when(
+            F.sum(F.col("_ttr").isNotNull().cast("int")) > 0,
+            F.floor(
+                F.sum("_ttr") / F.sum(F.col("_ttr").isNotNull().cast("int"))
+            ),
+        )
+        .cast("bigint")
+        .alias("mean_ttr_s"),
+        F.max("_ttr").cast("bigint").alias("max_ttr_s"),
+    )

@@ -4162,3 +4162,65 @@ SELECT day, n_rows, bytes,
          AS cum_bytes_newer
 FROM j
 """
+
+
+# Latency-SLO attainment per (log_type, day) (ops/sre.sli_attainment).
+ORACLES["sli_attainment"] = f"""
+{_WITH_PARSED},
+base AS (
+  SELECT log_type,
+         cast(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day,
+         CASE WHEN latency_ms <= 1000 THEN 1 ELSE 0 END AS good
+  FROM parsed WHERE latency_ms IS NOT NULL AND log_type IS NOT NULL
+)
+SELECT log_type, day, count(*)::BIGINT AS n_lines,
+       sum(good)::BIGINT AS n_good,
+       (sum(good) * 10000) // count(*) AS sli_bp,
+       (CASE WHEN (sum(good) * 10000) // count(*) < 5000 THEN 1 ELSE 0 END)::INT
+         AS breach
+FROM base GROUP BY 1, 2
+"""
+
+# MTTR per log_type (ops/sre.incident_mttr): recovery = earliest
+# event-time INFO arriving later (turn_idx order) in the conversation.
+# mean is FLOOR(total/resolved) in both engines (negative-safe).
+ORACLES["incident_mttr"] = f"""
+{_WITH_PARSED},
+b AS (
+  SELECT conv_id, turn_idx, log_type, level,
+         cast(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM parsed WHERE level IS NOT NULL AND log_type IS NOT NULL
+),
+r AS (
+  SELECT *, min(CASE WHEN level = 'INFO' THEN ep END) OVER (
+    PARTITION BY conv_id ORDER BY turn_idx
+    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS rec
+  FROM b
+),
+e AS (SELECT log_type, rec - ep AS ttr FROM r WHERE level = 'ERROR')
+SELECT log_type, count(*)::BIGINT AS n_errors,
+       sum(CASE WHEN ttr IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_resolved,
+       sum(ttr)::BIGINT AS total_ttr_s,
+       CASE WHEN sum(CASE WHEN ttr IS NOT NULL THEN 1 ELSE 0 END) > 0
+            THEN cast(floor(sum(ttr) * 1.0 /
+                 sum(CASE WHEN ttr IS NOT NULL THEN 1 ELSE 0 END)) AS BIGINT)
+            ELSE NULL END AS mean_ttr_s,
+       max(ttr)::BIGINT AS max_ttr_s
+FROM e GROUP BY 1
+"""
+
+# Right-to-erasure rewrite plan (ops/maintenance.erasure_plan) with the
+# deterministic user_id % 53 == 0 tombstone set.
+ORACLES["erasure_plan"] = """
+WITH cells AS (
+  SELECT cast(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day,
+         count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN user_id % 53 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_del
+  FROM events GROUP BY 1
+)
+SELECT day, n_rows, n_del,
+       (n_del * 10000) // n_rows AS del_share_bp,
+       CASE WHEN n_del > 0 THEN (n_rows * 10000) // n_del ELSE NULL END
+         AS rewrite_amp_bp
+FROM cells
+"""

@@ -3743,3 +3743,54 @@ def test_storage_tiering_plan_tiers_and_cum(spark):
     assert out[0].tier == "hot" and out[0].bytes == 6 and out[0].cum_bytes_newer == 6
     assert out[10].tier == "warm" and out[10].cum_bytes_newer == 9
     assert out[40].tier == "cold" and out[40].cum_bytes_newer == 10
+
+
+def test_sli_attainment_breach(spark):
+    import datetime
+
+    from logzoom_spark.ops.sre import sli_attainment
+
+    d1, d2 = datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 2)
+    rows = [
+        _mk_turn("c1", 0, "INFO", 500, d1),
+        _mk_turn("c1", 1, "INFO", 2000, d1),  # day1: 1/2 good -> 5000bp, no breach
+        _mk_turn("c2", 0, "INFO", 2000, d2),
+        _mk_turn("c2", 1, "INFO", 3000, d2),  # day2: 0/2 good -> breach
+    ]
+    turns = spark.createDataFrame(rows, _TURN_SCHEMA)
+    out = {r.day: r for r in sli_attainment(turns).collect()}
+    days = sorted(out)
+    assert out[days[0]].sli_bp == 5000 and out[days[0]].breach == 0
+    assert out[days[1]].sli_bp == 0 and out[days[1]].breach == 1
+
+
+def test_incident_mttr_recovery_pairing(spark):
+    import datetime
+
+    from logzoom_spark.ops.sre import incident_mttr
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        _mk_turn("c1", 0, "ERROR", 5, t(0)),
+        _mk_turn("c1", 1, "INFO", 5, t(0)),  # same-second recovery, idx later
+        _mk_turn("c1", 2, "ERROR", 5, t(30)),  # unresolved
+    ]
+    turns = spark.createDataFrame(rows, _TURN_SCHEMA)
+    r = incident_mttr(turns).collect()[0]
+    assert r.n_errors == 2 and r.n_resolved == 1
+    assert r.total_ttr_s == 0 and r.mean_ttr_s == 0 and r.max_ttr_s == 0
+
+
+def test_erasure_plan_amp_and_untouched(spark):
+    import datetime
+
+    from logzoom_spark.ops.maintenance import erasure_plan
+
+    d1, d2 = datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 2)
+    rows = [(1, d1, 53), (2, d1, 1), (3, d1, 2), (4, d1, 106), (5, d2, 7)]
+    ev = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint")
+    tomb = ev.select("user_id").filter((ev.user_id % 53) == 0).distinct()
+    out = {r.n_rows: r for r in erasure_plan(ev, tomb).collect()}
+    assert out[4].n_del == 2 and out[4].del_share_bp == 5000
+    assert out[4].rewrite_amp_bp == 20000
+    assert out[1].n_del == 0 and out[1].rewrite_amp_bp is None
