@@ -2473,6 +2473,31 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_sre_triage_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship log-triage composition: template volume/lifetime +
+    latency percentiles + error share + novelty flag, all aggregated to
+    the bounded template vocabulary before any join."""
+    from logzoom_spark.ops.templates import sre_triage_report
+
+    return sre_triage_report(_turns(spark, sf))
+
+
+def q_value_outliers_iqr(spark: SparkSession, sf: str) -> DataFrame:
+    """Tukey-fence outlier audit per event_type on integer cents;
+    fences ×10 keep the comparison integer-exact."""
+    from logzoom_spark.ops.audit import value_outliers_iqr
+
+    return value_outliers_iqr(_read(spark, sf, "events"))
+
+
+def q_lang_id_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Confusion matrix of the lang_id heuristic vs the labeled lang
+    column with per-label share in basis points."""
+    from logzoom_spark.ops.text import lang_id_agreement
+
+    return lang_id_agreement(_read(spark, sf, "documents"))
+
+
 def q_sli_attainment(spark: SparkSession, sf: str) -> DataFrame:
     """Per-(log_type, day) latency-SLO attainment in basis points with
     breach flag — the SLI feeding burn_rate_alerts."""
@@ -2689,6 +2714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sli_attainment": q_sli_attainment,
         "incident_mttr": q_incident_mttr,
         "erasure_plan": q_erasure_plan,
+        "sre_triage_report": q_sre_triage_report,
+        "value_outliers_iqr": q_value_outliers_iqr,
+        "lang_id_agreement": q_lang_id_agreement,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

@@ -165,3 +165,56 @@ def storage_tiering_plan(
         .withColumn("cum_bytes_newer", F.sum("bytes").over(w).cast("bigint"))
         .select("day", "n_rows", "bytes", "age_days", "tier", "cum_bytes_newer")
     )
+
+
+def value_outliers_iqr(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tukey-fence outlier audit per group over a continuous measure:
+    quartiles on integer cents (house rule: round(x·100) BIGINT), fences
+    at ±1.5·IQR kept ×10 so the comparison stays integer-exact.
+
+    Returns (group, n, q1_cents, q3_cents, n_low, n_high) — n_low/n_high
+    count values strictly outside the fences.
+
+    Scale shape: quartiles ride the (group, cents) histogram
+    (`exact_percentiles_disc`); the fence check re-scans the facts with
+    the per-group fences BROADCAST (groups are bounded), so the fact
+    table never shuffles."""
+    from .sketch import exact_percentiles_disc
+
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    base = events.select(
+        F.col(group_col).alias("grp"), cents.alias("cents")
+    ).filter(F.col("cents").isNotNull())
+    q = exact_percentiles_disc(base, "grp", "cents", (0.25, 0.75)).select(
+        "grp",
+        F.col("p25").alias("q1_cents"),
+        F.col("p75").alias("q3_cents"),
+    )
+    flagged = base.join(F.broadcast(q), "grp").select(
+        "grp",
+        "q1_cents",
+        "q3_cents",
+        (
+            F.col("cents") * 10
+            < F.col("q1_cents") * 10 - 15 * (F.col("q3_cents") - F.col("q1_cents"))
+        )
+        .cast("int")
+        .alias("_lo"),
+        (
+            F.col("cents") * 10
+            > F.col("q3_cents") * 10 + 15 * (F.col("q3_cents") - F.col("q1_cents"))
+        )
+        .cast("int")
+        .alias("_hi"),
+    )
+    return flagged.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("q1_cents").alias("q1_cents"),
+        F.max("q3_cents").alias("q3_cents"),
+        F.sum("_lo").cast("bigint").alias("n_low"),
+        F.sum("_hi").cast("bigint").alias("n_high"),
+    ).withColumnRenamed("grp", group_col)

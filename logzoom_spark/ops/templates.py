@@ -90,3 +90,56 @@ def template_latency_profile(turns: DataFrame) -> DataFrame:
     return counts.join(pct, "template").select(
         "template", "n_lines", "p50", "p95"
     )
+
+
+def sre_triage_report(turns: DataFrame, recent_days: int = 7) -> DataFrame:
+    """The flagship log-triage composition: one ranked-ready report per
+    template joining volume/spread/lifetime (`log_template_mine`),
+    latency SLO percentiles (`template_latency_profile`), error share,
+    and a first-seen novelty flag. This is the "what changed, how bad,
+    is it new" screen an on-call pulls first — assembled engine-side so
+    only the bounded template vocabulary ever leaves the cluster.
+
+    Returns (template, n_lines, n_convs, age_days, p50, p95, err_bp,
+    is_new) — p50/p95 NULL for templates with no parsed latency; err_bp
+    over lines with a parsed level; is_new = first seen within
+    ``recent_days`` of the corpus's newest day.
+
+    Scale shape: every stage aggregates onto the bounded template key
+    before any join; the newest-day scalar broadcasts; joins are
+    vocabulary-sized."""
+    from ..parse import parse_turns
+
+    t = log_template_mine(turns)
+    lat = template_latency_profile(turns).select("template", "p50", "p95")
+    err = (
+        parse_turns(turns, with_attrs=False)
+        .filter(F.col("level").isNotNull())
+        .select(
+            mask_template(F.col("text")).alias("template"),
+            (F.col("level") == "ERROR").cast("int").alias("_e"),
+        )
+        .groupBy("template")
+        .agg(
+            F.expr("(sum(_e) * 10000) div count(1)").cast("bigint").alias("err_bp")
+        )
+    )
+    newest = t.agg(F.max("last_day").alias("_newest"))
+    cutoff = F.col("_newest") - (recent_days - 1) * 86400
+    return (
+        t.join(lat, "template", "left")
+        .join(err, "template", "left")
+        .crossJoin(F.broadcast(newest))
+        .select(
+            "template",
+            "n_lines",
+            "n_convs",
+            F.expr("(_newest - first_day) div 86400").cast("bigint").alias(
+                "age_days"
+            ),
+            "p50",
+            "p95",
+            "err_bp",
+            (F.col("first_day") >= cutoff).cast("int").alias("is_new"),
+        )
+    )

@@ -787,3 +787,30 @@ def vocab_drift(
         .orderBy(F.col("drift_ppm").desc(), F.col("token").asc())
         .limit(top_n)
     )
+
+
+def lang_id_agreement(docs: DataFrame) -> DataFrame:
+    """Evaluation matrix for the `lang_id` heuristic against the labeled
+    `lang` column: one row per (lang, pred_lang) cell with count and the
+    cell's share of its LABEL row in basis points — precision/recall
+    read straight off the matrix. The eval-the-filter step every
+    model-based curation stage needs (fastText-style lang filters are
+    tuned exactly this way).
+
+    Scale shape: the prediction is a row-local projection; one
+    map-side-combined aggregate on the bounded (lang, pred) key; the
+    label-total window runs over the bounded cell aggregate."""
+    from pyspark.sql import Window
+
+    pred = lang_id(docs)
+    j = docs.select("doc_id", "lang").join(pred.select("doc_id", "pred_lang"), "doc_id")
+    cells = j.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return cells.withColumn("_tot", F.sum("n").over(w)).select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.expr("(n * 10000) div _tot").cast("bigint").alias("share_bp"),
+    )

@@ -4224,3 +4224,99 @@ SELECT day, n_rows, n_del,
          AS rewrite_amp_bp
 FROM cells
 """
+
+
+# Flagship log-triage composition (ops/templates.sre_triage_report):
+# template mine + latency percentiles + error share + novelty, joined on
+# the bounded template vocabulary.
+ORACLES["sre_triage_report"] = f"""
+{_WITH_PARSED},
+tpl AS (
+  SELECT regexp_replace(text, '[0-9]+', '<#>', 'g') AS template, conv_id,
+         cast(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day
+  FROM turns WHERE text IS NOT NULL
+),
+t AS (
+  SELECT template, count(*)::BIGINT AS n_lines,
+         count(DISTINCT conv_id)::BIGINT AS n_convs,
+         min(day) AS first_day, max(day) AS last_day
+  FROM tpl GROUP BY 1
+),
+lbase AS (
+  SELECT regexp_replace(text, '[0-9]+', '<#>', 'g') AS template,
+         latency_ms AS val
+  FROM parsed WHERE latency_ms IS NOT NULL
+),
+lr AS (
+  SELECT template, val,
+         row_number() OVER (PARTITION BY template ORDER BY val) AS rn,
+         count(*) OVER (PARTITION BY template) AS n
+  FROM lbase
+),
+lat AS (
+  SELECT template,
+         max(CASE WHEN rn = (5000 * n + 9999) // 10000 THEN val END) AS p50,
+         max(CASE WHEN rn = (9500 * n + 9999) // 10000 THEN val END) AS p95
+  FROM lr GROUP BY 1
+),
+e AS (
+  SELECT regexp_replace(text, '[0-9]+', '<#>', 'g') AS template,
+         (sum(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END) * 10000)
+           // count(*) AS err_bp
+  FROM parsed WHERE level IS NOT NULL GROUP BY 1
+),
+mx AS (SELECT max(last_day) AS newest FROM t)
+SELECT t.template, t.n_lines, t.n_convs,
+       (mx.newest - t.first_day) // 86400 AS age_days,
+       lat.p50, lat.p95, e.err_bp,
+       (CASE WHEN t.first_day >= mx.newest - 6 * 86400 THEN 1 ELSE 0 END)::INT
+         AS is_new
+FROM t LEFT JOIN lat USING (template) LEFT JOIN e USING (template), mx
+"""
+
+# Tukey-fence outlier audit per event_type (ops/audit.value_outliers_iqr):
+# quartiles on round(value*100) cents, fences x10 integer-exact.
+ORACLES["value_outliers_iqr"] = """
+WITH base AS (
+  SELECT event_type AS grp, cast(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT grp, cents,
+         row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM base
+),
+q AS (
+  SELECT grp,
+         max(CASE WHEN rn = (2500 * n + 9999) // 10000 THEN cents END) AS q1,
+         max(CASE WHEN rn = (7500 * n + 9999) // 10000 THEN cents END) AS q3
+  FROM r GROUP BY 1
+)
+SELECT b.grp AS event_type, count(*)::BIGINT AS n,
+       max(q.q1)::BIGINT AS q1_cents, max(q.q3)::BIGINT AS q3_cents,
+       sum(CASE WHEN b.cents * 10 < q.q1 * 10 - 15 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END)::BIGINT AS n_low,
+       sum(CASE WHEN b.cents * 10 > q.q3 * 10 + 15 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END)::BIGINT AS n_high
+FROM base b JOIN q ON b.grp = q.grp
+GROUP BY 1
+"""
+
+# lang_id heuristic vs labeled lang (ops/text.lang_id_agreement).
+ORACLES["lang_id_agreement"] = f"""
+WITH pred AS (
+  SELECT doc_id, lang,
+    CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'cjk'
+         WHEN {_STOP_HITS} >= 2 THEN 'en'
+         ELSE 'unk' END AS pred_lang
+  FROM documents
+),
+cells AS (
+  SELECT lang, pred_lang, count(*)::BIGINT AS n FROM pred GROUP BY 1, 2
+)
+SELECT lang, pred_lang, n,
+       cast((n * 10000) // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+         AS share_bp
+FROM cells
+"""

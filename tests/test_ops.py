@@ -3794,3 +3794,58 @@ def test_erasure_plan_amp_and_untouched(spark):
     assert out[4].n_del == 2 and out[4].del_share_bp == 5000
     assert out[4].rewrite_amp_bp == 20000
     assert out[1].n_del == 0 and out[1].rewrite_amp_bp is None
+
+
+def test_sre_triage_report_joins_all_signals(spark):
+    import datetime
+
+    from logzoom_spark.ops.templates import sre_triage_report
+
+    d = lambda n: datetime.datetime(2024, 1, 1 + n)
+    rows = [
+        _mk_turn("c1", 0, "ERROR", 10, d(0)),
+        _mk_turn("c2", 1, "INFO", 20, d(9)),
+        # different template (JSON form), no latency/level parse keys absent
+        ("c3", 0, "system", '{"message":"x","log_type":"log_type1","level":"ERROR","latency_ms":7}', None, d(9)),
+    ]
+    turns = spark.createDataFrame(rows, _TURN_SCHEMA)
+    out = {r.template: r for r in sre_triage_report(turns).collect()}
+    kv_err = next(t for t in out if "level=ERROR" in t)
+    kv_info = next(t for t in out if "level=INFO" in t)
+    js = next(t for t in out if t.startswith("{"))
+    assert out[kv_err].err_bp == 10000 and out[kv_err].p50 == 10
+    assert out[kv_err].age_days == 9 and out[kv_err].is_new == 0
+    assert out[kv_info].err_bp == 0 and out[kv_info].p95 == 20
+    assert out[kv_info].age_days == 0 and out[kv_info].is_new == 1
+    assert out[js].is_new == 1 and out[js].err_bp == 10000 and out[js].p50 == 7
+
+
+def test_value_outliers_iqr_fences(spark):
+    from logzoom_spark.ops.audit import value_outliers_iqr
+
+    vals = [10.0] * 5 + [11.0] * 5 + [100.0]  # q1=1000, q3=1100, iqr=100
+    ev = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)],
+        "event_id bigint, event_type string, value double",
+    )
+    r = value_outliers_iqr(ev).collect()[0]
+    assert (r.q1_cents, r.q3_cents) == (1000, 1100)
+    # hi fence x10 = 11000 + 1500 = 12500 -> 100.0 (=10000 cents -> 100000) out
+    assert r.n_high == 1 and r.n_low == 0 and r.n == 11
+
+
+def test_lang_id_agreement_matrix(spark):
+    from logzoom_spark.ops.text import lang_id_agreement
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog are here", "en"),
+            (2, "zzz qqq xxx", "en"),  # no stopwords -> unk
+            (3, "你好 世界", "zh"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {(r.lang, r.pred_lang): r for r in lang_id_agreement(docs).collect()}
+    assert out[("en", "en")].n == 1 and out[("en", "en")].share_bp == 5000
+    assert out[("en", "unk")].n == 1
+    assert out[("zh", "cjk")].share_bp == 10000
