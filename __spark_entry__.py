@@ -2473,6 +2473,15 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_template_tail_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """Rare-signature-preserving tail sampling: rare templates kept
+    whole, common ones hash-gated to ~cap lines; broadcast rate join,
+    facts never shuffle; every line emitted with its verdict."""
+    from logzoom_spark.ops.templates import template_tail_sampling
+
+    return template_tail_sampling(_turns(spark, sf), cap=200)
+
+
 def q_sre_triage_report(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship log-triage composition: template volume/lifetime +
     latency percentiles + error share + novelty flag, all aggregated to
@@ -2717,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sre_triage_report": q_sre_triage_report,
         "value_outliers_iqr": q_value_outliers_iqr,
         "lang_id_agreement": q_lang_id_agreement,
+        "template_tail_sampling": q_template_tail_sampling,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

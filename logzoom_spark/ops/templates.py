@@ -143,3 +143,54 @@ def sre_triage_report(turns: DataFrame, recent_days: int = 7) -> DataFrame:
             (F.col("first_day") >= cutoff).cast("int").alias("is_new"),
         )
     )
+
+
+def template_tail_sampling(
+    turns: DataFrame, cap: int = 1000, seed: int = 0
+) -> DataFrame:
+    """Rare-signature-preserving log sampling (the "tail sampling" cost
+    lever, public analogues: Honeycomb/OTel tail-based sampling): every
+    line of a RARE template is kept; lines of templates above ``cap``
+    occurrences are hash-gated at rate cap/df so each common template
+    retains ~``cap`` lines in expectation. Rare failures survive intact
+    while the bulk shrinks to a bounded per-signature budget.
+
+    Returns every line with its verdict (counted, not dropped):
+    (conv_id, turn_idx, template, df, rate_bp, kept).
+
+    Design choice, scale-first: the gate is a per-line portable-hash
+    test against a per-template rate (expected cap), NOT an exact
+    row_number ≤ cap window — the dominant template holds most of the
+    corpus, and a per-template window would route all of it through one
+    task. The rate gate keeps the plan a broadcast join + stateless
+    projection: the fact table never shuffles.
+
+    Deterministic and engine-exact: rate_bp = min(10000,
+    floor(cap·10000/df)); kept = pmod(md5-hash(conv_id|turn_idx), 10000)
+    < rate_bp."""
+    from ..hashing import portable_hash
+
+    tpl = mask_template(F.col("text")).alias("template")
+    lines = turns.filter(F.col("text").isNotNull()).select(
+        "conv_id", "turn_idx", tpl
+    )
+    df_counts = lines.groupBy("template").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    rate = F.least(
+        F.lit(10000).cast("bigint"), F.expr(f"({cap} * 10000) div df")
+    )
+    key = F.concat_ws("|", F.col("conv_id"), F.col("turn_idx").cast("string"))
+    bucket = F.pmod(portable_hash(key, seed), F.lit(10000))
+    return (
+        lines.join(F.broadcast(df_counts), "template")
+        .withColumn("rate_bp", rate)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "template",
+            "df",
+            "rate_bp",
+            (bucket < F.col("rate_bp")).cast("int").alias("kept"),
+        )
+    )

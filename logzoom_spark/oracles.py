@@ -4320,3 +4320,25 @@ SELECT lang, pred_lang, n,
          AS share_bp
 FROM cells
 """
+
+
+# Rare-signature-preserving tail sampling
+# (ops/templates.template_tail_sampling, cap=200): per-template rate gate
+# on the portable hash — expected-cap, never a per-template window (the
+# dominant template would serialize through one task).
+_TTS_KEY = portable_hash_sql("concat(l.conv_id, '|', cast(l.turn_idx AS VARCHAR))")
+ORACLES["template_tail_sampling"] = f"""
+WITH {TURNS_CTE},
+lines AS (
+  SELECT conv_id, turn_idx,
+         regexp_replace(text, '[0-9]+', '<#>', 'g') AS template
+  FROM turns WHERE text IS NOT NULL
+),
+d AS (SELECT template, count(*)::BIGINT AS df FROM lines GROUP BY 1)
+SELECT l.conv_id, l.turn_idx, l.template, d.df,
+       cast(least(10000, (200 * 10000) // d.df) AS BIGINT) AS rate_bp,
+       (CASE WHEN ({_TTS_KEY} % 10000)
+                  < least(10000, (200 * 10000) // d.df)
+             THEN 1 ELSE 0 END)::INT AS kept
+FROM lines l JOIN d USING (template)
+"""

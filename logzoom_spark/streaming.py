@@ -801,3 +801,83 @@ def streaming_flap_suppress(
             GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def streaming_template_novelty(
+    spark: SparkSession,
+    input_dir: str,
+    tpl_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    fault_hook=None,
+):
+    """The "new log signature" alert feed: every micro-batch's lines are
+    masked to templates (ops.templates.mask_template) and anti-joined
+    against the STANDING template table; templates never seen before are
+    emitted (with the batch's line count and earliest event time) and
+    committed to the standing table so the NEXT batch treats them as
+    known. The streaming twin of `log_template_mine`'s first_day novelty
+    signal, with the same epoch-dir exactly-once protocol as
+    `streaming_incremental_dedup`: emissions and standing-table commits
+    go to overwrite-mode ``epoch=<id>`` dirs (this epoch's own dir is
+    excluded when loading the standing set), so a crash between the two
+    writes re-runs the epoch idempotently and a template can neither be
+    double-announced nor suppressed by its own ghost.
+
+    State is the template VOCABULARY (bounded by log-format diversity,
+    not volume): the standing table stays broadcast-sized forever.
+
+    Returns the StreamingQuery."""
+    import os
+
+    from .ops.templates import mask_template
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        others = [
+            e
+            for e in (os.listdir(tpl_dir) if os.path.exists(tpl_dir) else [])
+            if e.startswith("epoch=") and e != f"epoch={int(epoch_id)}"
+        ]
+        if others:
+            standing = s.read.option("basePath", tpl_dir).parquet(
+                *[f"{tpl_dir}/{e}" for e in others]
+            ).select("template")
+        else:
+            standing = s.createDataFrame([], "template string")
+        batch_tpl = (
+            batch_df.filter(F.col("text").isNotNull())
+            .select(
+                mask_template(F.col("text")).alias("template"),
+                F.col("ts").cast("timestamp").alias("_ts"),
+            )
+            .groupBy("template")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                F.unix_timestamp(F.min("_ts")).cast("bigint").alias("first_seen"),
+            )
+        )
+        new = batch_tpl.join(F.broadcast(standing), "template", "left_anti")
+        new.write.mode("overwrite").parquet(f"{out_dir}/epoch={int(epoch_id)}")
+        new.select("template").write.mode("overwrite").parquet(
+            f"{tpl_dir}/epoch={int(epoch_id)}"
+        )
+        if fault_hook is not None:
+            fault_hook(int(epoch_id))
+
+    stream = (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    writer = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime="10 seconds")
+    )
+    return writer.start()

@@ -3849,3 +3849,24 @@ def test_lang_id_agreement_matrix(spark):
     assert out[("en", "en")].n == 1 and out[("en", "en")].share_bp == 5000
     assert out[("en", "unk")].n == 1
     assert out[("zh", "cjk")].share_bp == 10000
+
+
+def test_template_tail_sampling_preserves_rare(spark):
+    import datetime
+
+    from logzoom_spark.ops.templates import template_tail_sampling
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("c", i, "system", f'seq={i} level=INFO msg="common-{i}"', None, ts)
+        for i in range(200)
+    ] + [("c", 900, "system", 'level=FATAL msg="rare once"', None, ts)]
+    turns = spark.createDataFrame(rows, _TURN_SCHEMA)
+    out = template_tail_sampling(turns, cap=20).collect()
+    assert len(out) == 201  # counted, not dropped
+    rare = [r for r in out if "FATAL" in r.template]
+    common = [r for r in out if "FATAL" not in r.template]
+    assert rare[0].kept == 1 and rare[0].rate_bp == 10000  # rare kept whole
+    assert common[0].rate_bp == 1000  # 20/200
+    n_kept = sum(r.kept for r in common)
+    assert 0 < n_kept < 60  # ~20 expected, hash-gate variance bounded

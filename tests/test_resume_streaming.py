@@ -892,3 +892,44 @@ def test_streaming_flap_suppress_state_crosses_batches(spark, tmp_path):
     }
     assert got == want
     assert sum(got.values()) == 4  # k1@0h, k1@5h, k2@0h, k2@6h
+
+
+def test_streaming_template_novelty_emits_only_new(spark, tmp_path):
+    """Batch 0 announces its templates; batch 1 announces ONLY the template
+    batch 0 never saw — the standing table crossed the batch boundary."""
+    import datetime as dt
+
+    from logzoom_spark.streaming import TURNS_SCHEMA, streaming_template_novelty
+
+    ts = dt.datetime(2024, 1, 1)
+    b0 = [
+        ("c1", 0, "system", 'seq=1 level=INFO msg="a"', None, ts),
+        ("c1", 1, "system", 'seq=2 level=ERROR msg="b"', None, ts),
+    ]
+    b1 = [
+        ("c2", 0, "system", 'seq=9 level=INFO msg="a"', None, ts),  # known
+        ("c2", 1, "system", '{"message":"x","level":"FATAL"}', None, ts),  # NEW
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate((b0, b1)):
+        spark.createDataFrame(rows, TURNS_SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{i}"), mode="overwrite"
+        )
+    q = streaming_template_novelty(
+        spark,
+        str(src) + "/b*",
+        str(tmp_path / "tpl"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    out = spark.read.option("basePath", str(tmp_path / "out")).parquet(
+        str(tmp_path / "out") + "/epoch=*"
+    )
+    rows = {r.template: r.epoch for r in out.collect()}
+    assert len(rows) == 3
+    assert rows['seq=<#> level=INFO msg="a"'] == 0
+    assert rows['seq=<#> level=ERROR msg="b"'] == 0
+    fatal = next(t for t in rows if "FATAL" in t)
+    assert rows[fatal] == 1  # only the unseen template announced in epoch 1
