@@ -2473,6 +2473,15 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_multiline_stitch(spark: SparkSession, sf: str) -> DataFrame:
+    """Filebeat-style multiline record assembly: KV lines (^seq=) anchor
+    records, JSON lines attach as continuations — demo pattern over the
+    synthetic corpus; semantics are pattern-driven as in Beats."""
+    from logzoom_spark.ops.templates import multiline_stitch
+
+    return multiline_stitch(_turns(spark, sf), anchor_pattern=r"^seq=")
+
+
 def q_template_tail_sampling(spark: SparkSession, sf: str) -> DataFrame:
     """Rare-signature-preserving tail sampling: rare templates kept
     whole, common ones hash-gated to ~cap lines; broadcast rate join,
@@ -2727,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers_iqr": q_value_outliers_iqr,
         "lang_id_agreement": q_lang_id_agreement,
         "template_tail_sampling": q_template_tail_sampling,
+        "multiline_stitch": q_multiline_stitch,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

@@ -194,3 +194,47 @@ def template_tail_sampling(
             (bucket < F.col("rate_bp")).cast("int").alias("kept"),
         )
     )
+
+
+def multiline_stitch(
+    turns: DataFrame, anchor_pattern: str = r"^[^\s{]"
+) -> DataFrame:
+    """Filebeat-style multiline stitching (reference-adjacent: Beats'
+    `multiline.pattern` config is the public design; the reference ships
+    pre-framed lines and leaves stitching to the shipper): lines
+    matching ``anchor_pattern`` START a record; non-matching lines
+    (stack-trace continuations, wrapped JSON payloads) ATTACH to the
+    most recent anchor in the same conversation, in arrival (turn_idx)
+    order. Leading continuations with no anchor yet form group 0 —
+    counted, not dropped.
+
+    Returns (conv_id, group_id, n_lines, first_turn_idx, stitched) with
+    `stitched` the newline-joined record, byte-exact (text-equality
+    house rule).
+
+    Scale shape: the anchor flag is a row-local regexp; the running
+    anchor count is a window on the native conv key (frame bounded by
+    conversation length); assembly is one aggregate on (conv_id, group)
+    whose buffers are bounded by record length — a multiline record is
+    a stack trace, not a corpus."""
+    from pyspark.sql import Window
+
+    is_anchor = F.col("text").rlike(anchor_pattern).cast("int")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = (
+        turns.filter(F.col("text").isNotNull())
+        .select("conv_id", "turn_idx", "text")
+        .withColumn("group_id", F.sum(is_anchor).over(w).cast("bigint"))
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    return grouped.groupBy("conv_id", "group_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.min("turn_idx").cast("bigint").alias("first_turn_idx"),
+        F.concat_ws(
+            "\n", F.transform(ordered, lambda s: s.getField("text"))
+        ).alias("stitched"),
+    )

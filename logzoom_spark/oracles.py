@@ -4342,3 +4342,23 @@ SELECT l.conv_id, l.turn_idx, l.template, d.df,
              THEN 1 ELSE 0 END)::INT AS kept
 FROM lines l JOIN d USING (template)
 """
+
+
+# Filebeat-style multiline stitching (ops/templates.multiline_stitch,
+# anchor ^seq=): running anchor count groups continuations with their
+# anchor; string_agg ORDER BY turn_idx rebuilds the record byte-exactly.
+ORACLES["multiline_stitch"] = f"""
+WITH {TURNS_CTE},
+g AS (
+  SELECT conv_id, turn_idx, text,
+         cast(sum(CASE WHEN regexp_matches(text, '^seq=') THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS group_id
+  FROM turns WHERE text IS NOT NULL
+)
+SELECT conv_id, group_id, count(*)::BIGINT AS n_lines,
+       min(turn_idx)::BIGINT AS first_turn_idx,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS stitched
+FROM g GROUP BY 1, 2
+"""

@@ -3870,3 +3870,24 @@ def test_template_tail_sampling_preserves_rare(spark):
     assert common[0].rate_bp == 1000  # 20/200
     n_kept = sum(r.kept for r in common)
     assert 0 < n_kept < 60  # ~20 expected, hash-gate variance bounded
+
+
+def test_multiline_stitch_groups_continuations(spark):
+    import datetime
+
+    from logzoom_spark.ops.templates import multiline_stitch
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "  leading orphan", ts),  # no anchor yet -> group 0
+        ("c1", 1, "ERROR boom", ts),  # anchor
+        ("c1", 2, "  at Foo.bar(Foo.java:1)", ts),  # continuation
+        ("c1", 3, "  at Baz.qux(Baz.java:2)", ts),  # continuation
+        ("c1", 4, "INFO fine", ts),  # anchor, own record
+    ]
+    turns = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string, ts timestamp")
+    out = {r.group_id: r for r in multiline_stitch(turns, anchor_pattern=r"^\S").collect()}
+    assert out[0].stitched == "  leading orphan" and out[0].n_lines == 1
+    assert out[1].stitched == "ERROR boom\n  at Foo.bar(Foo.java:1)\n  at Baz.qux(Baz.java:2)"
+    assert out[1].first_turn_idx == 1 and out[1].n_lines == 3
+    assert out[2].stitched == "INFO fine"
