@@ -100,6 +100,15 @@ def main() -> None:
         ("boilerplate lines (digest df shuffle, broadcast flagged set)", se.q_boilerplate_lines),
         ("ivf upsert (batch-only assign + anti-join MERGE)", se.q_ivf_upsert),
         ("remove dup spans (digest rank shuffle, row-local cut rebuild)", se.q_remove_dup_spans),
+        # round 5 (session 4) — log-ops family
+        ("template mine (row-local mask, vocabulary-sized shuffle)", se.q_log_template_mine),
+        ("sre triage (every stage aggregated to vocabulary before joins)", se.q_sre_triage_report),
+        ("tail sampling (broadcast rate join, facts never shuffle)", se.q_template_tail_sampling),
+        ("burn rate (two bounded time-bucket aggs, broadcast long side)", se.q_burn_rate_alerts),
+        ("latency regression (histogram percentile, lag over daily agg)", se.q_latency_regression),
+        ("erasure plan (broadcast tombstones, one day-key rollup)", se.q_erasure_plan),
+        ("value outliers (histogram quartiles, broadcast fences)", se.q_value_outliers_iqr),
+        ("multiline stitch (conv-key window + bounded-record assembly)", se.q_multiline_stitch),
     ]:
         print("=" * 30, name)
         q(spark, sf).explain("formatted")
