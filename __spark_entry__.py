@@ -2473,6 +2473,36 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_rollup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate maintenance, value-proven: events are split
+    at a deterministic day cutoff, each half rolled up independently,
+    then merged via associative re-aggregation — the oracle computes the
+    DIRECT rollup over all events, so the hash match IS the
+    merge==direct proof."""
+    from logzoom_spark.ops.maintenance import rollup_merge
+
+    ev = _read(spark, sf, "events")
+    day = (
+        F.unix_timestamp(F.date_trunc("day", F.col("ts").cast("timestamp")))
+        .cast("bigint")
+    )
+    base = ev.select(
+        "event_type",
+        day.alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("_cents"),
+    )
+    cutoff = 1704067200 + 60 * 86400  # 2024-01-01 + 60 days
+    mk = lambda df: df.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("_cents").cast("bigint").alias("value_cents"),
+    )
+    standing = mk(base.filter(F.col("day") < cutoff))
+    delta = mk(base.filter(F.col("day") >= cutoff))
+    return rollup_merge(
+        standing, delta, ("event_type", "day"), ("n_events", "value_cents")
+    )
+
+
 def q_multiline_stitch(spark: SparkSession, sf: str) -> DataFrame:
     """Filebeat-style multiline record assembly: KV lines (^seq=) anchor
     records, JSON lines attach as continuations — demo pattern over the
@@ -2737,6 +2767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_agreement": q_lang_id_agreement,
         "template_tail_sampling": q_template_tail_sampling,
         "multiline_stitch": q_multiline_stitch,
+        "rollup_incremental": q_rollup_incremental,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

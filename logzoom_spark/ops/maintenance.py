@@ -229,3 +229,26 @@ def erasure_plan(
         .cast("bigint")
         .alias("rewrite_amp_bp"),
     )
+
+
+def rollup_merge(
+    standing: DataFrame,
+    delta: DataFrame,
+    keys: tuple[str, ...],
+    measures: tuple[str, ...],
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: merge a standing
+    rollup with a new batch's rollup by RE-AGGREGATING the union of the
+    two partial states — the associative-merge pattern (Delta/Iceberg
+    MERGE-into-aggregate docs are the public framing), NOT a full-outer
+    join (which goes quadratic in key fan-out and NULL-handles every
+    measure by hand). Works for any associative measure (sum/count);
+    min/max merge the same way via their own agg.
+
+    Scale shape: both inputs are already aggregates (bounded by key
+    cardinality, not data); one map-side-combined re-aggregation."""
+    cols = list(keys) + list(measures)
+    u = standing.select(*cols).unionByName(delta.select(*cols))
+    return u.groupBy(*keys).agg(
+        *[F.sum(m).cast("bigint").alias(m) for m in measures]
+    )

@@ -4362,3 +4362,15 @@ SELECT conv_id, group_id, count(*)::BIGINT AS n_lines,
        string_agg(text, chr(10) ORDER BY turn_idx) AS stitched
 FROM g GROUP BY 1, 2
 """
+
+
+# Incremental rollup maintenance (ops/maintenance.rollup_merge): the
+# oracle is the DIRECT aggregate over all events — the hash match proves
+# split-rollup-then-merge == direct.
+ORACLES["rollup_incremental"] = """
+SELECT event_type,
+       cast(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day,
+       count(*)::BIGINT AS n_events,
+       sum(cast(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+FROM events GROUP BY 1, 2
+"""

@@ -3891,3 +3891,25 @@ def test_multiline_stitch_groups_continuations(spark):
     assert out[1].stitched == "ERROR boom\n  at Foo.bar(Foo.java:1)\n  at Baz.qux(Baz.java:2)"
     assert out[1].first_turn_idx == 1 and out[1].n_lines == 3
     assert out[2].stitched == "INFO fine"
+
+
+def test_rollup_merge_equals_direct(spark):
+    from logzoom_spark.ops.maintenance import rollup_merge
+
+    rows = [("a", 1, 10), ("a", 1, 5), ("a", 2, 1), ("b", 1, 7)]
+    df = spark.createDataFrame(rows, "k string, day int, v int")
+    mk = lambda d: d.groupBy("k", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sv"),
+    )
+    merged = rollup_merge(
+        mk(df.filter(F.col("day") == 1)),
+        mk(df.filter(F.col("day") != 1)),
+        ("k", "day"),
+        ("n", "sv"),
+    )
+    direct = mk(df)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    # overlap case: same key present in both halves re-aggregates
+    m2 = rollup_merge(mk(df), mk(df), ("k", "day"), ("n", "sv")).collect()
+    assert {(r.k, r.day): (r.n, r.sv) for r in m2}[("a", 1)] == (4, 30)
