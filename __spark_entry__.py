@@ -2473,6 +2473,23 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_daily_top_templates(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily top-3 template leaderboard: WindowGroupLimit rank over the
+    bounded (day, template) aggregate, deterministic tie-break."""
+    from logzoom_spark.ops.templates import daily_top_templates
+
+    return daily_top_templates(_turns(spark, sf))
+
+
+def q_changepoint_error_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-window changepoint score over the daily error rate
+    (CUSUM/E-divisive core, integer-exact); bidirectional cumulative
+    windows over the bounded daily aggregate."""
+    from logzoom_spark.ops.sre import changepoint_error_rate
+
+    return changepoint_error_rate(_turns(spark, sf))
+
+
 def q_rollup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental aggregate maintenance, value-proven: events are split
     at a deterministic day cutoff, each half rolled up independently,
@@ -2768,6 +2785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_tail_sampling": q_template_tail_sampling,
         "multiline_stitch": q_multiline_stitch,
         "rollup_incremental": q_rollup_incremental,
+        "daily_top_templates": q_daily_top_templates,
+        "changepoint_error_rate": q_changepoint_error_rate,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

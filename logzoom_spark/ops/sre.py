@@ -292,3 +292,73 @@ def incident_mttr(turns: DataFrame) -> DataFrame:
         .alias("mean_ttr_s"),
         F.max("_ttr").cast("bigint").alias("max_ttr_s"),
     )
+
+
+def changepoint_error_rate(turns: DataFrame) -> DataFrame:
+    """Deterministic two-window changepoint score over the daily error
+    rate (the integer-exact core of CUSUM / E-divisive-style detection;
+    Matteson & James 2014 is the public framing): for each candidate
+    boundary day t, split the corpus into days < t and days ≥ t and
+    score |error_bp(before) − error_bp(after)|. The max-scoring day is
+    the regime change; every candidate is emitted with its evidence so
+    the picker is a trivial downstream max.
+
+    Returns (day, n_before, n_after, err_bp_before, err_bp_after,
+    score_bp) — days with an empty BEFORE side (the first observed day)
+    carry NULLs, counted not dropped.
+
+    Scale shape: the facts collapse to one row per day first
+    (map-side-combined); the bidirectional cumulative windows run over
+    that bounded daily aggregate only."""
+    from pyspark.sql import Window
+
+    from ..parse import parse_turns
+
+    day = (
+        F.unix_timestamp(F.date_trunc("day", F.col("ts").cast("timestamp")))
+        .cast("bigint")
+    )
+    daily = (
+        parse_turns(turns, with_attrs=False)
+        .filter(F.col("level").isNotNull())
+        .select(day.alias("day"), (F.col("level") == "ERROR").cast("int").alias("_e"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum("_e").cast("bigint").alias("_err"),
+        )
+    )
+    w_before = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_after = Window.orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    nb = F.sum("_n").over(w_before)
+    eb = F.sum("_err").over(w_before)
+    na = F.sum("_n").over(w_after)
+    ea = F.sum("_err").over(w_after)
+    return (
+        daily.withColumn("n_before", nb)
+        .withColumn("_eb", eb)
+        .withColumn("n_after", na)
+        .withColumn("_ea", ea)
+        .withColumn(
+            "err_bp_before",
+            F.when(
+                F.col("n_before").isNotNull(),
+                F.expr("(_eb * 10000) div n_before"),
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "err_bp_after", F.expr("(_ea * 10000) div n_after").cast("bigint")
+        )
+        .withColumn(
+            "score_bp",
+            F.abs(F.col("err_bp_after") - F.col("err_bp_before")).cast("bigint"),
+        )
+        .select(
+            "day", "n_before", "n_after",
+            "err_bp_before", "err_bp_after", "score_bp",
+        )
+    )

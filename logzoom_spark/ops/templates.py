@@ -238,3 +238,34 @@ def multiline_stitch(
             "\n", F.transform(ordered, lambda s: s.getField("text"))
         ).alias("stitched"),
     )
+
+
+def daily_top_templates(turns: DataFrame, k: int = 3) -> DataFrame:
+    """Daily top-k template leaderboard ("today's loudest signatures"):
+    rank templates within each day by line count, deterministic
+    tie-break (count desc, template asc), keep rank ≤ k.
+
+    Scale shape: one map-side-combined aggregate onto the bounded
+    (day, template) key; the rank window runs over that bounded
+    aggregate and Spark executes the filter as WindowGroupLimit (top-k
+    pushdown), never materializing full ranks."""
+    from pyspark.sql import Window
+
+    day = (
+        F.unix_timestamp(F.date_trunc("day", F.col("ts").cast("timestamp")))
+        .cast("bigint")
+    )
+    cells = (
+        turns.filter(F.col("text").isNotNull())
+        .select(day.alias("day"), mask_template(F.col("text")).alias("template"))
+        .groupBy("day", "template")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("n_lines").desc(), F.col("template").asc()
+    )
+    return (
+        cells.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("day", "rnk", "template", "n_lines")
+    )

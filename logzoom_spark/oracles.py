@@ -4374,3 +4374,53 @@ SELECT event_type,
        sum(cast(round(value * 100) AS BIGINT))::BIGINT AS value_cents
 FROM events GROUP BY 1, 2
 """
+
+
+# Daily top-k template leaderboard (ops/templates.daily_top_templates, k=3).
+ORACLES["daily_top_templates"] = f"""
+WITH {TURNS_CTE},
+cells AS (
+  SELECT cast(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day,
+         regexp_replace(text, '[0-9]+', '<#>', 'g') AS template,
+         count(*)::BIGINT AS n_lines
+  FROM turns WHERE text IS NOT NULL GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY day ORDER BY n_lines DESC, template ASC)::INT AS rnk
+  FROM cells
+)
+SELECT day, rnk, template, n_lines FROM r WHERE rnk <= 3
+"""
+
+# Two-window changepoint score on the daily error rate
+# (ops/sre.changepoint_error_rate): first day carries NULL before-side.
+ORACLES["changepoint_error_rate"] = f"""
+{_WITH_PARSED},
+daily AS (
+  SELECT cast(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day,
+         count(*)::BIGINT AS n,
+         sum(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END)::BIGINT AS err
+  FROM parsed WHERE level IS NOT NULL GROUP BY 1
+),
+c AS (
+  SELECT day,
+    sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS n_before,
+    sum(err) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS eb,
+    sum(n) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      AS n_after,
+    sum(err) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      AS ea
+  FROM daily
+)
+SELECT day, n_before::BIGINT AS n_before, n_after::BIGINT AS n_after,
+       CASE WHEN n_before IS NULL THEN NULL
+            ELSE (eb * 10000) // n_before END::BIGINT AS err_bp_before,
+       ((ea * 10000) // n_after)::BIGINT AS err_bp_after,
+       CASE WHEN n_before IS NULL THEN NULL
+            ELSE abs((ea * 10000) // n_after - (eb * 10000) // n_before)
+       END::BIGINT AS score_bp
+FROM c
+"""

@@ -3913,3 +3913,45 @@ def test_rollup_merge_equals_direct(spark):
     # overlap case: same key present in both halves re-aggregates
     m2 = rollup_merge(mk(df), mk(df), ("k", "day"), ("n", "sv")).collect()
     assert {(r.k, r.day): (r.n, r.sv) for r in m2}[("a", 1)] == (4, 30)
+
+
+def test_daily_top_templates_rank_and_ties(spark):
+    import datetime
+
+    from logzoom_spark.ops.templates import daily_top_templates
+
+    d = datetime.datetime(2024, 1, 1)
+    mk = lambda i, txt: ("c", i, "system", txt, None, d)
+    rows = (
+        [mk(i, f'seq={i} level=A msg="x"') for i in range(3)]
+        + [mk(10 + i, f'seq={i} level=B msg="x"') for i in range(2)]
+        + [mk(20 + i, f'seq={i} level=C msg="x"') for i in range(2)]  # tie with B
+        + [mk(30, 'seq=1 level=D msg="x"')]  # rank 4 -> cut at k=3
+    )
+    turns = spark.createDataFrame(rows, _TURN_SCHEMA)
+    out = sorted(daily_top_templates(turns, k=3).collect(), key=lambda r: r.rnk)
+    assert [r.n_lines for r in out] == [3, 2, 2]
+    assert "level=B" in out[1].template and "level=C" in out[2].template  # tie: asc
+    assert all("level=D" not in r.template for r in out)
+
+
+def test_changepoint_error_rate_detects_shift(spark):
+    import datetime
+
+    from logzoom_spark.ops.sre import changepoint_error_rate
+
+    d = lambda n: datetime.datetime(2024, 1, 1 + n)
+    rows = []
+    i = 0
+    for day in range(4):
+        lvl = "INFO" if day < 2 else "ERROR"  # regime flips at day 2
+        for _ in range(5):
+            rows.append(_mk_turn("c", i, lvl, 1, d(day)))
+            i += 1
+    turns = spark.createDataFrame(rows, _TURN_SCHEMA)
+    out = sorted(changepoint_error_rate(turns).collect(), key=lambda r: r.day)
+    assert out[0].n_before is None and out[0].score_bp is None
+    scores = {r.day: r.score_bp for r in out[1:]}
+    best = max(scores, key=scores.get)
+    assert best == out[2].day  # the flip day scores highest
+    assert scores[best] == 10000  # 0% before vs 100% after
