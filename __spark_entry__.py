@@ -2473,6 +2473,14 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_template_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated-signature pairs with conversation-presence lift —
+    co-located self-join on the conv key, broadcast marginals."""
+    from logzoom_spark.ops.templates import template_cooccurrence
+
+    return template_cooccurrence(_turns(spark, sf))
+
+
 def q_daily_top_templates(spark: SparkSession, sf: str) -> DataFrame:
     """Daily top-3 template leaderboard: WindowGroupLimit rank over the
     bounded (day, template) aggregate, deterministic tie-break."""
@@ -2787,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "daily_top_templates": q_daily_top_templates,
         "changepoint_error_rate": q_changepoint_error_rate,
+        "template_cooccurrence": q_template_cooccurrence,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

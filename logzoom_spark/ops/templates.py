@@ -269,3 +269,56 @@ def daily_top_templates(turns: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("day", "rnk", "template", "n_lines")
     )
+
+
+def template_cooccurrence(turns: DataFrame) -> DataFrame:
+    """Correlated-signature mining: which template PAIRS show up in the
+    same conversations more often than chance — the "these two errors
+    fire together" triage signal (co-occurring-alerts correlation is the
+    public framing). Lift = P(both)/(P(a)·P(b)) in ×10000 fixed point,
+    over distinct conversation presence.
+
+    Returns (t1, t2, n_both, n_t1, n_t2, lift_x10000) for t1 < t2.
+
+    Scale shape: the stream collapses to distinct (conv, template) first
+    — map-side partial distinct, one shuffle on conv_id; the pair
+    expansion is a self-equi-join on that SAME conv_id partitioning
+    (co-located) and emits ≤ |vocabulary|² rows per conversation;
+    marginals and the conversation total join back broadcast."""
+    ct = (
+        turns.filter(F.col("text").isNotNull())
+        .select("conv_id", mask_template(F.col("text")).alias("t"))
+        .distinct()
+    )
+    total = ct.select("conv_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_convs")
+    )
+    marg = ct.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    pairs = (
+        ct.alias("a")
+        .join(ct.alias("b"), "conv_id")
+        .filter(F.col("a.t") < F.col("b.t"))
+        .groupBy(F.col("a.t").alias("t1"), F.col("b.t").alias("t2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.withColumnRenamed("t", "t1").withColumnRenamed("m", "n_t1")),
+            "t1",
+        )
+        .join(
+            F.broadcast(marg.withColumnRenamed("t", "t2").withColumnRenamed("m", "n_t2")),
+            "t2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "t1",
+            "t2",
+            "n_both",
+            "n_t1",
+            "n_t2",
+            F.expr("(n_both * _n_convs * 10000) div (n_t1 * n_t2)")
+            .cast("bigint")
+            .alias("lift_x10000"),
+        )
+    )

@@ -4424,3 +4424,28 @@ SELECT day, n_before::BIGINT AS n_before, n_after::BIGINT AS n_after,
        END::BIGINT AS score_bp
 FROM c
 """
+
+
+# Correlated template pairs (ops/templates.template_cooccurrence):
+# conversation-presence lift in x10000 fixed point.
+ORACLES["template_cooccurrence"] = f"""
+WITH {TURNS_CTE},
+ct AS (
+  SELECT DISTINCT conv_id,
+         regexp_replace(text, '[0-9]+', '<#>', 'g') AS t
+  FROM turns WHERE text IS NOT NULL
+),
+total AS (SELECT count(DISTINCT conv_id)::BIGINT AS n_convs FROM ct),
+marg AS (SELECT t, count(*)::BIGINT AS m FROM ct GROUP BY 1),
+pairs AS (
+  SELECT a.t AS t1, b.t AS t2, count(*)::BIGINT AS n_both
+  FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT p.t1, p.t2, p.n_both, m1.m AS n_t1, m2.m AS n_t2,
+       cast((p.n_both * total.n_convs * 10000) // (m1.m * m2.m) AS BIGINT)
+         AS lift_x10000
+FROM pairs p
+JOIN marg m1 ON m1.t = p.t1
+JOIN marg m2 ON m2.t = p.t2, total
+"""

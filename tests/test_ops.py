@@ -3955,3 +3955,25 @@ def test_changepoint_error_rate_detects_shift(spark):
     best = max(scores, key=scores.get)
     assert best == out[2].day  # the flip day scores highest
     assert scores[best] == 10000  # 0% before vs 100% after
+
+
+def test_template_cooccurrence_lift(spark):
+    import datetime
+
+    from logzoom_spark.ops.templates import template_cooccurrence
+
+    ts = datetime.datetime(2024, 1, 1)
+    mk = lambda c, i, lvl: (c, i, "system", f'seq={i} level={lvl} msg="x"', None, ts)
+    rows = [
+        # A and B always together (2 convs); C alone in a third
+        mk("c1", 0, "A"), mk("c1", 1, "B"),
+        mk("c2", 0, "A"), mk("c2", 1, "B"),
+        mk("c3", 0, "C"),
+    ]
+    turns = spark.createDataFrame(rows, _TURN_SCHEMA)
+    out = template_cooccurrence(turns).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert "level=A" in r.t1 and "level=B" in r.t2
+    # lift = (2 * 3) / (2 * 2) = 1.5 -> 15000
+    assert (r.n_both, r.n_t1, r.n_t2, r.lift_x10000) == (2, 2, 2, 15000)
