@@ -2473,6 +2473,24 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_bloom_pruned_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime-filter join: literal Bloom bitset prunes the fact side
+    row-locally BEFORE the shuffle join; the exact join removes false
+    positives, so the oracle is the plain join — the hash match proves
+    pruning-correctness."""
+    from logzoom_spark.ops.relational import bloom_pruned_join
+
+    orders = _read(spark, sf, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    li = _read(spark, sf, "lineitem")
+    j = bloom_pruned_join(orders, li, "o_orderkey", "l_orderkey")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+
+
 def q_template_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     """Correlated-signature pairs with conversation-presence lift —
     co-located self-join on the conv key, broadcast marginals."""
@@ -2796,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_top_templates": q_daily_top_templates,
         "changepoint_error_rate": q_changepoint_error_rate,
         "template_cooccurrence": q_template_cooccurrence,
+        "bloom_pruned_join": q_bloom_pruned_join,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

@@ -211,3 +211,61 @@ def funnel_counts(
     return allr.groupBy("step_idx", "step").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+def bloom_pruned_join(
+    small: DataFrame,
+    big: DataFrame,
+    small_key: str,
+    big_key: str,
+    m_bits: int = 4096,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Runtime-filter join: build a Bloom filter over the SMALL side's
+    keys (ops.sketch.bloom_build — identical bit layout), inline it as a
+    LITERAL 31-bit-word array (m_bits/31 longs of bounded driver state,
+    same discipline as the literal-centroid k-means assign), and prune
+    the BIG side with a zero-shuffle row-local bit test BEFORE the join.
+    The exact join then removes the Bloom's false positives, so the
+    result is byte-identical to the plain join — which is exactly what
+    the oracle checks. Spark's own `spark.sql.optimizer.runtimeFilter.*`
+    does this automatically for some shapes; this operator is the
+    explicit, engine-portable version for when the optimizer can't see
+    the selectivity (pre-aggregated or UDF-derived small sides).
+
+    At 100 TB this is the difference between shuffling the full fact
+    table into the join and shuffling only the ~selectivity fraction
+    that can possibly match.
+
+    Returns pruned-big ⋈ small (inner, big_key == small_key)."""
+    from ..hashing import portable_hash
+    from .sketch import bloom_build
+
+    words = {
+        int(r.word_idx): int(r.word)
+        for r in bloom_build(small, small_key, m_bits, n_hashes).collect()
+    }
+    arr = F.array(
+        *[
+            F.lit(words.get(i, 0)).cast("long")
+            for i in range(m_bits // 31 + 1)
+        ]
+    )
+    v = F.col(big_key)
+    tmp = big.filter(v.isNotNull())
+    flag = None
+    bit_cols = []
+    for i in range(n_hashes):
+        bname = f"_bpj_bit_{i}"
+        bit_cols.append(bname)
+        tmp = tmp.withColumn(
+            bname, F.pmod(portable_hash(v.cast("string"), seed=i), F.lit(m_bits))
+        )
+        word = F.element_at(arr, F.expr(f"cast({bname} div 31 AS INT) + 1"))
+        t = (
+            word.bitwiseAND(F.expr(f"shiftleft(1L, cast({bname} % 31 AS INT))"))
+            != 0
+        )
+        flag = t if flag is None else (flag & t)
+    pruned = tmp.filter(flag).drop(*bit_cols)
+    return pruned.join(small, pruned[big_key] == small[small_key])

@@ -4449,3 +4449,16 @@ FROM pairs p
 JOIN marg m1 ON m1.t = p.t1
 JOIN marg m2 ON m2.t = p.t2, total
 """
+
+
+# Runtime-filter join (ops/relational.bloom_pruned_join): the oracle is
+# the PLAIN join — the exact join removes Bloom false positives, so the
+# hash match proves the pruning changed nothing but cost.
+ORACLES["bloom_pruned_join"] = """
+SELECT o.o_orderstatus, count(*)::BIGINT AS n_items,
+       cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey % 37 = 0
+GROUP BY 1
+"""

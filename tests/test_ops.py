@@ -3977,3 +3977,27 @@ def test_template_cooccurrence_lift(spark):
     assert "level=A" in r.t1 and "level=B" in r.t2
     # lift = (2 * 3) / (2 * 2) = 1.5 -> 15000
     assert (r.n_both, r.n_t1, r.n_t2, r.lift_x10000) == (2, 2, 2, 15000)
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    from logzoom_spark.ops.relational import bloom_pruned_join
+
+    small = spark.createDataFrame(
+        [(k, f"s{k}") for k in (3, 7, 11)], "k bigint, sv string"
+    )
+    big = spark.createDataFrame(
+        [(i, i % 20, f"b{i}") for i in range(200)], "row_id bigint, fk bigint, bv string"
+    )
+    out = bloom_pruned_join(small, big, "k", "fk")
+    got = sorted((r.row_id, r.k) for r in out.collect())
+    want = sorted(
+        (r.row_id, r.k)
+        for r in big.join(small, big.fk == small.k).collect()
+    )
+    assert got == want and len(got) == 30  # 3 matching keys x 10 rows each
+    # the Bloom gate really prunes: count rows surviving the filter stage
+    from logzoom_spark.ops.sketch import bloom_build, bloom_probe
+
+    verdicts = bloom_probe(bloom_build(small, "k"), big.select("fk"), "fk")
+    n_maybe = verdicts.filter("maybe_present").count()
+    assert n_maybe < big.select("fk").distinct().count()  # most keys pruned
