@@ -2473,6 +2473,23 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_watermark_loss_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured drop-rate curve per candidate watermark delay — one
+    lateness pass, conditional sums per candidate."""
+    from logzoom_spark.ops.audit import watermark_loss_curve
+
+    return watermark_loss_curve(_turns(spark, sf))
+
+
+def q_purchase_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the last
+    preceding non-purchase event of the user; orphans credited to
+    'none', counted not dropped."""
+    from logzoom_spark.aggregate import purchase_attribution
+
+    return purchase_attribution(_read(spark, sf, "events"))
+
+
 def q_bloom_pruned_join(spark: SparkSession, sf: str) -> DataFrame:
     """Runtime-filter join: literal Bloom bitset prunes the fact side
     row-locally BEFORE the shuffle join; the exact join removes false
@@ -2815,6 +2832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_error_rate": q_changepoint_error_rate,
         "template_cooccurrence": q_template_cooccurrence,
         "bloom_pruned_join": q_bloom_pruned_join,
+        "watermark_loss_curve": q_watermark_loss_curve,
+        "purchase_attribution": q_purchase_attribution,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

@@ -689,3 +689,60 @@ def kanon_release(
         F.when(sup, F.lit(None)).otherwise(F.col("_nu")).alias("n_users"),
         F.when(sup, F.lit(None)).otherwise(F.col("_ne")).alias("n_events"),
     )
+
+
+def purchase_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Last-touch conversion attribution (the standard marketing
+    attribution model, public): each conversion event is credited to the
+    LAST preceding non-conversion event of the same user (order: ts,
+    event_id for deterministic ties); conversions with no preceding
+    touch are credited to 'none' — counted, not dropped.
+
+    Returns (attributed_type, n_conversions, total_gap_s, mean_gap_s) —
+    gap = conversion time minus touch time; mean floor(total/n), NULL
+    for the 'none' bucket.
+
+    Scale shape: one window on the natural user key (last-ignoreNulls
+    carry), then a rollup onto the bounded event-type key."""
+    from pyspark.sql import Window
+
+    ep = F.unix_timestamp(F.col(ts_col).cast("timestamp")).cast("bigint")
+    base = events.select(
+        "user_id", "event_id", "event_type", ep.alias("_ep")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_ep", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_type = F.last(
+        F.when(F.col("event_type") != conversion_type, F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    touch_ep = F.last(
+        F.when(F.col("event_type") != conversion_type, F.col("_ep")),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        base.withColumn("_tt", touch_type)
+        .withColumn("_tep", touch_ep)
+        .filter(F.col("event_type") == conversion_type)
+        .select(
+            F.coalesce(F.col("_tt"), F.lit("none")).alias("attributed_type"),
+            (F.col("_ep") - F.col("_tep")).alias("_gap"),
+        )
+    )
+    return conv.groupBy("attributed_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.sum("_gap").cast("bigint").alias("total_gap_s"),
+        F.when(
+            F.sum(F.col("_gap").isNotNull().cast("int")) > 0,
+            F.floor(F.sum("_gap") / F.sum(F.col("_gap").isNotNull().cast("int"))),
+        )
+        .cast("bigint")
+        .alias("mean_gap_s"),
+    )

@@ -218,3 +218,53 @@ def value_outliers_iqr(
         F.sum("_lo").cast("bigint").alias("n_low"),
         F.sum("_hi").cast("bigint").alias("n_high"),
     ).withColumnRenamed("grp", group_col)
+
+
+def watermark_loss_curve(
+    turns: DataFrame, candidates_s: tuple[int, ...] = (0, 60, 300, 3600, 21600)
+) -> DataFrame:
+    """Closes the loop `lateness_audit` opens: for each CANDIDATE
+    watermark delay W, how many rows a streaming job with
+    ``withWatermark(ts, W)`` would have dropped on this corpus (rows
+    whose lateness vs the running per-conversation max exceeds W), as a
+    measured loss curve — pick the smallest W whose drop rate is
+    acceptable instead of guessing.
+
+    Returns (watermark_s, n_rows, n_dropped, drop_bp), one row per
+    candidate.
+
+    Scale shape: one conv-key window computes lateness once; each
+    candidate is a conditional sum over the SAME pass (no per-candidate
+    scan); the result is len(candidates) rows."""
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.coalesce(
+        F.greatest(F.max("_ep").over(w) - F.col("_ep"), F.lit(0)), F.lit(0)
+    )
+    base = turns.select("conv_id", "turn_idx", ep.alias("_ep")).withColumn(
+        "_late", late
+    )
+    aggs = []
+    for c in candidates_s:
+        aggs.append(
+            F.sum((F.col("_late") > c).cast("int")).cast("bigint").alias(f"_d{c}")
+        )
+    one = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"), *aggs)
+    parts = []
+    for c in candidates_s:
+        parts.append(
+            one.select(
+                F.lit(c).cast("bigint").alias("watermark_s"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_d{c}").alias("n_dropped"),
+                F.expr(f"(_d{c} * 10000) div _n").cast("bigint").alias("drop_bp"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

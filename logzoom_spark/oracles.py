@@ -4462,3 +4462,64 @@ FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderkey % 37 = 0
 GROUP BY 1
 """
+
+
+# Watermark loss curve (ops/audit.watermark_loss_curve): drop counts per
+# candidate delay, one lateness pass.
+ORACLES["watermark_loss_curve"] = f"""
+WITH {TURNS_CTE},
+l AS (
+  SELECT greatest(coalesce(max(cast(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - cast(floor(epoch(ts)) AS BIGINT), 0), 0) AS late
+  FROM turns
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN late > 0 THEN 1 ELSE 0 END)::BIGINT AS d0,
+         sum(CASE WHEN late > 60 THEN 1 ELSE 0 END)::BIGINT AS d60,
+         sum(CASE WHEN late > 300 THEN 1 ELSE 0 END)::BIGINT AS d300,
+         sum(CASE WHEN late > 3600 THEN 1 ELSE 0 END)::BIGINT AS d3600,
+         sum(CASE WHEN late > 21600 THEN 1 ELSE 0 END)::BIGINT AS d21600
+  FROM l
+)
+SELECT 0::BIGINT AS watermark_s, n AS n_rows, d0 AS n_dropped,
+       (d0 * 10000) // n AS drop_bp FROM agg
+UNION ALL SELECT 60, n, d60, (d60 * 10000) // n FROM agg
+UNION ALL SELECT 300, n, d300, (d300 * 10000) // n FROM agg
+UNION ALL SELECT 3600, n, d3600, (d3600 * 10000) // n FROM agg
+UNION ALL SELECT 21600, n, d21600, (d21600 * 10000) // n FROM agg
+"""
+
+# Last-touch purchase attribution (aggregate.purchase_attribution).
+ORACLES["purchase_attribution"] = """
+WITH b AS (
+  SELECT user_id, event_id, event_type,
+         cast(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+),
+t AS (
+  SELECT *,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ep, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tt,
+    last_value(CASE WHEN event_type <> 'purchase' THEN ep END IGNORE NULLS)
+      OVER (
+      PARTITION BY user_id ORDER BY ep, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tep
+  FROM b
+),
+conv AS (
+  SELECT coalesce(tt, 'none') AS attributed_type, ep - tep AS gap
+  FROM t WHERE event_type = 'purchase'
+)
+SELECT attributed_type, count(*)::BIGINT AS n_conversions,
+       sum(gap)::BIGINT AS total_gap_s,
+       CASE WHEN sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END) > 0
+            THEN cast(floor(sum(gap) * 1.0 /
+                 sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END)) AS BIGINT)
+            ELSE NULL END AS mean_gap_s
+FROM conv GROUP BY 1
+"""

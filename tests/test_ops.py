@@ -4001,3 +4001,42 @@ def test_bloom_pruned_join_equals_plain_join(spark):
     verdicts = bloom_probe(bloom_build(small, "k"), big.select("fk"), "fk")
     n_maybe = verdicts.filter("maybe_present").count()
     assert n_maybe < big.select("fk").distinct().count()  # most keys pruned
+
+
+def test_watermark_loss_curve_counts(spark):
+    import datetime
+
+    from logzoom_spark.ops.audit import watermark_loss_curve
+
+    h = lambda n: datetime.datetime(2024, 1, 1, 0, n)
+    # lateness per row: 0, 0, 30m(1800s), 0, 2m(120s)
+    rows = [
+        ("c1", 0, h(40)), ("c1", 1, h(50)), ("c1", 2, h(20)),
+        ("c1", 3, h(55)), ("c1", 4, h(53)),
+    ]
+    turns = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    out = {r.watermark_s: r for r in watermark_loss_curve(turns, (0, 300, 3600)).collect()}
+    assert out[0].n_dropped == 2 and out[0].drop_bp == 4000
+    assert out[300].n_dropped == 1  # only the 30-minute straggler
+    assert out[3600].n_dropped == 0
+
+
+def test_purchase_attribution_last_touch(spark):
+    import datetime
+
+    from logzoom_spark.aggregate import purchase_attribution
+
+    t = lambda s: datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+    rows = [
+        (1, 1, "view", t(0)), (2, 1, "click", t(10)), (3, 1, "purchase", t(40)),
+        (4, 2, "purchase", t(5)),  # orphan -> 'none'
+        (5, 3, "click", t(0)), (6, 3, "purchase", t(60)),
+        (7, 3, "purchase", t(90)),  # still last-touch = click
+    ]
+    ev = spark.createDataFrame(rows, "event_id bigint, user_id bigint, event_type string, ts timestamp")
+    out = {r.attributed_type: r for r in purchase_attribution(ev).collect()}
+    assert out["click"].n_conversions == 3
+    assert out["click"].total_gap_s == 30 + 60 + 90
+    assert out["click"].mean_gap_s == 60
+    assert out["none"].n_conversions == 1 and out["none"].mean_gap_s is None
+    assert "view" not in out  # last-touch, not first-touch
