@@ -2473,6 +2473,15 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_gap_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Power-of-two inter-event gap histogram per user — the measured
+    basis for the sessionization threshold; integer-exact buckets via
+    length(bin(gap))."""
+    from logzoom_spark.aggregate import gap_histogram
+
+    return gap_histogram(_read(spark, sf, "events"))
+
+
 def q_watermark_loss_curve(spark: SparkSession, sf: str) -> DataFrame:
     """Measured drop-rate curve per candidate watermark delay — one
     lateness pass, conditional sums per candidate."""
@@ -2834,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruned_join": q_bloom_pruned_join,
         "watermark_loss_curve": q_watermark_loss_curve,
         "purchase_attribution": q_purchase_attribution,
+        "gap_histogram": q_gap_histogram,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

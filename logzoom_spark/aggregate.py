@@ -746,3 +746,40 @@ def purchase_attribution(
         .cast("bigint")
         .alias("mean_gap_s"),
     )
+
+
+def gap_histogram(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Power-of-two histogram of inter-event gaps per user — the
+    measured basis for choosing `sessionize_gaps`' threshold (the same
+    evidence-not-guess loop `watermark_loss_curve` closes for
+    watermarks). Buckets are integer-exact in every engine: bucket =
+    length(bin(gap_s)) = floor(log2(gap_s)) + 1 (0-second gaps land in
+    bucket 1, 'gap' = same-second events), so no floating log at
+    boundaries.
+
+    Returns (gap_bucket_bits, n_gaps, min_gap_s, max_gap_s) — read
+    bucket b as gaps in [2^(b-1), 2^b).
+
+    Scale shape: one lag window on the natural user key, then a rollup
+    onto the ~40-row bucket key."""
+    from pyspark.sql import Window
+
+    ep = F.unix_timestamp(F.col(ts_col).cast("timestamp")).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("_ep", "event_id")
+    base = (
+        events.select("user_id", "event_id", ep.alias("_ep"))
+        .withColumn("_gap", F.col("_ep") - F.lag("_ep").over(w))
+        .filter(F.col("_gap").isNotNull())
+    )
+    return (
+        base.select(
+            F.expr("length(bin(_gap))").cast("int").alias("gap_bucket_bits"),
+            "_gap",
+        )
+        .groupBy("gap_bucket_bits")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.min("_gap").cast("bigint").alias("min_gap_s"),
+            F.max("_gap").cast("bigint").alias("max_gap_s"),
+        )
+    )

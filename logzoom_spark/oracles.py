@@ -4523,3 +4523,22 @@ SELECT attributed_type, count(*)::BIGINT AS n_conversions,
             ELSE NULL END AS mean_gap_s
 FROM conv GROUP BY 1
 """
+
+
+# Inter-event gap histogram (aggregate.gap_histogram): integer-exact
+# power-of-two buckets via length(bin(gap)) — identical in both engines.
+ORACLES["gap_histogram"] = """
+WITH b AS (
+  SELECT user_id, event_id, cast(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+),
+g AS (
+  SELECT ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id)
+           AS gap
+  FROM b
+)
+SELECT length(bin(gap))::INT AS gap_bucket_bits,
+       count(*)::BIGINT AS n_gaps,
+       min(gap)::BIGINT AS min_gap_s, max(gap)::BIGINT AS max_gap_s
+FROM g WHERE gap IS NOT NULL GROUP BY 1
+"""

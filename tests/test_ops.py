@@ -4040,3 +4040,21 @@ def test_purchase_attribution_last_touch(spark):
     assert out["click"].mean_gap_s == 60
     assert out["none"].n_conversions == 1 and out["none"].mean_gap_s is None
     assert "view" not in out  # last-touch, not first-touch
+
+
+def test_gap_histogram_buckets(spark):
+    import datetime
+
+    from logzoom_spark.aggregate import gap_histogram
+
+    t = lambda s: datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+    rows = [  # gaps for user 1: 1s, 5s, 0s (same second)
+        (1, 1, t(0)), (2, 1, t(1)), (3, 1, t(6)), (4, 1, t(6)),
+        (5, 2, t(100)),  # single event: no gap
+    ]
+    ev = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+    out = {r.gap_bucket_bits: r for r in gap_histogram(ev).collect()}
+    assert out[1].n_gaps == 2  # gaps 0 and 1 both have bin length 1
+    assert (out[1].min_gap_s, out[1].max_gap_s) == (0, 1)
+    assert out[3].n_gaps == 1 and out[3].min_gap_s == 5  # 5 = '101'
+    assert set(out) == {1, 3}
