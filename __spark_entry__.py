@@ -2473,6 +2473,14 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_template_params(spark: SparkSession, sf: str) -> DataFrame:
+    """Parameter-range recovery per (template, position): the
+    distribution of the digit runs the template mask collapsed."""
+    from logzoom_spark.ops.templates import template_params
+
+    return template_params(_turns(spark, sf))
+
+
 def q_gap_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Power-of-two inter-event gap histogram per user — the measured
     basis for the sessionization threshold; integer-exact buckets via
@@ -2844,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_loss_curve": q_watermark_loss_curve,
         "purchase_attribution": q_purchase_attribution,
         "gap_histogram": q_gap_histogram,
+        "template_params": q_template_params,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

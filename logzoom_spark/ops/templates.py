@@ -322,3 +322,34 @@ def template_cooccurrence(turns: DataFrame) -> DataFrame:
             .alias("lift_x10000"),
         )
     )
+
+
+def template_params(turns: DataFrame) -> DataFrame:
+    """Recovers what masking hides: per (template, parameter position),
+    the distribution of the digit runs the mask collapsed — "parameter
+    ranges per signature" (the follow-on analysis the Drain line of work
+    runs on mined templates). Position is 1-based over the line's digit
+    runs; runs that overflow BIGINT are dropped identically in both
+    engines (try_cast).
+
+    Returns (template, pos, n, n_distinct, min_val, max_val).
+
+    Scale shape: extraction is a row-local regexp + posexplode; one
+    map-side-combined aggregate onto the bounded (template, pos) key."""
+    lines = turns.filter(F.col("text").isNotNull()).select(
+        mask_template(F.col("text")).alias("template"),
+        F.expr(r"regexp_extract_all(text, '[0-9]+', 0)").alias("_params"),
+    )
+    exploded = lines.select(
+        "template", F.posexplode("_params").alias("_p0", "_v")
+    ).select(
+        "template",
+        (F.col("_p0") + 1).cast("int").alias("pos"),
+        F.expr("try_cast(_v AS BIGINT)").alias("val"),
+    ).filter(F.col("val").isNotNull())
+    return exploded.groupBy("template", "pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("val").cast("bigint").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )

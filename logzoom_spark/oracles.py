@@ -4542,3 +4542,25 @@ SELECT length(bin(gap))::INT AS gap_bucket_bits,
        min(gap)::BIGINT AS min_gap_s, max(gap)::BIGINT AS max_gap_s
 FROM g WHERE gap IS NOT NULL GROUP BY 1
 """
+
+
+# Parameter-range recovery per (template, position)
+# (ops/templates.template_params): digit runs with 1-based position via
+# generate_series indexing (DuckDB lacks WITH ORDINALITY).
+ORACLES["template_params"] = f"""
+WITH {TURNS_CTE},
+tp AS (
+  SELECT regexp_replace(text, '[0-9]+', '<#>', 'g') AS template,
+         regexp_extract_all(text, '[0-9]+') AS params
+  FROM turns WHERE text IS NOT NULL
+),
+e AS (
+  SELECT tp.template, gs.i::INT AS pos,
+         TRY_CAST(tp.params[gs.i] AS BIGINT) AS val
+  FROM tp, unnest(generate_series(1, len(tp.params))) AS gs(i)
+)
+SELECT template, pos, count(*)::BIGINT AS n,
+       count(DISTINCT val)::BIGINT AS n_distinct,
+       min(val) AS min_val, max(val) AS max_val
+FROM e WHERE val IS NOT NULL GROUP BY 1, 2
+"""

@@ -4058,3 +4058,21 @@ def test_gap_histogram_buckets(spark):
     assert (out[1].min_gap_s, out[1].max_gap_s) == (0, 1)
     assert out[3].n_gaps == 1 and out[3].min_gap_s == 5  # 5 = '101'
     assert set(out) == {1, 3}
+
+
+def test_template_params_positions(spark):
+    import datetime
+
+    from logzoom_spark.ops.templates import template_params
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("c", 0, "s", 'seq=1 level=A latency_ms=100 msg="evt-7"', None, ts),
+        ("c", 1, "s", 'seq=9 level=A latency_ms=350 msg="evt-7"', None, ts),
+    ]
+    turns = spark.createDataFrame(rows, _TURN_SCHEMA)
+    out = {(r.template, r.pos): r for r in template_params(turns).collect()}
+    tpl = next(t for t, _ in out)
+    assert out[(tpl, 1)].min_val == 1 and out[(tpl, 1)].max_val == 9
+    assert out[(tpl, 2)].min_val == 100 and out[(tpl, 2)].max_val == 350
+    assert out[(tpl, 3)].n_distinct == 1  # evt-7 both lines
