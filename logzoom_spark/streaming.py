@@ -881,3 +881,37 @@ def streaming_template_novelty(
         else writer.trigger(processingTime="10 seconds")
     )
     return writer.start()
+
+
+def streaming_burn_rate(
+    turns_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slo_den: int = 4,
+) -> DataFrame:
+    """Streaming twin of the short-window half of ops.sre.burn_rate_alerts:
+    watermarked tumbling error-budget burn per window — the live feed the
+    multiwindow pager consumes (the long-window side joins downstream
+    against the standing rollup, exactly as the batch operator does
+    against the day aggregate). Stateless parse + one watermarked
+    windowed aggregate; integer-exact burn in ×100.
+
+    Returns (window, n_lines, n_err, burn_x100)."""
+    from .parse import parse_turns
+
+    base = parse_turns(turns_stream, with_attrs=False).filter(
+        F.col("level").isNotNull()
+    )
+    return (
+        base.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum((F.col("level") == "ERROR").cast("int"))
+            .cast("bigint")
+            .alias("n_err"),
+        )
+        .withColumn(
+            "burn_x100", F.expr(f"(n_err * {slo_den} * 100) div n_lines")
+        )
+    )

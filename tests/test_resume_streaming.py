@@ -933,3 +933,47 @@ def test_streaming_template_novelty_emits_only_new(spark, tmp_path):
     assert rows['seq=<#> level=ERROR msg="b"'] == 0
     fatal = next(t for t in rows if "FATAL" in t)
     assert rows[fatal] == 1  # only the unseen template announced in epoch 1
+
+
+def test_streaming_burn_rate_matches_batch(spark, tmp_path):
+    """Complete-mode streaming burn per hour equals the batch short-window
+    burn computation on the same data."""
+    import datetime as dt
+
+    from logzoom_spark.ops.sre import burn_rate_alerts
+    from logzoom_spark.streaming import TURNS_SCHEMA, streaming_burn_rate
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda i, lvl, h: (
+        "c1", i, "system",
+        f'seq={i} level={lvl} log_type=log_type1 latency_ms=1 msg="e"',
+        None, t0 + dt.timedelta(hours=h, minutes=i % 30),
+    )
+    rows = [mk(i, "ERROR", 0) for i in range(6)] + [
+        mk(10 + i, "INFO", 1) for i in range(6)
+    ] + [mk(20 + i, "ERROR" if i % 2 else "INFO", 2) for i in range(6)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, TURNS_SCHEMA).write.parquet(src)
+    stream = (
+        spark.readStream.schema(TURNS_SCHEMA).parquet(src)
+    )
+    q = (
+        streaming_burn_rate(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("burn_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        int(r.window.start.timestamp()): (r.n_lines, r.n_err, r.burn_x100)
+        for r in spark.sql("select * from burn_out").collect()
+    }
+    batch = {
+        r.window_start: (r.n_short, r.err_short, r.burn_short_x100)
+        for r in burn_rate_alerts(
+            spark.createDataFrame(rows, TURNS_SCHEMA)
+        ).collect()
+    }
+    assert got == batch and len(got) == 3
