@@ -977,3 +977,53 @@ def test_streaming_burn_rate_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch and len(got) == 3
+
+
+def test_streaming_template_novelty_crash_idempotent(spark, tmp_path):
+    """Crash injected AFTER both epoch writes but BEFORE the checkpoint
+    commit: the re-delivered epoch must overwrite its own dirs (its own
+    ghost excluded from the standing set), announcing each template
+    exactly once."""
+    import datetime as dt
+
+    from logzoom_spark.streaming import TURNS_SCHEMA, streaming_template_novelty
+
+    ts = dt.datetime(2024, 1, 1)
+    batches = [
+        [("c1", 0, "system", 'seq=1 level=INFO msg="a"', None, ts)],
+        [("c2", 0, "system", '{"message":"x","level":"FATAL"}', None, ts)],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, TURNS_SCHEMA).coalesce(1).write.parquet(
+            str(src / f"b{i}"), mode="overwrite"
+        )
+    fired = {"n": 0}
+
+    def crash_once(epoch_id: int) -> None:
+        fired["n"] += 1
+        if fired["n"] == 2:  # epoch 1's dirs are on disk, checkpoint isn't
+            raise RuntimeError("injected novelty crash")
+
+    q = streaming_template_novelty(
+        spark, str(src) + "/b*", str(tmp_path / "tpl"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), fault_hook=crash_once,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="injected novelty crash"):
+        q.awaitTermination(300)
+
+    # restart without the fault: epoch 1 re-runs idempotently
+    q2 = streaming_template_novelty(
+        spark, str(src) + "/b*", str(tmp_path / "tpl"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(300)
+    out = spark.read.option("basePath", str(tmp_path / "out")).parquet(
+        str(tmp_path / "out") + "/epoch=*"
+    )
+    rows = [(r.template, r.epoch) for r in out.collect()]
+    assert len(rows) == len(set(t for t, _ in rows)) == 2  # exactly once each
+    assert {e for _, e in rows} == {0, 1}
