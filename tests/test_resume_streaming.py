@@ -1027,3 +1027,47 @@ def test_streaming_template_novelty_crash_idempotent(spark, tmp_path):
     rows = [(r.template, r.epoch) for r in out.collect()]
     assert len(rows) == len(set(t for t, _ in rows)) == 2  # exactly once each
     assert {e for _, e in rows} == {0, 1}
+
+
+def test_streaming_flap_suppress_state_survives_restart(spark, tmp_path):
+    """State-store continuity: a SECOND run against the same checkpoint
+    must suppress an alert that is only inside the cooldown of a kept
+    alert from the FIRST run — the last-kept timestamp was restored from
+    the checkpointed state store, not recomputed."""
+    import datetime as dt
+
+    from logzoom_spark.streaming import streaming_flap_suppress
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "log_type string, ts timestamp"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/b*")
+        q = (
+            streaming_flap_suppress(stream, cooldown_s=4 * 3600)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    spark.createDataFrame([("k1", t0)], schema).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    run_once()  # k1@0h kept, last_kept persisted to the state store
+    spark.createDataFrame(
+        [("k1", t0 + dt.timedelta(hours=2)), ("k1", t0 + dt.timedelta(hours=5))],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    run_once()  # restart: 2h suppressed iff state restored; 5h fires
+
+    got = {r.ts_us: r.kept for r in spark.read.parquet(out).collect()}
+    h = lambda n: int((t0 + dt.timedelta(hours=n)).timestamp() * 1_000_000)
+    assert got == {h(0): 1, h(2): 0, h(5): 1}
