@@ -2473,6 +2473,27 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_route_config_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Canary a routing-rule change: current vs proposed rule sets
+    evaluated in one pass; reports traffic the change would stop/start
+    routing."""
+    from logzoom_spark.parse import parse_turns
+    from logzoom_spark.route import route_config_diff
+
+    p = parse_turns(_turns(spark, sf), with_attrs=False)
+    return route_config_diff(
+        p, {"level": "ERROR"}, {"log_type": "log_type1"}
+    )
+
+
+def q_error_run_lengths(spark: SparkSession, sf: str) -> DataFrame:
+    """Sustained-failure detector: longest consecutive ERROR streak per
+    conversation via the gaps-and-islands identity."""
+    from logzoom_spark.ops.sre import error_run_lengths
+
+    return error_run_lengths(_turns(spark, sf))
+
+
 def q_template_params(spark: SparkSession, sf: str) -> DataFrame:
     """Parameter-range recovery per (template, position): the
     distribution of the digit runs the template mask collapsed."""
@@ -2853,6 +2874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution": q_purchase_attribution,
         "gap_histogram": q_gap_histogram,
         "template_params": q_template_params,
+        "route_config_diff": q_route_config_diff,
+        "error_run_lengths": q_error_run_lengths,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

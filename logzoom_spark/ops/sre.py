@@ -362,3 +362,52 @@ def changepoint_error_rate(turns: DataFrame) -> DataFrame:
             "err_bp_before", "err_bp_after", "score_bp",
         )
     )
+
+
+def error_run_lengths(turns: DataFrame) -> DataFrame:
+    """Sustained-failure detector: the longest CONSECUTIVE run of ERROR
+    lines per conversation (arrival order), via the gaps-and-islands
+    identity (turn rank − error rank is constant within a run). A
+    10-error streak is an outage; 10 scattered errors are blips — counts
+    alone can't tell them apart.
+
+    Returns (conv_id, n_lines, n_errors, n_error_runs, max_error_run).
+
+    Scale shape: two windows on the native conv key (frame bounded by
+    conversation length), then one rollup per conversation."""
+    from pyspark.sql import Window
+
+    from ..parse import parse_turns
+
+    p = (
+        parse_turns(turns, with_attrs=False)
+        .filter(F.col("level").isNotNull())
+        .select("conv_id", "turn_idx", (F.col("level") == "ERROR").alias("_e"))
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    we = Window.partitionBy("conv_id", "_e").orderBy("turn_idx")
+    runs = p.withColumn(
+        "_island", F.row_number().over(w) - F.row_number().over(we)
+    )
+    per_run = (
+        runs.filter(F.col("_e"))
+        .groupBy("conv_id", "_island")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_len"))
+    )
+    run_stats = per_run.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_error_runs"),
+        F.max("_len").alias("max_error_run"),
+        F.sum("_len").cast("bigint").alias("n_errors"),
+    )
+    totals = p.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return totals.join(run_stats, "conv_id", "left").select(
+        "conv_id",
+        "n_lines",
+        F.coalesce("n_errors", F.lit(0).cast("bigint")).alias("n_errors"),
+        F.coalesce("n_error_runs", F.lit(0).cast("bigint")).alias("n_error_runs"),
+        F.coalesce("max_error_run", F.lit(0).cast("bigint")).alias(
+            "max_error_run"
+        ),
+    )

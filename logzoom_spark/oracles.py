@@ -4564,3 +4564,53 @@ SELECT template, pos, count(*)::BIGINT AS n,
        min(val) AS min_val, max(val) AS max_val
 FROM e WHERE val IS NOT NULL GROUP BY 1, 2
 """
+
+
+# Routing-config canary diff (route.route_config_diff): A={level=ERROR},
+# B={log_type=log_type1}; NULL fields reject (missing-key semantics).
+ORACLES["route_config_diff"] = f"""
+{_WITH_PARSED},
+fl AS (
+  SELECT CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END AS a,
+         CASE WHEN log_type = 'log_type1' THEN 1 ELSE 0 END AS b
+  FROM parsed
+)
+SELECT count(*)::BIGINT AS n_rows,
+       sum(a)::BIGINT AS n_match_a, sum(b)::BIGINT AS n_match_b,
+       sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)::BIGINT AS n_only_a,
+       sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)::BIGINT AS n_only_b,
+       sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)::BIGINT AS n_both
+FROM fl
+"""
+
+# Sustained-failure islands (ops/sre.error_run_lengths): rank difference
+# is constant within a consecutive run.
+ORACLES["error_run_lengths"] = f"""
+{_WITH_PARSED},
+p AS (
+  SELECT conv_id, turn_idx, (level = 'ERROR') AS e
+  FROM parsed WHERE level IS NOT NULL
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+    - row_number() OVER (PARTITION BY conv_id, e ORDER BY turn_idx)
+      AS island
+  FROM p
+),
+per_run AS (
+  SELECT conv_id, island, count(*)::BIGINT AS len
+  FROM r WHERE e GROUP BY 1, 2
+),
+rs AS (
+  SELECT conv_id, count(*)::BIGINT AS n_error_runs,
+         max(len) AS max_error_run, sum(len)::BIGINT AS n_errors
+  FROM per_run GROUP BY 1
+),
+tot AS (SELECT conv_id, count(*)::BIGINT AS n_lines FROM p GROUP BY 1)
+SELECT t.conv_id, t.n_lines,
+       coalesce(rs.n_errors, 0)::BIGINT AS n_errors,
+       coalesce(rs.n_error_runs, 0)::BIGINT AS n_error_runs,
+       coalesce(rs.max_error_run, 0)::BIGINT AS max_error_run
+FROM tot t LEFT JOIN rs ON rs.conv_id = t.conv_id
+"""

@@ -232,3 +232,37 @@ def skew_key_stats(
         .orderBy(F.desc("cnt"), F.asc_nulls_last("key"))
         .limit(top_n)
     )
+
+
+def route_config_diff(
+    df: DataFrame, rules_a: dict[str, str], rules_b: dict[str, str]
+) -> DataFrame:
+    """Canary a routing-config change BEFORE deploying it (the reference
+    applies config edits blind — config.go just reloads; at 100 TB a
+    bad rule silently drops a day of data): evaluate the current (A)
+    and proposed (B) rule sets side by side on the same pass and report
+    the migration delta. One scan, two codegen'd predicates, a 1-row
+    aggregate — no second job.
+
+    Returns one row: (n_rows, n_match_a, n_match_b, n_only_a, n_only_b,
+    n_both) — n_only_a is traffic the change would STOP routing,
+    n_only_b is traffic it would START routing."""
+    fa = rule_predicate(df, rules_a)
+    fb = rule_predicate(df, rules_b)
+    flagged = df.select(
+        fa.cast("int").alias("_a"), fb.cast("int").alias("_b")
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("_a").cast("bigint").alias("n_match_a"),
+        F.sum("_b").cast("bigint").alias("n_match_b"),
+        F.sum(F.expr("cast(_a = 1 AND _b = 0 AS INT)")).cast("bigint").alias(
+            "n_only_a"
+        ),
+        F.sum(F.expr("cast(_a = 0 AND _b = 1 AS INT)")).cast("bigint").alias(
+            "n_only_b"
+        ),
+        F.sum(F.expr("cast(_a = 1 AND _b = 1 AS INT)")).cast("bigint").alias(
+            "n_both"
+        ),
+    )

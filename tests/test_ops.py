@@ -4076,3 +4076,39 @@ def test_template_params_positions(spark):
     assert out[(tpl, 1)].min_val == 1 and out[(tpl, 1)].max_val == 9
     assert out[(tpl, 2)].min_val == 100 and out[(tpl, 2)].max_val == 350
     assert out[(tpl, 3)].n_distinct == 1  # evt-7 both lines
+
+
+def test_route_config_diff_counts(spark):
+    import datetime
+
+    from logzoom_spark.parse import parse_turns
+    from logzoom_spark.route import route_config_diff
+
+    ts = datetime.datetime(2024, 1, 1)
+    mk = lambda i, lvl, lt: (
+        "c", i, "s", f'seq={i} level={lvl} log_type={lt} latency_ms=1 msg="m"',
+        None, ts,
+    )
+    rows = [mk(0, "ERROR", "log_type1"), mk(1, "ERROR", "log_type2"),
+            mk(2, "INFO", "log_type1"), mk(3, "INFO", "log_type2")]
+    p = parse_turns(spark.createDataFrame(rows, _TURN_SCHEMA), with_attrs=False)
+    r = route_config_diff(p, {"level": "ERROR"}, {"log_type": "log_type1"}).collect()[0]
+    assert (r.n_rows, r.n_match_a, r.n_match_b) == (4, 2, 2)
+    assert (r.n_only_a, r.n_only_b, r.n_both) == (1, 1, 1)
+
+
+def test_error_run_lengths_islands(spark):
+    import datetime
+
+    from logzoom_spark.ops.sre import error_run_lengths
+
+    ts = datetime.datetime(2024, 1, 1)
+    seq = ["ERROR", "ERROR", "INFO", "ERROR", "ERROR", "ERROR", "INFO"]
+    rows = [_mk_turn("c1", i, lvl, 1, ts) for i, lvl in enumerate(seq)] + [
+        _mk_turn("c2", 0, "INFO", 1, ts)
+    ]
+    turns = spark.createDataFrame(rows, _TURN_SCHEMA)
+    out = {r.conv_id: r for r in error_run_lengths(turns).collect()}
+    assert out["c1"].n_errors == 5 and out["c1"].n_error_runs == 2
+    assert out["c1"].max_error_run == 3
+    assert out["c2"].n_errors == 0 and out["c2"].max_error_run == 0
