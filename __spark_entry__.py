@@ -2473,6 +2473,27 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit lineitem→orders: orphan facts and
+    childless parents, anti-joins over collapsed key sets."""
+    from logzoom_spark.ops.audit import fk_integrity_audit
+
+    return fk_integrity_audit(
+        _read(spark, sf, "lineitem"),
+        _read(spark, sf, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )
+
+
+def q_sample_bias_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Horvitz-Thompson reconstruction check on the tail sampler: HT
+    estimate vs true count per template, bias in basis points."""
+    from logzoom_spark.ops.templates import sample_bias_audit
+
+    return sample_bias_audit(_turns(spark, sf), cap=200)
+
+
 def q_route_config_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Canary a routing-rule change: current vs proposed rule sets
     evaluated in one pass; reports traffic the change would stop/start
@@ -2876,6 +2897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_params": q_template_params,
         "route_config_diff": q_route_config_diff,
         "error_run_lengths": q_error_run_lengths,
+        "fk_integrity_audit": q_fk_integrity_audit,
+        "sample_bias_audit": q_sample_bias_audit,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

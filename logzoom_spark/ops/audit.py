@@ -268,3 +268,51 @@ def watermark_loss_curve(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def fk_integrity_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity audit between a fact and its dimension
+    (Deequ's referential constraint, public design): orphan children
+    (no matching parent — broken ingestion or late dimension) and
+    childless parents (fine, but quantified). One row of evidence.
+
+    Returns (n_child, n_orphans, orphan_bp, n_parents, n_childless).
+
+    Scale shape: orphans via LEFT ANTI join on the key (the parent key
+    set broadcasts when small, AQE decides); childless via the reverse
+    anti-join over the child's DISTINCT keys — child facts collapse to
+    their key set before crossing any exchange."""
+    orphans = child.join(
+        parent.select(F.col(parent_key).alias("_pk")).distinct(),
+        F.col(child_key) == F.col("_pk"),
+        "left_anti",
+    )
+    childless = parent.join(
+        child.select(F.col(child_key).alias("_ck")).distinct(),
+        F.col(parent_key) == F.col("_ck"),
+        "left_anti",
+    )
+    n_child = child.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select("n")
+    n_orph = orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select("n")
+    n_par = parent.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select("n")
+    n_cl = childless.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select("n")
+    return (
+        n_child.withColumnRenamed("n", "n_child")
+        .crossJoin(n_orph.withColumnRenamed("n", "n_orphans"))
+        .crossJoin(n_par.withColumnRenamed("n", "n_parents"))
+        .crossJoin(n_cl.withColumnRenamed("n", "n_childless"))
+        .select(
+            "n_child",
+            "n_orphans",
+            F.expr("(n_orphans * 10000) div n_child").cast("bigint").alias(
+                "orphan_bp"
+            ),
+            "n_parents",
+            "n_childless",
+        )
+    )

@@ -353,3 +353,33 @@ def template_params(turns: DataFrame) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+def sample_bias_audit(turns: DataFrame, cap: int = 200, seed: int = 0) -> DataFrame:
+    """Honesty check on `template_tail_sampling`: per template, the
+    Horvitz-Thompson estimate reconstructed FROM the kept sample
+    (n_kept · 10000 / rate_bp) against the true count, with the bias in
+    basis points — quantifying exactly what downstream aggregates lose
+    by running on the sample (HT estimation is the public framing).
+
+    Returns (template, n_true, n_kept, ht_estimate, bias_bp).
+
+    Scale shape: rides the sampler's own output (broadcast rate join,
+    no extra scan); one aggregate on the template key."""
+    s = template_tail_sampling(turns, cap=cap, seed=seed)
+    per = s.groupBy("template").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.max("rate_bp").alias("_rate"),
+    )
+    ht = F.expr("(n_kept * 10000) div _rate")
+    # FLOOR division: bias is negative when the sample under-counts, and
+    # floor matches DuckDB's // on both signs
+    bias = F.floor((ht - F.col("n_true")) * 10000 / F.col("n_true")).cast("bigint")
+    return per.select(
+        "template",
+        "n_true",
+        "n_kept",
+        ht.cast("bigint").alias("ht_estimate"),
+        bias.alias("bias_bp"),
+    )

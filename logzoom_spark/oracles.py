@@ -4614,3 +4614,55 @@ SELECT t.conv_id, t.n_lines,
        coalesce(rs.max_error_run, 0)::BIGINT AS max_error_run
 FROM tot t LEFT JOIN rs ON rs.conv_id = t.conv_id
 """
+
+
+# Referential-integrity audit lineitem->orders
+# (ops/audit.fk_integrity_audit).
+ORACLES["fk_integrity_audit"] = """
+SELECT (SELECT count(*) FROM lineitem)::BIGINT AS n_child,
+       (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+         AS n_orphans,
+       ((SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)) * 10000)
+         // (SELECT count(*) FROM lineitem) AS orphan_bp,
+       (SELECT count(*) FROM orders)::BIGINT AS n_parents,
+       (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey))::BIGINT
+         AS n_childless
+"""
+
+# Horvitz-Thompson sampling-bias audit
+# (ops/templates.sample_bias_audit, cap=200): recomputes the sampler's
+# gate + rate, then the HT reconstruction per template.
+_SBA_KEY = portable_hash_sql("concat(l.conv_id, '|', cast(l.turn_idx AS VARCHAR))")
+ORACLES["sample_bias_audit"] = f"""
+WITH {TURNS_CTE},
+lines AS (
+  SELECT conv_id, turn_idx,
+         regexp_replace(text, '[0-9]+', '<#>', 'g') AS template
+  FROM turns WHERE text IS NOT NULL
+),
+d AS (SELECT template, count(*)::BIGINT AS df FROM lines GROUP BY 1),
+s AS (
+  SELECT l.template,
+         cast(least(10000, (200 * 10000) // d.df) AS BIGINT) AS rate_bp,
+         CASE WHEN ({_SBA_KEY} % 10000)
+                   < least(10000, (200 * 10000) // d.df)
+              THEN 1 ELSE 0 END AS kept
+  FROM lines l JOIN d USING (template)
+),
+per AS (
+  SELECT template, count(*)::BIGINT AS n_true, sum(kept)::BIGINT AS n_kept,
+         max(rate_bp) AS rate
+  FROM s GROUP BY 1
+)
+SELECT template, n_true, n_kept,
+       ((n_kept * 10000) // rate)::BIGINT AS ht_estimate,
+       cast(floor(((n_kept * 10000) // rate - n_true) * 10000.0 / n_true)
+            AS BIGINT) AS bias_bp
+FROM per
+"""

@@ -4112,3 +4112,32 @@ def test_error_run_lengths_islands(spark):
     assert out["c1"].n_errors == 5 and out["c1"].n_error_runs == 2
     assert out["c1"].max_error_run == 3
     assert out["c2"].n_errors == 0 and out["c2"].max_error_run == 0
+
+
+def test_fk_integrity_audit_counts(spark):
+    from logzoom_spark.ops.audit import fk_integrity_audit
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 99)], "cid bigint, fk bigint"
+    )
+    r = fk_integrity_audit(child, parent, "fk", "pk").collect()[0]
+    assert (r.n_child, r.n_orphans, r.orphan_bp) == (4, 1, 2500)
+    assert (r.n_parents, r.n_childless) == (3, 1)  # pk=3 childless
+
+
+def test_sample_bias_audit_exact_for_full_rate(spark):
+    import datetime
+
+    from logzoom_spark.ops.templates import sample_bias_audit
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("c", i, "s", f'seq={i} level=INFO msg="m"', None, ts) for i in range(50)
+    ] + [("c", 100, "s", 'level=RARE msg="once"', None, ts)]
+    turns = spark.createDataFrame(rows, _TURN_SCHEMA)
+    out = {r.template: r for r in sample_bias_audit(turns, cap=10).collect()}
+    rare = next(r for t, r in out.items() if "RARE" in t)
+    assert rare.n_kept == rare.n_true == 1 and rare.bias_bp == 0  # rate 10000
+    common = next(r for t, r in out.items() if "RARE" not in t)
+    assert common.n_true == 50 and common.ht_estimate == common.n_kept * 5
