@@ -2473,6 +2473,15 @@ def q_kanon_release(spark: SparkSession, sf: str) -> DataFrame:
     return kanon_release(_read(spark, sf, "events"))
 
 
+def q_context_truncation_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Chat-context truncation: keep each conversation's latest turns
+    within a token budget via one reverse prefix sum per conv; every
+    turn emitted with its verdict."""
+    from logzoom_spark.ops.corpus import context_truncation_plan
+
+    return context_truncation_plan(_turns(spark, sf), budget_tokens=64)
+
+
 def q_fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity audit lineitem→orders: orphan facts and
     childless parents, anti-joins over collapsed key sets."""
@@ -2899,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_run_lengths": q_error_run_lengths,
         "fk_integrity_audit": q_fk_integrity_audit,
         "sample_bias_audit": q_sample_bias_audit,
+        "context_truncation_plan": q_context_truncation_plan,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

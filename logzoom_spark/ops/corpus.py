@@ -825,3 +825,38 @@ def write_range_sharded(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+
+def context_truncation_plan(
+    turns: DataFrame, budget_tokens: int = 256
+) -> DataFrame:
+    """Context-window truncation plan for multi-turn transcripts: keep
+    the LATEST turns of each conversation whose cumulative whitespace
+    token count fits ``budget_tokens`` (the chat-context rule — newest
+    context survives, oldest is dropped first). Every turn is emitted
+    with its verdict (counted, not dropped); a turn that individually
+    exceeds the whole budget is cut like any other overflow.
+
+    Returns (conv_id, turn_idx, n_tokens, cum_from_end, kept).
+
+    Scale shape: one reverse prefix sum per conversation (window on the
+    native conv key, frame bounded by conversation length); token
+    counting is a row-local size(split())."""
+    from pyspark.sql import Window
+
+    ntok = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("bigint")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = turns.filter(F.col("text").isNotNull()).select(
+        "conv_id", "turn_idx", ntok.alias("n_tokens")
+    )
+    return base.withColumn(
+        "cum_from_end", F.sum("n_tokens").over(w).cast("bigint")
+    ).withColumn(
+        "kept", (F.col("cum_from_end") <= budget_tokens).cast("int")
+    )

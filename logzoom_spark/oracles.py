@@ -4666,3 +4666,26 @@ SELECT template, n_true, n_kept,
             AS BIGINT) AS bias_bp
 FROM per
 """
+
+
+# Chat-context truncation plan (ops/corpus.context_truncation_plan,
+# budget 64): reverse prefix sum per conversation, house token counting.
+ORACLES["context_truncation_plan"] = f"""
+WITH {TURNS_CTE},
+b AS (
+  SELECT conv_id, turn_idx,
+         cast(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM turns WHERE text IS NOT NULL
+)
+SELECT conv_id, turn_idx, n_tokens,
+       sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS cum_from_end,
+       (CASE WHEN sum(n_tokens) OVER (PARTITION BY conv_id
+               ORDER BY turn_idx DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 64
+             THEN 1 ELSE 0 END)::INT AS kept
+FROM b
+"""

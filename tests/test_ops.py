@@ -4141,3 +4141,20 @@ def test_sample_bias_audit_exact_for_full_rate(spark):
     assert rare.n_kept == rare.n_true == 1 and rare.bias_bp == 0  # rate 10000
     common = next(r for t, r in out.items() if "RARE" not in t)
     assert common.n_true == 50 and common.ht_estimate == common.n_kept * 5
+
+
+def test_context_truncation_keeps_latest(spark):
+    import datetime
+
+    from logzoom_spark.ops.corpus import context_truncation_plan
+
+    ts = datetime.datetime(2024, 1, 1)
+    mk = lambda i, n: ("c1", i, "u", " ".join(f"w{j}" for j in range(n)), None, ts)
+    # turns of 10, 20, 30, 40 tokens; budget 64 keeps idx 3 (40) + idx 2 (30)?
+    # cum from end: idx3=40, idx2=70 -> only idx3 fits; idx1, idx0 cut
+    turns = spark.createDataFrame([mk(i, (i + 1) * 10) for i in range(4)], _TURN_SCHEMA)
+    out = {r.turn_idx: r for r in context_truncation_plan(turns, budget_tokens=64).collect()}
+    assert len(out) == 4  # every turn emitted
+    assert out[3].kept == 1 and out[3].cum_from_end == 40
+    assert out[2].kept == 0 and out[2].cum_from_end == 70
+    assert out[0].kept == 0
