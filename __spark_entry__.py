@@ -2482,6 +2482,55 @@ def q_context_truncation_plan(spark: SparkSession, sf: str) -> DataFrame:
     return context_truncation_plan(_turns(spark, sf), budget_tokens=64)
 
 
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Signup-cohort retention triangle: distinct (user, day) first,
+    per-user min cohort day, rollup bounded by days × offsets."""
+    from logzoom_spark.ops.behavior import cohort_retention
+
+    return cohort_retention(_read(spark, sf, "events"))
+
+
+def q_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order user-journey transition matrix with an absorbing
+    <end> state; one user-key window, bounded type² rollup."""
+    from logzoom_spark.ops.behavior import markov_transitions
+
+    return markov_transitions(_read(spark, sf, "events"))
+
+
+def q_active_users_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU/WAU/MAU rolling distinct actives over observed days; the
+    explode factor lands on the distinct (user, day) set, not raw
+    events."""
+    from logzoom_spark.ops.behavior import active_users_rolling
+
+    return active_users_rolling(_read(spark, sf, "events"))
+
+
+def q_schema_drift_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-over-day KV-key churn in the raw transcript text — the
+    producer-format early-warning audit; bounded (day × key) set."""
+    from logzoom_spark.ops.behavior import schema_drift_daily
+
+    return schema_drift_daily(_turns(spark, sf))
+
+
+def q_hourly_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day load shape per event type with >2× uniform-share
+    hot-hour flags; one rollup to the 24 × type grid."""
+    from logzoom_spark.ops.behavior import hourly_seasonality
+
+    return hourly_seasonality(_read(spark, sf, "events"))
+
+
+def q_activity_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-user concentration by power-of-two activity bucket with
+    cumulative share — the measured skew dossier for salting."""
+    from logzoom_spark.ops.behavior import activity_concentration
+
+    return activity_concentration(_read(spark, sf, "events"))
+
+
 def q_fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity audit lineitem→orders: orphan facts and
     childless parents, anti-joins over collapsed key sets."""
@@ -2909,6 +2958,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_integrity_audit": q_fk_integrity_audit,
         "sample_bias_audit": q_sample_bias_audit,
         "context_truncation_plan": q_context_truncation_plan,
+        "cohort_retention": q_cohort_retention,
+        "markov_transitions": q_markov_transitions,
+        "active_users_rolling": q_active_users_rolling,
+        "schema_drift_daily": q_schema_drift_daily,
+        "hourly_seasonality": q_hourly_seasonality,
+        "activity_concentration": q_activity_concentration,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

@@ -1,0 +1,294 @@
+"""User-behavior analytics over the event stream.
+
+The reference ships raw frames to sinks and leaves analysis to whatever
+reads them (reference: output/s3/s3.go, output/elasticsearch/
+elasticsearch.go — opaque pass-through); these operators are the
+product-analytics layer a 100 TB event pipeline computes IN the engine so
+the sinks receive bounded aggregates instead of raw volume:
+
+- `cohort_retention` — classic signup-cohort retention triangle.
+- `markov_transitions` — first-order event-type transition matrix.
+- `active_users_rolling` — DAU/WAU/MAU-style rolling distinct actives.
+- `schema_drift_daily` — day-over-day KV-key churn in the raw text
+  (the early-warning audit for upstream producers changing format —
+  the failure the reference's parse-error counter only sees after the
+  fact, reference: input/filebeat/filebeat.go drop counters).
+- `hourly_seasonality` — hour-of-day load shape with hot-hour flags.
+- `activity_concentration` — heavy-user concentration by power-of-two
+  activity bucket (the skew evidence that sizes salting decisions).
+
+Every output is integer-exact (epoch days, counts, floor basis points),
+so each operator carries a full DuckDB value oracle.
+
+Scale shape, shared: all six collapse the raw event volume to a distinct
+or grouped set on the table's natural keys (user_id / day / event_type)
+as the FIRST exchange; every later window or join runs over an aggregate
+bounded by calendar days × type vocabulary, never by event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cohort_retention",
+    "markov_transitions",
+    "active_users_rolling",
+    "schema_drift_daily",
+    "hourly_seasonality",
+    "activity_concentration",
+]
+
+
+def _day(col: str = "ts") -> F.Column:
+    """Epoch-day BIGINT — the cross-engine-stable day key."""
+    return F.datediff(F.to_date(F.col(col)), F.lit("1970-01-01")).cast("bigint")
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Signup-cohort retention triangle: users are cohorted by their
+    first-seen day; for each (cohort_day, day_offset) report how many
+    cohort members were active and the retention rate vs the cohort's
+    size in floor basis points. Offset 0 is the cohort size by
+    construction (retention_bp = 10000).
+
+    Returns (cohort_day, day_offset, n_active, retention_bp).
+
+    Scale shape: one distinct over (user_id, day) — the only exchange
+    touching event volume — then a per-user min rides a second exchange
+    on user_id (the table's natural key), and the final rollup plus the
+    cohort-size window run over the (days × offsets)-bounded aggregate.
+    """
+    ud = events.select(
+        F.col("user_id"), _day().alias("day_no")
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day_no").alias("cohort_day"))
+    tri = (
+        ud.join(first, "user_id")
+        .groupBy("cohort_day", (F.col("day_no") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )
+    size_w = Window.partitionBy("cohort_day")
+    cohort_size = F.max(
+        F.when(F.col("day_offset") == 0, F.col("n_active"))
+    ).over(size_w)
+    return tri.select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        cohort_size.alias("_den"),
+    ).select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        F.expr("(n_active * 10000) div _den").cast("bigint").alias("retention_bp"),
+    )
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order user-journey transition matrix: for each user's
+    event sequence (ordered by ts, event_id as the deterministic
+    tiebreak) count src→dst event-type transitions; each user's final
+    event transitions to the absorbing state ``<end>`` so rows are
+    counted, never dropped. prob_bp is the floor-bp row-conditional
+    probability P(dst | src).
+
+    Returns (src_type, dst_type, n, prob_bp).
+
+    Scale shape: one window on the natural user key (state = one row),
+    then a map-side-combined rollup to the type-vocabulary × type-
+    vocabulary matrix; the probability window runs over that bounded
+    matrix."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("src_type"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("<end>")).alias("dst_type"),
+    )
+    mat = pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    row_w = Window.partitionBy("src_type")
+    return mat.select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.sum("n").over(row_w).alias("_den"),
+    ).select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.expr("(n * 10000) div _den").cast("bigint").alias("prob_bp"),
+    )
+
+
+def active_users_rolling(
+    events: DataFrame, windows: tuple[int, ...] = (1, 7, 28)
+) -> DataFrame:
+    """Rolling distinct actives (DAU/WAU/MAU family): for each observed
+    day and each trailing window length w, the count of distinct users
+    with ≥1 event in [day−w+1, day]. Only days that actually appear in
+    the data are reported (the engine audits what it saw; calendar
+    gap-filling is a presentation concern).
+
+    Returns (day_no, window_days, n_active).
+
+    Scale shape: event volume collapses to the distinct (user, day) set
+    first; that set explodes by Σw (36 with the default windows) — a
+    bounded constant factor on the SMALL set, not on raw events — then
+    a semi-join against observed days and one exact-distinct rollup per
+    (day, window)."""
+    if not windows or any(w < 1 for w in windows):
+        raise ValueError(f"window lengths must be >= 1, got {windows!r}")
+    ud = events.select(F.col("user_id"), _day().alias("day_no")).distinct()
+    days = ud.select("day_no").distinct()
+    wins = F.array(*[F.lit(int(w)) for w in sorted(set(windows))])
+    offs = (
+        ud.select(
+            "user_id",
+            "day_no",
+            F.explode(wins).alias("window_days"),
+        )
+        .select(
+            "user_id",
+            "window_days",
+            F.explode(
+                F.sequence(F.col("day_no"), F.col("day_no") + F.col("window_days") - 1)
+            ).alias("day_no"),
+        )
+    )
+    return (
+        offs.join(days, "day_no", "semi")
+        .groupBy("day_no", "window_days")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )
+
+
+def schema_drift_daily(turns: DataFrame) -> DataFrame:
+    """Day-over-day KV-key churn in the raw transcript text: for each
+    observed day, the distinct ``key=`` tokens seen, how many are NEW
+    (absent from the previous OBSERVED day) and how many of the previous
+    day's keys are GONE. The first observed day has no baseline: n_new
+    equals n_keys and n_gone is 0.
+
+    Returns (day_no, n_keys, n_new, n_gone).
+
+    Scale shape: the regexp key extraction is row-local; volume
+    collapses to distinct (day, key) — bounded by days × key vocabulary
+    — and the day-over-day comparison is two self-joins on that bounded
+    set via each day's lag-observed predecessor."""
+    dk = (
+        turns.select(
+            _day().alias("day_no"),
+            F.explode(
+                F.expr(r"regexp_extract_all(text, '([A-Za-z_][A-Za-z0-9_]*)=', 1)")
+            ).alias("key"),
+        )
+        .distinct()
+    )
+    days = dk.select("day_no").distinct()
+    prev = days.select(
+        "day_no",
+        F.lag("day_no").over(Window.orderBy("day_no")).alias("prev_day"),
+    )
+    cur = dk.join(prev, "day_no")
+    prev_keys = dk.select(
+        F.col("day_no").alias("prev_day"), F.col("key")
+    )
+    flagged = cur.join(prev_keys, ["prev_day", "key"], "left_anti").groupBy(
+        "day_no"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    gone = (
+        prev_keys.join(prev.filter(F.col("prev_day").isNotNull()), "prev_day")
+        .join(dk, ["day_no", "key"], "left_anti")
+        .groupBy("day_no")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_gone"))
+    )
+    totals = dk.groupBy("day_no").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+    return (
+        totals.join(flagged, "day_no", "left")
+        .join(gone, "day_no", "left")
+        .select(
+            "day_no",
+            "n_keys",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            F.coalesce("n_gone", F.lit(0)).cast("bigint").alias("n_gone"),
+        )
+    )
+
+
+def hourly_seasonality(events: DataFrame) -> DataFrame:
+    """Hour-of-day load shape per event type: count per (event_type,
+    hour 0–23), the hour's share of the type's volume in floor basis
+    points, and a hot-hour flag for hours carrying more than 2× the
+    uniform share (share_bp with integer math: n*24 > 2*total). The
+    measured basis for diurnal autoscaling and for scheduling compaction
+    into cold hours.
+
+    Returns (event_type, hour, n, share_bp, is_hot).
+
+    Scale shape: one map-side-combined rollup to the 24 × type-
+    vocabulary grid; the share window runs over that bounded grid."""
+    grid = events.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type")
+    total = F.sum("n").over(w)
+    return grid.select(
+        "event_type",
+        "hour",
+        "n",
+        total.alias("_den"),
+    ).select(
+        "event_type",
+        "hour",
+        "n",
+        F.expr("(n * 10000) div _den").cast("bigint").alias("share_bp"),
+        F.expr("cast(n * 24 > 2 * _den AS INT)").alias("is_hot"),
+    )
+
+
+def activity_concentration(events: DataFrame) -> DataFrame:
+    """Heavy-user concentration by power-of-two activity bucket: users
+    are bucketed by bit-length of their event count (bucket b holds
+    users with counts in [2^(b−1), 2^b)); per bucket report users,
+    events, and the cumulative event share from the heaviest bucket
+    down in floor basis points. The skew dossier that justifies salting
+    a user-keyed join — if the top bucket carries most of the volume,
+    the natural key is hot.
+
+    Returns (bucket_bits, n_users, n_events, cum_events, cum_share_bp).
+
+    Scale shape: one rollup on the natural user key, a second to the
+    ~log2(max_count) bucket set; the cumulative window orders ONLY that
+    bounded bucket set — never a global sort of users."""
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    buckets = per_user.groupBy(
+        F.length(F.expr("bin(cnt)")).cast("int").alias("bucket_bits")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("cnt").cast("bigint").alias("n_events"),
+    )
+    w = Window.orderBy(F.col("bucket_bits").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return buckets.select(
+        "bucket_bits",
+        "n_users",
+        "n_events",
+        F.sum("n_events").over(w).cast("bigint").alias("cum_events"),
+        F.sum("n_events").over(total).alias("_den"),
+    ).select(
+        "bucket_bits",
+        "n_users",
+        "n_events",
+        "cum_events",
+        F.expr("(cum_events * 10000) div _den").cast("bigint").alias("cum_share_bp"),
+    )

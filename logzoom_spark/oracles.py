@@ -4689,3 +4689,140 @@ SELECT conv_id, turn_idx, n_tokens,
              THEN 1 ELSE 0 END)::INT AS kept
 FROM b
 """
+
+
+# ---------------------------------------------------------------------------
+# User-behavior analytics (ops/behavior.py): cohort retention, journey
+# transitions, rolling actives, KV schema drift, seasonality, concentration.
+# Day key = epoch days; ratios = floor basis points via integer division.
+# ---------------------------------------------------------------------------
+
+_DAY_NO = "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT"
+
+ORACLES["cohort_retention"] = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, {_DAY_NO} AS day_no FROM events
+),
+first AS (
+  SELECT user_id, min(day_no) AS cohort_day FROM ud GROUP BY 1
+),
+tri AS (
+  SELECT f.cohort_day, u.day_no - f.cohort_day AS day_offset,
+         count(DISTINCT u.user_id)::BIGINT AS n_active
+  FROM ud u JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_day, day_offset, n_active,
+       ((n_active * 10000) // max(CASE WHEN day_offset = 0 THEN n_active END)
+          OVER (PARTITION BY cohort_day))::BIGINT AS retention_bp
+FROM tri
+"""
+
+
+ORACLES["markov_transitions"] = """
+WITH pairs AS (
+  SELECT event_type AS src_type,
+         coalesce(lead(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id), '<end>') AS dst_type
+  FROM events
+),
+mat AS (
+  SELECT src_type, dst_type, count(*)::BIGINT AS n
+  FROM pairs GROUP BY 1, 2
+)
+SELECT src_type, dst_type, n,
+       ((n * 10000) // sum(n) OVER (PARTITION BY src_type))::BIGINT AS prob_bp
+FROM mat
+"""
+
+
+ORACLES["active_users_rolling"] = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, {_DAY_NO} AS day_no FROM events
+),
+days AS (SELECT DISTINCT day_no FROM ud),
+wins AS (SELECT unnest([1, 7, 28]) AS window_days),
+offs AS (
+  SELECT u.user_id, w.window_days, u.day_no + gs.i AS day_no
+  FROM ud u CROSS JOIN wins w,
+       unnest(generate_series(0, w.window_days - 1)) AS gs(i)
+)
+SELECT o.day_no, o.window_days::INT AS window_days,
+       count(DISTINCT o.user_id)::BIGINT AS n_active
+FROM offs o
+WHERE o.day_no IN (SELECT day_no FROM days)
+GROUP BY 1, 2
+"""
+
+
+ORACLES["schema_drift_daily"] = f"""
+WITH {TURNS_CTE},
+dk AS (
+  SELECT DISTINCT day_no, key FROM (
+    SELECT {_DAY_NO} AS day_no,
+           unnest(regexp_extract_all(text, '([A-Za-z_][A-Za-z0-9_]*)=', 1))
+             AS key
+    FROM turns WHERE text IS NOT NULL
+  )
+),
+days AS (
+  SELECT day_no, lag(day_no) OVER (ORDER BY day_no) AS prev_day
+  FROM (SELECT DISTINCT day_no FROM dk)
+),
+nw AS (
+  SELECT c.day_no, count(*)::BIGINT AS n_new
+  FROM dk c JOIN days d USING (day_no)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dk p WHERE p.day_no = d.prev_day AND p.key = c.key
+  )
+  GROUP BY 1
+),
+gn AS (
+  SELECT d.day_no, count(*)::BIGINT AS n_gone
+  FROM days d JOIN dk p ON p.day_no = d.prev_day
+  WHERE d.prev_day IS NOT NULL AND NOT EXISTS (
+    SELECT 1 FROM dk c WHERE c.day_no = d.day_no AND c.key = p.key
+  )
+  GROUP BY 1
+),
+tot AS (
+  SELECT day_no, count(*)::BIGINT AS n_keys FROM dk GROUP BY 1
+)
+SELECT t.day_no, t.n_keys,
+       coalesce(nw.n_new, 0)::BIGINT AS n_new,
+       coalesce(gn.n_gone, 0)::BIGINT AS n_gone
+FROM tot t LEFT JOIN nw USING (day_no) LEFT JOIN gn USING (day_no)
+"""
+
+
+ORACLES["hourly_seasonality"] = """
+WITH grid AS (
+  SELECT event_type, hour(ts)::INT AS hour, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n,
+       ((n * 10000) // sum(n) OVER (PARTITION BY event_type))::BIGINT
+         AS share_bp,
+       (CASE WHEN n * 24 > 2 * sum(n) OVER (PARTITION BY event_type)
+             THEN 1 ELSE 0 END)::INT AS is_hot
+FROM grid
+"""
+
+
+ORACLES["activity_concentration"] = """
+WITH per_user AS (
+  SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1
+),
+buckets AS (
+  SELECT length(bin(cnt))::INT AS bucket_bits,
+         count(*)::BIGINT AS n_users, sum(cnt)::BIGINT AS n_events
+  FROM per_user GROUP BY 1
+)
+SELECT bucket_bits, n_users, n_events,
+       sum(n_events) OVER (ORDER BY bucket_bits DESC
+         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_events,
+       ((sum(n_events) OVER (ORDER BY bucket_bits DESC
+           ROWS UNBOUNDED PRECEDING) * 10000)
+         // sum(n_events) OVER ())::BIGINT AS cum_share_bp
+FROM buckets
+"""
