@@ -2531,6 +2531,41 @@ def q_activity_concentration(spark: SparkSession, sf: str) -> DataFrame:
     return activity_concentration(_read(spark, sf, "events"))
 
 
+def q_rate_limit_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-window rate-limiter audit (3 events / 60 s): what an
+    ingest throttle WOULD admit vs reject per user; one natural-key
+    window, no global state."""
+    from logzoom_spark.route import rate_limit_audit
+
+    return rate_limit_audit(_read(spark, sf, "events"), limit=3, window_s=60)
+
+
+def q_conversion_latency_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """First signup → first at-or-after purchase latency in pow2
+    buckets; never-converted counted in bucket −1."""
+    from logzoom_spark.ops.behavior import conversion_latency_hist
+
+    return conversion_latency_hist(_read(spark, sf, "events"))
+
+
+def q_winnow_fingerprint_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS winnowing fingerprints (SIGMOD 2003) per doc: count +
+    order-independent checksum pins the whole selection set; one
+    doc_id exchange reused by every stage."""
+    from logzoom_spark.ops.text import winnow_summary
+
+    return winnow_summary(_read(spark, sf, "documents"))
+
+
+def q_winnow_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Doc pairs sharing ≥2 winnowed fingerprints — plagiarism-style
+    overlap via fingerprint-bucketed join with LSH-style hot-bucket
+    cap (never all-pairs)."""
+    from logzoom_spark.ops.text import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(_read(spark, sf, "documents"))
+
+
 def q_fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity audit lineitem→orders: orphan facts and
     childless parents, anti-joins over collapsed key sets."""
@@ -2964,6 +2999,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_drift_daily": q_schema_drift_daily,
         "hourly_seasonality": q_hourly_seasonality,
         "activity_concentration": q_activity_concentration,
+        "rate_limit_audit": q_rate_limit_audit,
+        "conversion_latency_hist": q_conversion_latency_hist,
+        "winnow_fingerprint_summary": q_winnow_fingerprint_summary,
+        "winnow_overlap_pairs": q_winnow_overlap_pairs,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

@@ -292,3 +292,55 @@ def activity_concentration(events: DataFrame) -> DataFrame:
         "cum_events",
         F.expr("(cum_events * 10000) div _den").cast("bigint").alias("cum_share_bp"),
     )
+
+
+def conversion_latency_hist(
+    events: DataFrame,
+    from_type: str = "signup",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """Conversion-latency histogram: for each user with a `from_type`
+    event, the gap from their FIRST such event to their first
+    `to_type` event at-or-after it, bucketed by power-of-two seconds
+    (bit length of the gap; gap 0 lands in bucket 1). Users who never
+    convert are counted in bucket −1, not dropped.
+
+    Returns (gap_bucket_bits, n_users, min_gap_s, max_gap_s).
+
+    Scale shape: both sides collapse to per-user firsts before the
+    join (user-cardinality, not event-cardinality); one join on the
+    natural user key; the rollup is bounded by ~64 buckets."""
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint")
+    first_from = (
+        events.filter(F.col("event_type") == from_type)
+        .select("user_id", ep.alias("_ep"))
+        .groupBy("user_id")
+        .agg(F.min("_ep").alias("s_ep"))
+    )
+    to_ev = events.filter(F.col("event_type") == to_type).select(
+        "user_id", ep.alias("p_ep")
+    )
+    per_user = (
+        first_from.join(to_ev, "user_id", "left")
+        .groupBy("user_id", "s_ep")
+        .agg(
+            F.min(
+                F.when(F.col("p_ep") >= F.col("s_ep"), F.col("p_ep"))
+            ).alias("c_ep")
+        )
+    )
+    gap = F.col("c_ep") - F.col("s_ep")
+    bucket = (
+        F.when(F.col("c_ep").isNull(), F.lit(-1))
+        .otherwise(F.length(F.expr("bin(c_ep - s_ep)")))
+        .cast("int")
+    )
+    return (
+        per_user.select(bucket.alias("gap_bucket_bits"), gap.alias("gap"))
+        .groupBy("gap_bucket_bits")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("gap").cast("bigint").alias("min_gap_s"),
+            F.max("gap").cast("bigint").alias("max_gap_s"),
+        )
+    )

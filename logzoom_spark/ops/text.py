@@ -814,3 +814,143 @@ def lang_id_agreement(docs: DataFrame) -> DataFrame:
         "n",
         F.expr("(n * 10000) div _tot").cast("bigint").alias("share_bp"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    col: str = "text",
+    k: int = 4,
+    window: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm, public): hash every k-token gram,
+    slide a `window`-wide frame over the hash sequence, and select each
+    frame's minimum (rightmost on ties). The selection guarantees any
+    shared run of k+window−1 tokens between two documents shares a
+    fingerprint — the overlap detector `winnow_overlap_pairs` builds on.
+    Documents with fewer than k+window−1 tokens yield no fingerprints
+    (no full frame exists; the paper's guarantee needs one).
+
+    Returns distinct (doc_id, pos, gh) — pos is the 1-based gram
+    position, gh the portable 60-bit gram hash.
+
+    Scale shape: grams and frame membership explode ROW-LOCALLY (factor
+    k-gram × window on token count); the repartition on doc_id up front
+    means the frame-min aggregate, the rightmost-tie join, and the
+    dedup all reuse that one exchange (their keys all lead with
+    doc_id), so the token blow-up never crosses the wire twice."""
+    from ..hashing import portable_hash
+
+    if k < 1 or window < 1:
+        raise ValueError(f"need k >= 1 and window >= 1, got {k}/{window}")
+    toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    base = (
+        docs.filter(F.col(col).isNotNull() & (F.length(F.trim(F.col(col))) > 0))
+        .select("doc_id", toks.alias("_t"))
+        .filter(F.size("_t") >= k + window - 1)
+        .repartition("doc_id")
+    )
+    grams = (
+        base.select(
+            "doc_id",
+            (F.size("_t") - k + 1).alias("n_grams"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(_t) - {k} + 1),"
+                    f" i -> concat_ws(' ', slice(_t, i, {k})))"
+                )
+            ).alias("_p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("_p0") + 1).alias("pos"),
+            portable_hash(F.col("gram"), seed).alias("gh"),
+        )
+    )
+    members = grams.select(
+        "doc_id",
+        "pos",
+        "gh",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1), F.col("pos") - window + 1),
+                F.least(F.col("pos"), F.col("n_grams") - window + 1),
+            )
+        ).alias("j"),
+    )
+    mins = members.groupBy("doc_id", "j").agg(F.min("gh").alias("m"))
+    sel = (
+        members.join(mins, ["doc_id", "j"])
+        .filter(F.col("gh") == F.col("m"))
+        .groupBy("doc_id", "j", "m")
+        .agg(F.max("pos").alias("pos"))
+    )
+    return sel.select("doc_id", "pos", F.col("m").alias("gh")).distinct()
+
+
+def winnow_summary(
+    docs: DataFrame,
+    col: str = "text",
+    k: int = 4,
+    window: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Per-document winnowing digest: fingerprint count plus an
+    order-independent checksum (sum of gh mod 1000003 — bounded, no
+    64-bit overflow) and the min/max hash. Pins the ENTIRE selection
+    set cross-engine without shipping every fingerprint row.
+
+    Returns (doc_id, n_fp, fp_checksum, min_gh, max_gh)."""
+    fps = winnow_fingerprints(docs, col=col, k=k, window=window, seed=seed)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+        F.sum(F.col("gh") % 1000003).cast("bigint").alias("fp_checksum"),
+        F.min("gh").alias("min_gh"),
+        F.max("gh").alias("max_gh"),
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    col: str = "text",
+    k: int = 4,
+    window: int = 5,
+    seed: int = 7,
+    min_shared: int = 2,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Document pairs sharing >= min_shared distinct winnowed
+    fingerprints — MOSS-style overlap detection. By the winnowing
+    guarantee a shared token run of length >= k+window−1 surfaces at
+    least one shared fingerprint, so real plagiarism-scale overlap
+    clears min_shared easily while isolated hash collisions don't.
+
+    Returns (doc_id_a, doc_id_b, n_shared), doc_id_a < doc_id_b.
+
+    Scale shape: the pair join is bucketed by fingerprint hash — the
+    same discipline as LSH banding: buckets hotter than `max_bucket`
+    docs (boilerplate grams every doc shares) are dropped BEFORE the
+    self-join, so the blow-up is sum over buckets of c², never N²."""
+    fps = (
+        winnow_fingerprints(docs, col=col, k=k, window=window, seed=seed)
+        .select("doc_id", "gh")
+        .distinct()
+    )
+    ok = (
+        fps.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter((F.col("_c") >= 2) & (F.col("_c") <= max_bucket))
+        .select("gh")
+    )
+    d = fps.join(ok, "gh", "semi")
+    a = d.select(F.col("gh"), F.col("doc_id").alias("doc_id_a"))
+    b = d.select(F.col("gh"), F.col("doc_id").alias("doc_id_b"))
+    return (
+        a.join(b, "gh")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

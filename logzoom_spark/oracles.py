@@ -4826,3 +4826,116 @@ SELECT bucket_bits, n_users, n_events,
          // sum(n_events) OVER ())::BIGINT AS cum_share_bp
 FROM buckets
 """
+
+
+# Fixed-window rate-limiter audit (route.rate_limit_audit, limit=3,
+# window_s=60): row_number admission per (user, minute-window).
+ORACLES["rate_limit_audit"] = """
+WITH b AS (
+  SELECT user_id, event_id, ts,
+         cast(floor(epoch(ts)) AS BIGINT) // 60 AS win
+  FROM events
+),
+r AS (
+  SELECT user_id, win,
+         row_number() OVER (PARTITION BY user_id, win
+                            ORDER BY ts, event_id) AS rn
+  FROM b
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END)::BIGINT AS n_admitted,
+       sum(CASE WHEN rn > 3 THEN 1 ELSE 0 END)::BIGINT AS n_rejected,
+       count(DISTINCT win)::BIGINT AS n_windows,
+       max(rn)::BIGINT AS max_in_window
+FROM r GROUP BY 1
+"""
+
+
+# Conversion-latency histogram (ops/behavior.conversion_latency_hist):
+# first signup → first at-or-after purchase, pow2 buckets, -1 = never.
+ORACLES["conversion_latency_hist"] = """
+WITH s AS (
+  SELECT user_id, min(cast(floor(epoch(ts)) AS BIGINT)) AS s_ep
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+p AS (
+  SELECT user_id, cast(floor(epoch(ts)) AS BIGINT) AS p_ep
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT s.user_id, s.s_ep,
+         min(CASE WHEN p.p_ep >= s.s_ep THEN p.p_ep END) AS c_ep
+  FROM s LEFT JOIN p USING (user_id)
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT (CASE WHEN c_ep IS NULL THEN -1
+               ELSE length(bin(c_ep - s_ep)) END)::INT AS gap_bucket_bits,
+         c_ep - s_ep AS gap
+  FROM c
+)
+SELECT gap_bucket_bits, count(*)::BIGINT AS n_users,
+       min(gap)::BIGINT AS min_gap_s, max(gap)::BIGINT AS max_gap_s
+FROM g GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (ops/text.winnow_fingerprints, k=4, window=5,
+# seed=7 — Schleimer/Wilkerson/Aiken SIGMOD 2003): min per frame,
+# rightmost on ties, relationally as frame-min + join-back + max(pos).
+# ---------------------------------------------------------------------------
+
+_WINNOW_FPS = f"""
+base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+sized AS (
+  SELECT doc_id, t, len(t) - 4 + 1 AS n_grams
+  FROM base WHERE len(t) >= 4 + 5 - 1
+),
+grams AS (
+  SELECT doc_id, n_grams, gs.i::INT AS pos,
+         {portable_hash_sql("array_to_string(t[gs.i:gs.i+3], ' ')", 7)} AS gh
+  FROM sized, unnest(generate_series(1, n_grams)) AS gs(i)
+),
+members AS (
+  SELECT doc_id, pos, gh, gj.j AS j
+  FROM grams,
+       unnest(generate_series(greatest(1, pos - 5 + 1),
+                              least(pos, n_grams - 5 + 1))) AS gj(j)
+),
+mins AS (SELECT doc_id, j, min(gh) AS m FROM members GROUP BY 1, 2),
+sel AS (
+  SELECT mb.doc_id, mb.j, mi.m, max(mb.pos) AS pos
+  FROM members mb
+  JOIN mins mi ON mb.doc_id = mi.doc_id AND mb.j = mi.j AND mb.gh = mi.m
+  GROUP BY 1, 2, 3
+),
+fps AS (SELECT DISTINCT doc_id, pos, m AS gh FROM sel)
+"""
+
+ORACLES["winnow_fingerprint_summary"] = f"""
+WITH {_WINNOW_FPS}
+SELECT doc_id, count(*)::BIGINT AS n_fp,
+       sum(gh % 1000003)::BIGINT AS fp_checksum,
+       min(gh) AS min_gh, max(gh) AS max_gh
+FROM fps GROUP BY 1
+"""
+
+ORACLES["winnow_overlap_pairs"] = f"""
+WITH {_WINNOW_FPS},
+d AS (SELECT DISTINCT doc_id, gh FROM fps),
+ok AS (
+  SELECT gh FROM d GROUP BY 1
+  HAVING count(*) >= 2 AND count(*) <= 200
+),
+dd AS (SELECT d.* FROM d JOIN ok USING (gh))
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       count(*)::BIGINT AS n_shared
+FROM dd a JOIN dd b ON a.gh = b.gh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""

@@ -266,3 +266,42 @@ def route_config_diff(
             "n_both"
         ),
     )
+
+
+def rate_limit_audit(
+    events: DataFrame, limit: int = 3, window_s: int = 60
+) -> DataFrame:
+    """Fixed-window rate-limiter audit: replaying the stream through a
+    per-user admission policy of `limit` events per `window_s`-second
+    window (ordered by ts with event_id as the deterministic tiebreak),
+    report per user what WOULD have been admitted vs rejected — the
+    sizing evidence for an ingest throttle before it deploys, the same
+    measure-first discipline as `route_config_diff`. max_in_window is
+    the user's worst burst (max row_number across windows).
+
+    Returns (user_id, n_events, n_admitted, n_rejected, n_windows,
+    max_in_window).
+
+    Scale shape: one window function partitioned by the natural
+    (user_id, time-window) key — no global state; the rollup rides the
+    same user_id exchange."""
+    if limit < 1 or window_s < 1:
+        raise ValueError(f"need limit >= 1 and window_s >= 1, got {limit}/{window_s}")
+    from pyspark.sql import Window as W
+
+    base = events.select(
+        "user_id", "ts", "event_id", F.expr(
+            f"cast(unix_timestamp(cast(ts AS TIMESTAMP)) AS BIGINT) div {window_s}"
+        ).alias("_win")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "_win").orderBy("ts", "event_id")
+    )
+    flags = base.select("user_id", "_win", rn.alias("_rn"))
+    return flags.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("_rn") <= limit).cast("int")).cast("bigint").alias("n_admitted"),
+        F.sum((F.col("_rn") > limit).cast("int")).cast("bigint").alias("n_rejected"),
+        F.count_distinct("_win").cast("bigint").alias("n_windows"),
+        F.max("_rn").cast("bigint").alias("max_in_window"),
+    )
