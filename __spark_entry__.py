@@ -2566,6 +2566,22 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return winnow_overlap_pairs(_read(spark, sf, "documents"))
 
 
+def q_survival_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier-style lifetime table: per-user (min,max) day on the
+    natural key, hazard over the bounded lifespan set."""
+    from logzoom_spark.ops.behavior import survival_table
+
+    return survival_table(_read(spark, sf, "events"))
+
+
+def q_dormancy_reactivation(spark: SparkSession, sf: str) -> DataFrame:
+    """Win-back audit: reactivations after ≥7 dormant days via one lag
+    window on the distinct (user, day) set."""
+    from logzoom_spark.ops.behavior import dormancy_reactivation
+
+    return dormancy_reactivation(_read(spark, sf, "events"), dormant_days=7)
+
+
 def q_fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity audit lineitem→orders: orphan facts and
     childless parents, anti-joins over collapsed key sets."""
@@ -3003,6 +3019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency_hist": q_conversion_latency_hist,
         "winnow_fingerprint_summary": q_winnow_fingerprint_summary,
         "winnow_overlap_pairs": q_winnow_overlap_pairs,
+        "survival_table": q_survival_table,
+        "dormancy_reactivation": q_dormancy_reactivation,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

@@ -344,3 +344,84 @@ def conversion_latency_hist(
             F.max("gap").cast("bigint").alias("max_gap_s"),
         )
     )
+
+
+def survival_table(events: DataFrame) -> DataFrame:
+    """Kaplan-Meier-style survival table over user lifetimes: a user's
+    lifespan is last-active-day − first-active-day (in days); for each
+    observed lifespan value k report how many users churned exactly at
+    k (n_churned), how many were still at risk entering k (n_at_risk =
+    users with lifespan ≥ k), and the discrete hazard in floor basis
+    points (n_churned / n_at_risk). Integer counts only — the actuarial
+    curve downstream dashboards draw.
+
+    Returns (day_offset, n_churned, n_at_risk, hazard_bp).
+
+    Scale shape: events collapse to per-user (min, max) day on the
+    natural user key; lifespans roll up to one row per observed value
+    (bounded by calendar span) and the at-risk cumulative runs over
+    that bounded set (sum of churned at ≥ k, via a desc window)."""
+    life = (
+        events.select(F.col("user_id"), _day().alias("day_no"))
+        .groupBy("user_id")
+        .agg((F.max("day_no") - F.min("day_no")).alias("day_offset"))
+    )
+    churn = life.groupBy("day_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_churned")
+    )
+    w = Window.orderBy(F.col("day_offset").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return churn.select(
+        "day_offset",
+        "n_churned",
+        F.sum("n_churned").over(w).cast("bigint").alias("n_at_risk"),
+    ).select(
+        "day_offset",
+        "n_churned",
+        "n_at_risk",
+        F.expr("(n_churned * 10000) div n_at_risk").cast("bigint").alias("hazard_bp"),
+    )
+
+
+def dormancy_reactivation(events: DataFrame, dormant_days: int = 7) -> DataFrame:
+    """Win-back audit: per observed day, how many of the day's active
+    users were REACTIVATED — returning after at least `dormant_days`
+    of inactivity (gap from their previous active day > dormant_days)
+    — vs merely retained, with the reactivated share in floor basis
+    points. First-ever-seen users are new, counted in n_active but in
+    neither reactivated nor the gap ≤ threshold group.
+
+    Returns (day_no, n_active, n_new, n_reactivated, reactivated_bp).
+
+    Scale shape: one distinct over (user, day), one lag window on the
+    natural user key, one rollup bounded by calendar days."""
+    if dormant_days < 1:
+        raise ValueError(f"need dormant_days >= 1, got {dormant_days}")
+    ud = events.select(F.col("user_id"), _day().alias("day_no")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_no")
+    gaps = ud.select(
+        "day_no",
+        (F.col("day_no") - F.lag("day_no").over(w)).alias("gap"),
+    )
+    return (
+        gaps.groupBy("day_no")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum(F.isnull("gap").cast("int")).cast("bigint").alias("n_new"),
+            F.sum(
+                F.when(F.col("gap") > dormant_days, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_reactivated"),
+        )
+        .select(
+            "day_no",
+            "n_active",
+            "n_new",
+            "n_reactivated",
+            F.expr("(n_reactivated * 10000) div n_active")
+            .cast("bigint")
+            .alias("reactivated_bp"),
+        )
+    )

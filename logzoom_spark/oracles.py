@@ -4939,3 +4939,47 @@ FROM dd a JOIN dd b ON a.gh = b.gh AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= 2
 """
+
+
+# Survival table over user lifetimes (ops/behavior.survival_table):
+# discrete hazard at each observed lifespan; at-risk = desc cumulative.
+ORACLES["survival_table"] = f"""
+WITH life AS (
+  SELECT user_id,
+         max({_DAY_NO}) - min({_DAY_NO}) AS day_offset
+  FROM events GROUP BY 1
+),
+churn AS (
+  SELECT day_offset, count(*)::BIGINT AS n_churned FROM life GROUP BY 1
+)
+SELECT day_offset, n_churned,
+       sum(n_churned) OVER (ORDER BY day_offset DESC
+         ROWS UNBOUNDED PRECEDING)::BIGINT AS n_at_risk,
+       ((n_churned * 10000) // sum(n_churned) OVER (ORDER BY day_offset DESC
+         ROWS UNBOUNDED PRECEDING))::BIGINT AS hazard_bp
+FROM churn
+"""
+
+
+# Dormancy / win-back audit (ops/behavior.dormancy_reactivation,
+# dormant_days=7): lag gap on the distinct (user, day) set.
+ORACLES["dormancy_reactivation"] = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, {_DAY_NO} AS day_no FROM events
+),
+g AS (
+  SELECT day_no,
+         day_no - lag(day_no) OVER (PARTITION BY user_id ORDER BY day_no)
+           AS gap
+  FROM ud
+),
+agg AS (
+  SELECT day_no, count(*)::BIGINT AS n_active,
+         sum(CASE WHEN gap IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new,
+         sum(CASE WHEN gap > 7 THEN 1 ELSE 0 END)::BIGINT AS n_reactivated
+  FROM g GROUP BY 1
+)
+SELECT day_no, n_active, n_new, n_reactivated,
+       ((n_reactivated * 10000) // n_active)::BIGINT AS reactivated_bp
+FROM agg
+"""

@@ -285,23 +285,43 @@ def rate_limit_audit(
     Scale shape: one window function partitioned by the natural
     (user_id, time-window) key — no global state; the rollup rides the
     same user_id exchange."""
-    if limit < 1 or window_s < 1:
-        raise ValueError(f"need limit >= 1 and window_s >= 1, got {limit}/{window_s}")
-    from pyspark.sql import Window as W
-
-    base = events.select(
-        "user_id", "ts", "event_id", F.expr(
-            f"cast(unix_timestamp(cast(ts AS TIMESTAMP)) AS BIGINT) div {window_s}"
-        ).alias("_win")
-    )
-    rn = F.row_number().over(
-        W.partitionBy("user_id", "_win").orderBy("ts", "event_id")
-    )
-    flags = base.select("user_id", "_win", rn.alias("_rn"))
+    flags = rate_limit_verdicts(events, limit=limit, window_s=window_s)
     return flags.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum((F.col("_rn") <= limit).cast("int")).cast("bigint").alias("n_admitted"),
         F.sum((F.col("_rn") > limit).cast("int")).cast("bigint").alias("n_rejected"),
         F.count_distinct("_win").cast("bigint").alias("n_windows"),
         F.max("_rn").cast("bigint").alias("max_in_window"),
+    )
+
+
+def rate_limit_verdicts(
+    events: DataFrame, limit: int = 3, window_s: int = 60
+) -> DataFrame:
+    """Per-event admission verdicts for the fixed-window rate limiter:
+    within each (user_id, window) the first `limit` events in
+    (ts, event_id) order are admitted. The per-row substrate shared by
+    `rate_limit_audit` (batch rollup) and the streaming twin's parity
+    test. Returns (user_id, event_id, _win, _rn, admitted)."""
+    if limit < 1 or window_s < 1:
+        raise ValueError(f"need limit >= 1 and window_s >= 1, got {limit}/{window_s}")
+    from pyspark.sql import Window as W
+
+    base = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            f"cast(unix_timestamp(cast(ts AS TIMESTAMP)) AS BIGINT) div {window_s}"
+        ).alias("_win"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "_win").orderBy("ts", "event_id")
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "_win",
+        rn.alias("_rn"),
+        (rn <= limit).cast("int").alias("admitted"),
     )

@@ -915,3 +915,81 @@ def streaming_burn_rate(
             "burn_x100", F.expr(f"(n_err * {slo_den} * 100) div n_lines")
         )
     )
+
+
+def streaming_rate_limit(
+    events_stream: DataFrame,
+    limit: int = 3,
+    window_s: int = 60,
+    state_ttl_minutes: int = 24 * 60,
+) -> DataFrame:
+    """Streaming twin of route.rate_limit_verdicts: per user, admit the
+    first `limit` events of each fixed `window_s`-second window; the
+    (current window, arrivals seen) pair is typed state carried across
+    micro-batches via ``applyInPandasWithState`` — the ingest throttle
+    running live instead of as a replay audit.
+
+    Equals the batch verdicts whenever arrival order respects event-time
+    order across batches (within a batch, rows are sorted by
+    (ts_us, event_id) before the scan) — the pytest drives both on the
+    same data and asserts identical per-event verdicts, including a
+    window whose quota is exhausted across a batch boundary.
+
+    State is two BIGINTs per user (bounded by user cardinality, not
+    volume), evicted after ``state_ttl_minutes`` idle; a user resuming
+    after eviction starts a fresh window, which can only over-admit one
+    window — the safe failure mode for a throttle."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if limit < 1 or window_s < 1:
+        raise ValueError(f"need limit >= 1 and window_s >= 1, got {limit}/{window_s}")
+    out_schema = "user_id bigint, event_id bigint, ts_us bigint, admitted int"
+    state_schema = "win long, cnt long"
+    ttl_ms = state_ttl_minutes * 60 * 1000
+
+    def scan(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (u,) = key
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [], "event_id": [], "ts_us": [], "admitted": []}
+            )
+            return
+        win, cnt = state.get if state.exists else (None, 0)
+        pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        verdicts = []
+        for t in pdf["ts_us"]:
+            w = int(t) // 1_000_000 // window_s
+            if w != win:
+                win, cnt = w, 0
+            ok = cnt < limit
+            cnt += 1
+            verdicts.append(1 if ok else 0)
+        state.update((win, int(cnt)))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": u,
+                "event_id": pdf["event_id"].to_numpy(),
+                "ts_us": pdf["ts_us"].to_numpy(),
+                "admitted": verdicts,
+            }
+        )
+
+    return (
+        events_stream.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            scan,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

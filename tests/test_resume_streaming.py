@@ -1071,3 +1071,59 @@ def test_streaming_flap_suppress_state_survives_restart(spark, tmp_path):
     got = {r.ts_us: r.kept for r in spark.read.parquet(out).collect()}
     h = lambda n: int((t0 + dt.timedelta(hours=n)).timestamp() * 1_000_000)
     assert got == {h(0): 1, h(2): 0, h(5): 1}
+
+
+def test_streaming_rate_limit_window_quota_crosses_batches(spark, tmp_path):
+    """The (window, count) state must survive the batch boundary: user 1
+    exhausts the 3-event quota of minute 0 in batch 0, so batch 1's
+    event in the SAME minute must be rejected — only possible if the
+    count crossed the boundary. Verdicts equal the batch replay over
+    the union."""
+    import datetime as dt
+
+    from logzoom_spark.route import rate_limit_verdicts
+    from logzoom_spark.streaming import streaming_rate_limit
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda n: t0 + dt.timedelta(seconds=n)
+    batches = [
+        # user 1, minute 0: events at 0/10/20 admitted, 50 is the 4th
+        [(1, 100, s(0)), (1, 101, s(10)), (1, 102, s(20)), (1, 103, s(50)),
+         (2, 200, s(5))],
+        # 55 s: same minute, 5th arrival -> rejected IFF state crossed;
+        # 70 s: new minute -> admitted
+        [(1, 104, s(55)), (1, 105, s(70)), (2, 201, s(65))],
+    ]
+    src = tmp_path / "rl_src"
+    src.mkdir()
+    schema = "user_id long, event_id long, ts timestamp"
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{b}"), mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/b*")
+    )
+    q = (
+        streaming_rate_limit(stream, limit=3, window_s=60)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rl_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.event_id: r.admitted
+        for r in spark.sql("select * from rl_out").collect()
+    }
+    union = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = {
+        r.event_id: r.admitted
+        for r in rate_limit_verdicts(union, limit=3, window_s=60).collect()
+    }
+    assert got == want
+    assert got[103] == 0 and got[104] == 0  # quota exhausted, incl. cross-batch
+    assert got[105] == 1 and got[200] == 1 and got[201] == 1
