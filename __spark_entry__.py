@@ -2582,6 +2582,32 @@ def q_dormancy_reactivation(spark: SparkSession, sf: str) -> DataFrame:
     return dormancy_reactivation(_read(spark, sf, "events"), dormant_days=7)
 
 
+def q_turn_latency_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Response-latency profile per (prev_role → role) transition; one
+    lag window on the conv key, roles² rollup, floor means."""
+    from logzoom_spark.aggregate import turn_latency_stats
+
+    return turn_latency_stats(_turns(spark, sf))
+
+
+def q_knn_outlier_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Distance-to-kth-neighbor outliers the SemDeDup way: pairs only
+    inside IVF cells (O(N²/cells)), rank window per vector, loners
+    counted with NULL scores."""
+    from logzoom_spark.ops.similarity import knn_outlier_scores
+
+    return knn_outlier_scores(_read(spark, sf, "embeddings"), k=5, n_cells=16)
+
+
+def q_mmr_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR diversified top-5 (SIGIR 1998): bounded 20-row shortlist by
+    one TakeOrdered pass, greedy rounds over the shortlist with 1-row
+    collects (BPE-loop bounded-state class); integer λ=7/10 scoring."""
+    from logzoom_spark.ops.similarity import mmr_topk
+
+    return mmr_topk(_read(spark, sf, "embeddings"), k=5, pool=20)
+
+
 def q_fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity audit lineitem→orders: orphan facts and
     childless parents, anti-joins over collapsed key sets."""
@@ -3021,6 +3047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap_pairs": q_winnow_overlap_pairs,
         "survival_table": q_survival_table,
         "dormancy_reactivation": q_dormancy_reactivation,
+        "turn_latency_stats": q_turn_latency_stats,
+        "knn_outlier_scores": q_knn_outlier_scores,
+        "mmr_topk": q_mmr_topk,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

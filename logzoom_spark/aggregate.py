@@ -783,3 +783,34 @@ def gap_histogram(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             F.max("_gap").cast("bigint").alias("max_gap_s"),
         )
     )
+
+
+def turn_latency_stats(turns: DataFrame) -> DataFrame:
+    """Response-latency profile per role transition: for every turn,
+    the gap in seconds since the PREVIOUS turn of the same conversation
+    (turn_idx order), grouped by (prev_role → role). The
+    assistant-after-user row is the user-visible response latency; the
+    tool-after-assistant row is tool dispatch overhead. Conversation
+    openers have no predecessor and are excluded by construction
+    (nothing to measure).
+
+    Returns (prev_role, role, n, min_gap_s, max_gap_s, mean_gap_s) with
+    mean floored to integer seconds.
+
+    Scale shape: one lag window on the native conv key, then a
+    map-side-combined rollup to the roles² matrix."""
+    from pyspark.sql import Window as W
+
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint")
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    g = turns.select(
+        F.lag("role").over(w).alias("prev_role"),
+        F.col("role"),
+        (ep - F.lag(ep).over(w)).alias("gap"),
+    ).filter(F.col("prev_role").isNotNull())
+    return g.groupBy("prev_role", "role").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("gap").cast("bigint").alias("min_gap_s"),
+        F.max("gap").cast("bigint").alias("max_gap_s"),
+        F.floor(F.sum("gap") / F.count(F.lit(1))).cast("bigint").alias("mean_gap_s"),
+    )

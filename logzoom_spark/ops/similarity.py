@@ -730,3 +730,141 @@ def knn_recall_eval(
             ),
         )
     )
+
+
+def knn_outlier_scores(
+    emb: DataFrame, k: int = 5, n_cells: int = 16, scale: int = 1000
+) -> DataFrame:
+    """Cell-blocked k-NN outlier scores: every vector is scored by the
+    quantized dot product of its k-th most-similar neighbor WITHIN its
+    IVF cell — a low kth_dot means nothing near it even in its own
+    region of space (the distance-to-kth-neighbor outlier definition,
+    computed the SemDeDup way: pairs only inside Lloyd/IVF cells,
+    O(N²/cells), never all-pairs). Vectors with fewer than k cell-mates
+    are scored by their weakest available neighbor; vectors alone in a
+    cell get n_neighbors = 0 and NULL kth_dot — counted, not dropped.
+
+    Returns (vec_id, cell, n_neighbors, kth_dot).
+
+    Scale shape: assignment is the zero-shuffle literal-centroid
+    projection (`ivf_assign`); the pair join is equi on cell, so the
+    blow-up is sum over cells of c² and the rank window partitions on
+    vec_id (cell-size bounded)."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(emb, n_cells=n_cells, scale=scale)
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("a_id"), F.col("v").alias("av")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "cell",
+            "a_id",
+            "b_id",
+            dot(F.col("av"), F.col("bv")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("dot"), F.asc("b_id"))
+    wc = Window.partitionBy("a_id")
+    ranked = pairs.select(
+        "cell",
+        "a_id",
+        "dot",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wc).alias("_nb"),
+    )
+    kth = ranked.filter(
+        F.col("_rn") == F.least(F.lit(k), F.col("_nb"))
+    ).select(
+        F.col("a_id").alias("vec_id"),
+        F.col("_nb").cast("bigint").alias("n_neighbors"),
+        F.col("dot").alias("kth_dot"),
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(kth, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("n_neighbors", F.lit(0)).cast("bigint").alias("n_neighbors"),
+            "kth_dot",
+        )
+    )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 5,
+    pool: int = 20,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998 — public): greedily pick k results maximizing
+    λ·sim(query, d) − (1−λ)·max sim(d, already-selected), with λ as the
+    integer ratio lam_num/lam_den so scores stay exact BIGINTs
+    (mmr = lam_num·dot_q − (lam_den−lam_num)·max_sel_dot). Ties break
+    on vec_id ascending; round 1 is plain top-1 by relevance.
+
+    Returns (rank, vec_id, mmr) — rank 1..k in selection order.
+
+    Scale shape: one TakeOrdered pass builds the `pool`-row candidate
+    shortlist (the only stage touching data volume); the k greedy
+    rounds run over that bounded pool with one 1-row collect per round
+    — the same bounded-driver-state class as the BPE merge loop
+    (documented there), k·pool ≤ a few hundred rows total."""
+    if not (0 < lam_num < lam_den):
+        raise ValueError(f"need 0 < lam_num < lam_den, got {lam_num}/{lam_den}")
+    if k < 1 or pool < k:
+        raise ValueError(f"need 1 <= k <= pool, got k={k} pool={pool}")
+    v = quantize(F.col("embedding"), scale)
+    base = emb.select("vec_id", v.alias("v"))
+    qrow = base.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv")
+    )
+    cand = (
+        base.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(qrow))
+        .select("vec_id", "v", dot(F.col("v"), F.col("qv")).alias("dq"))
+        .orderBy(F.desc("dq"), F.asc("vec_id"))
+        .limit(pool)
+        .cache()
+    )
+    mu = lam_den - lam_num
+    picked: list[tuple[int, int, int]] = []  # (rank, vec_id, mmr)
+    sel_vecs: list[list[int]] = []
+    for r in range(1, k + 1):
+        if not sel_vecs:
+            scored = cand.select(
+                "vec_id", "v", (F.lit(lam_num) * F.col("dq")).alias("mmr")
+            )
+        else:
+            max_sel = F.greatest(
+                *[
+                    dot(F.col("v"), F.array(*[F.lit(int(x)) for x in sv]))
+                    for sv in sel_vecs
+                ]
+            ) if len(sel_vecs) > 1 else dot(
+                F.col("v"), F.array(*[F.lit(int(x)) for x in sel_vecs[0]])
+            )
+            scored = cand.filter(
+                ~F.col("vec_id").isin([p[1] for p in picked])
+            ).select(
+                "vec_id",
+                "v",
+                (F.lit(lam_num) * F.col("dq") - F.lit(mu) * max_sel).alias("mmr"),
+            )
+        top = scored.orderBy(F.desc("mmr"), F.asc("vec_id")).first()
+        picked.append((r, int(top["vec_id"]), int(top["mmr"])))
+        sel_vecs.append([int(x) for x in top["v"]])
+    cand.unpersist()
+    return emb.sparkSession.createDataFrame(
+        picked, "rank int, vec_id bigint, mmr bigint"
+    )

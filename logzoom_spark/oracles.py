@@ -4983,3 +4983,133 @@ SELECT day_no, n_active, n_new, n_reactivated,
        ((n_reactivated * 10000) // n_active)::BIGINT AS reactivated_bp
 FROM agg
 """
+
+
+# Response-latency profile per role transition
+# (aggregate.turn_latency_stats): lag on the conv key, roles² rollup,
+# floor-mean (gaps can be negative under event-time disorder).
+ORACLES["turn_latency_stats"] = f"""
+WITH {TURNS_CTE},
+g AS (
+  SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_role,
+         role,
+         cast(floor(epoch(ts)) AS BIGINT)
+           - lag(cast(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+  FROM turns
+)
+SELECT prev_role, role, count(*)::BIGINT AS n,
+       min(gap)::BIGINT AS min_gap_s, max(gap)::BIGINT AS max_gap_s,
+       cast(floor(sum(gap) * 1.0 / count(*)) AS BIGINT) AS mean_gap_s
+FROM g WHERE prev_role IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# Cell-blocked kNN outlier scores (ops/similarity.knn_outlier_scores,
+# k=5, n_cells=16): same literal-centroid assignment as ann_ivf_topk,
+# pairs only within cells, rank window per vector.
+ORACLES["knn_outlier_scores"] = f"""
+WITH qv AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
+cents AS (SELECT vec_id AS cell, q AS cv FROM qv WHERE vec_id < 16),
+scored AS (
+  SELECT v.vec_id, v.q, c.cell,
+         cast(list_sum(list_transform(range(1, 65), i -> v.q[i] * c.cv[i])) AS BIGINT)
+           * 16 - c.cell AS ord
+  FROM qv v CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, q, arg_max(cell, ord) AS cell FROM scored GROUP BY vec_id, q
+),
+pairs AS (
+  SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id,
+         cast(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT)
+           AS dot
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT a_id, dot,
+         row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rn,
+         count(*) OVER (PARTITION BY a_id) AS n_nb
+  FROM pairs
+),
+kth AS (SELECT a_id, n_nb, dot FROM r WHERE rn = least(5, n_nb))
+SELECT av.vec_id, av.cell,
+       coalesce(k.n_nb, 0)::BIGINT AS n_neighbors,
+       k.dot AS kth_dot
+FROM (SELECT vec_id, cell FROM assigned) av
+LEFT JOIN kth k ON av.vec_id = k.a_id
+"""
+
+
+# MMR diversified top-k (ops/similarity.mmr_topk, k=5, pool=20,
+# lambda=7/10, query=vec 0): greedy rounds unrolled as chained CTEs —
+# the same technique as the BPE merge oracle.
+ORACLES["mmr_topk"] = f"""
+WITH qv AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
+qr AS (SELECT q AS qq FROM qv WHERE vec_id = 0),
+pool AS (
+  SELECT v.vec_id, v.q,
+         cast(list_sum(list_transform(range(1, 65), i -> v.q[i] * qr.qq[i])) AS BIGINT)
+           AS dq
+  FROM qv v, qr WHERE v.vec_id <> 0
+  ORDER BY dq DESC, v.vec_id LIMIT 20
+),
+pd AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         cast(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT)
+           AS d
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+),
+s1 AS (SELECT vec_id, 7 * dq AS mmr FROM pool ORDER BY mmr DESC, vec_id LIMIT 1),
+s2 AS (
+  SELECT p.vec_id,
+         7 * p.dq - 3 * (SELECT max(d) FROM pd
+                         WHERE a_id = p.vec_id
+                           AND b_id IN (SELECT vec_id FROM s1)) AS mmr
+  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM s1)
+  ORDER BY mmr DESC, p.vec_id LIMIT 1
+),
+s3 AS (
+  SELECT p.vec_id,
+         7 * p.dq - 3 * (SELECT max(d) FROM pd
+                         WHERE a_id = p.vec_id
+                           AND b_id IN (SELECT vec_id FROM s1
+                                        UNION SELECT vec_id FROM s2)) AS mmr
+  FROM pool p
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)
+  ORDER BY mmr DESC, p.vec_id LIMIT 1
+),
+s4 AS (
+  SELECT p.vec_id,
+         7 * p.dq - 3 * (SELECT max(d) FROM pd
+                         WHERE a_id = p.vec_id
+                           AND b_id IN (SELECT vec_id FROM s1
+                                        UNION SELECT vec_id FROM s2
+                                        UNION SELECT vec_id FROM s3)) AS mmr
+  FROM pool p
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+                         UNION SELECT vec_id FROM s3)
+  ORDER BY mmr DESC, p.vec_id LIMIT 1
+),
+s5 AS (
+  SELECT p.vec_id,
+         7 * p.dq - 3 * (SELECT max(d) FROM pd
+                         WHERE a_id = p.vec_id
+                           AND b_id IN (SELECT vec_id FROM s1
+                                        UNION SELECT vec_id FROM s2
+                                        UNION SELECT vec_id FROM s3
+                                        UNION SELECT vec_id FROM s4)) AS mmr
+  FROM pool p
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+                         UNION SELECT vec_id FROM s3 UNION SELECT vec_id FROM s4)
+  ORDER BY mmr DESC, p.vec_id LIMIT 1
+)
+SELECT 1::INT AS rank, vec_id, mmr::BIGINT AS mmr FROM s1
+UNION ALL SELECT 2, vec_id, mmr FROM s2
+UNION ALL SELECT 3, vec_id, mmr FROM s3
+UNION ALL SELECT 4, vec_id, mmr FROM s4
+UNION ALL SELECT 5, vec_id, mmr FROM s5
+"""
