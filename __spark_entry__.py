@@ -2608,6 +2608,30 @@ def q_mmr_topk(spark: SparkSession, sf: str) -> DataFrame:
     return mmr_topk(_read(spark, sf, "embeddings"), k=5, pool=20)
 
 
+def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) layout plan over (user, day) buckets: row-local
+    interleave, per-file min/max envelopes for two-dim data skipping."""
+    from logzoom_spark.ops.layout import zorder_layout
+
+    return zorder_layout(_read(spark, sf, "events"), bits=8, n_file_bits=4)
+
+
+def q_ldiversity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity release gate (ICDE 2006) per quasi-id cell; exact
+    distinct rides the quasi-key shuffle."""
+    from logzoom_spark.ops.audit import ldiversity_audit
+
+    return ldiversity_audit(_read(spark, sf, "events"), l=3)
+
+
+def q_session_event_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-session event trigrams: session split + id + two leads
+    share ONE user exchange; TakeOrdered top-20."""
+    from logzoom_spark.aggregate import session_event_trigrams
+
+    return session_event_trigrams(_read(spark, sf, "events"))
+
+
 def q_fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity audit lineitem→orders: orphan facts and
     childless parents, anti-joins over collapsed key sets."""
@@ -3050,6 +3074,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_latency_stats": q_turn_latency_stats,
         "knn_outlier_scores": q_knn_outlier_scores,
         "mmr_topk": q_mmr_topk,
+        "zorder_layout": q_zorder_layout,
+        "ldiversity_audit": q_ldiversity_audit,
+        "session_event_trigrams": q_session_event_trigrams,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

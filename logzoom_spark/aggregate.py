@@ -814,3 +814,51 @@ def turn_latency_stats(turns: DataFrame) -> DataFrame:
         F.max("gap").cast("bigint").alias("max_gap_s"),
         F.floor(F.sum("gap") / F.count(F.lit(1))).cast("bigint").alias("mean_gap_s"),
     )
+
+
+def session_event_trigrams(
+    events: DataFrame, gap_s: int = 1800, top: int = 20
+) -> DataFrame:
+    """Most common within-session event-type trigrams: sessions split
+    on > gap_s inactivity per user (the same gap rule as
+    sessionize_gaps), trigrams read along (ts, event_id) order WITHOUT
+    crossing session boundaries, corpus-wide counts, deterministic
+    top-`top` (count desc, trigram asc). The sequence-mining input for
+    journey optimization — what users actually do three steps at a
+    time.
+
+    Returns (t1, t2, t3, n).
+
+    Scale shape: one user-key window stack (lag for the session split,
+    cumulative sum for the session id, two leads for the trigram —
+    all sharing ONE user_id exchange), a map-side-combined rollup to
+    the type³ grid, TakeOrdered for the top slice."""
+    from pyspark.sql import Window as W
+
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = events.select(
+        "user_id", "ts", "event_id", "event_type", ep.alias("_ep")
+    ).withColumn(
+        "_new",
+        (
+            F.coalesce(
+                F.col("_ep") - F.lag("_ep").over(wo) > gap_s, F.lit(True)
+            )
+        ).cast("int"),
+    ).withColumn(
+        "_sess",
+        F.sum("_new").over(wo.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    ws = W.partitionBy("user_id", "_sess").orderBy("ts", "event_id")
+    tri = base.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(ws).alias("t2"),
+        F.lead("event_type", 2).over(ws).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"), F.asc("t3"))
+        .limit(top)
+    )

@@ -316,3 +316,30 @@ def fk_integrity_audit(
             "n_childless",
         )
     )
+
+
+def ldiversity_audit(
+    events: DataFrame,
+    quasi_cols: tuple[str, ...] = ("event_type",),
+    sensitive_col: str = "user_id",
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006 — the
+    public successor check to k-anonymity): per quasi-identifier cell,
+    count rows and DISTINCT sensitive values; a cell is releasable only
+    when it carries at least `l` distinct sensitive values (a k-anon
+    cell where everyone shares one sensitive value still leaks). The
+    companion gate to `aggregate.kanon_release`.
+
+    Returns (*quasi_cols, n_rows, n_sensitive, ok) with ok ∈ {0,1}.
+
+    Scale shape: one aggregate on the quasi key; the exact distinct
+    rides the same shuffle (swap in the HLL sketch from ops.sketch when
+    approximate suffices at 100 TB)."""
+    if l < 1:
+        raise ValueError(f"need l >= 1, got {l}")
+    return events.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct(sensitive_col).cast("bigint").alias("n_sensitive"),
+        (F.count_distinct(sensitive_col) >= l).cast("int").alias("ok"),
+    )

@@ -759,8 +759,10 @@ def knn_outlier_scores(
     b = assigned.select(
         "cell", F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
     )
+    # both join sides are the full assignment (volume-scaling): never
+    # broadcast — shuffle-hash on the bounded cell key instead
     pairs = (
-        a.join(b, "cell")
+        a.join(b.hint("shuffle_hash"), "cell")
         .filter(F.col("a_id") != F.col("b_id"))
         .select(
             "cell",

@@ -881,8 +881,13 @@ def winnow_fingerprints(
         ).alias("j"),
     )
     mins = members.groupBy("doc_id", "j").agg(F.min("gh").alias("m"))
+    # mins is gram-cardinality (scales with volume): forbid the planner
+    # from ever electing to broadcast it — post-aggregate size estimates
+    # under-count and a runtime BroadcastExchange on it OOMs at scale
+    # (observed at 512x input replication). Both sides already hash on
+    # doc_id from the repartition above, so shuffle_hash adds no exchange.
     sel = (
-        members.join(mins, ["doc_id", "j"])
+        members.join(mins.hint("shuffle_hash"), ["doc_id", "j"])
         .filter(F.col("gh") == F.col("m"))
         .groupBy("doc_id", "j", "m")
         .agg(F.max("pos").alias("pos"))

@@ -5113,3 +5113,74 @@ UNION ALL SELECT 3, vec_id, mmr FROM s3
 UNION ALL SELECT 4, vec_id, mmr FROM s4
 UNION ALL SELECT 5, vec_id, mmr FROM s5
 """
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout plan (ops/layout.zorder_layout, bits=8, n_file_bits=4):
+# Morton interleave as unrolled shifts/masks — identical bit arithmetic.
+# ---------------------------------------------------------------------------
+
+def _morton_sql(a: str, b: str, bits: int = 8) -> str:
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(parts)
+
+
+ORACLES["zorder_layout"] = f"""
+WITH r AS (
+  SELECT (user_id % 256)::BIGINT AS u,
+         ({_DAY_NO} % 256)::BIGINT AS d
+  FROM events
+),
+z AS (
+  SELECT u, d, (({_morton_sql('u', 'd')}) >> 12)::BIGINT AS file_id FROM r
+)
+SELECT file_id, count(*)::BIGINT AS n_rows,
+       min(u)::BIGINT AS min_u, max(u)::BIGINT AS max_u,
+       min(d)::BIGINT AS min_d, max(d)::BIGINT AS max_d
+FROM z GROUP BY 1
+"""
+
+
+# l-diversity audit (ops/audit.ldiversity_audit, quasi=event_type,
+# sensitive=user_id, l=3).
+ORACLES["ldiversity_audit"] = """
+SELECT event_type, count(*)::BIGINT AS n_rows,
+       count(DISTINCT user_id)::BIGINT AS n_sensitive,
+       (CASE WHEN count(DISTINCT user_id) >= 3 THEN 1 ELSE 0 END)::INT AS ok
+FROM events GROUP BY 1
+"""
+
+
+# Within-session event trigrams (aggregate.session_event_trigrams,
+# gap 1800 s, top 20): session split + id + two leads on one user key.
+ORACLES["session_event_trigrams"] = """
+WITH b AS (
+  SELECT user_id, ts, event_id, event_type,
+         cast(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+),
+n AS (
+  SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+                   OR ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END AS newf
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+  FROM n
+),
+t AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER ws AS t2,
+         lead(event_type, 2) OVER ws AS t3
+  FROM s WINDOW ws AS (PARTITION BY user_id, sess ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, count(*)::BIGINT AS n
+FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3
+LIMIT 20
+"""

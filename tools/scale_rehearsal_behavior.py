@@ -81,18 +81,38 @@ def main() -> None:
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
+    def _flush():
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
+
     def run(qname, scale, build_input, run_query):
         nonlocal seen
         key = f"{qname}@{scale}x"
-        inp = prep(build_input(scale), f"{work}/{qname}_{scale}x")
-        rows_in = inp.count()
-        _, seen = _metrics_since(seen)
-        t0 = time.time()
-        n_out = run_query(inp)
-        wall = time.time() - t0
-        m, seen = _metrics_since(seen)
-        m.update({"rows_in": rows_in, "rows_out": n_out, "wall_s": round(wall, 2)})
+        try:
+            inp = prep(build_input(scale), f"{work}/{qname}_{scale}x")
+            rows_in = inp.count()
+            _, seen = _metrics_since(seen)
+            t0 = time.time()
+            n_out = run_query(inp)
+            wall = time.time() - t0
+            m, seen = _metrics_since(seen)
+            m.update(
+                {"rows_in": rows_in, "rows_out": n_out, "wall_s": round(wall, 2)}
+            )
+        except Exception as e:  # record, keep campaigning
+            m = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+            _, seen = _metrics_since(seen)
         results[key] = m
+        _flush()
         print(key, json.dumps(m), flush=True)
 
     for scale in (1, 8, 64, 512):
@@ -128,17 +148,7 @@ def main() -> None:
             lambda inp: winnow_overlap_pairs(inp).count(),
         )
 
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    with open(out_path, "w") as f:
-        json.dump(
-            {
-                "sf_dir": sf_dir,
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-                "results": results,
-            },
-            f,
-            indent=1,
-        )
+    _flush()
     print("wrote", out_path)
     spark.stop()
 
