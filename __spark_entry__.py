@@ -2632,6 +2632,15 @@ def q_session_event_trigrams(spark: SparkSession, sf: str) -> DataFrame:
     return session_event_trigrams(_read(spark, sf, "events"))
 
 
+def q_autocorr_lag_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw autocorrelation of per-minute load at 1 min/1 h/1 day lags
+    plus the lag-0 energy row; shifted self-joins on the bounded
+    minute grid."""
+    from logzoom_spark.aggregate import autocorr_lag_profile
+
+    return autocorr_lag_profile(_read(spark, sf, "events"))
+
+
 def q_fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity audit lineitem→orders: orphan facts and
     childless parents, anti-joins over collapsed key sets."""
@@ -3077,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "ldiversity_audit": q_ldiversity_audit,
         "session_event_trigrams": q_session_event_trigrams,
+        "autocorr_lag_profile": q_autocorr_lag_profile,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

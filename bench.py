@@ -368,6 +368,26 @@ def main() -> None:
     )
     bench("event_funnel", lambda: _noop(se.q_event_funnel(spark, sf_dir)))
     bench("knn_recall_eval", lambda: _noop(se.q_knn_recall_eval(spark, sf_dir)))
+    # round-5 behavior/layout/fingerprint families
+    bench("cohort_retention", lambda: _noop(se.q_cohort_retention(spark, sf_dir)))
+    bench(
+        "active_users_rolling",
+        lambda: _noop(se.q_active_users_rolling(spark, sf_dir)),
+    )
+    bench("rate_limit_audit", lambda: _noop(se.q_rate_limit_audit(spark, sf_dir)))
+    bench(
+        "winnow_overlap_pairs",
+        lambda: _noop(se.q_winnow_overlap_pairs(spark, sf_dir)),
+    )
+    bench(
+        "session_event_trigrams",
+        lambda: se.q_session_event_trigrams(spark, sf_dir).collect(),
+    )
+    bench("zorder_layout", lambda: _noop(se.q_zorder_layout(spark, sf_dir)))
+    bench(
+        "knn_outlier_scores",
+        lambda: _noop(se.q_knn_outlier_scores(spark, sf_dir)),
+    )
 
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
     # real sink files — measures sink I/O, which on this shared host is

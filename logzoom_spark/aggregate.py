@@ -862,3 +862,58 @@ def session_event_trigrams(
         .orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"), F.asc("t3"))
         .limit(top)
     )
+
+
+def autocorr_lag_profile(
+    events: DataFrame, lags_min: tuple[int, ...] = (1, 60, 1440)
+) -> DataFrame:
+    """Raw autocorrelation profile of per-minute load at candidate lags
+    (1 min, 1 h, 1 day by default): for each lag ℓ report how many
+    minute pairs (t, t+ℓ) both carry traffic and the exact integer
+    product sum Σ c_t·c_{t+ℓ}, plus the lag-0 energy row (Σ c_t²) the
+    consumer normalizes against. A daily-periodic load shows
+    sum_prod(1440)/pairs ≈ sum_sq(0)/minutes; a flat one decays — the
+    measured basis for picking the seasonality window `hourly_
+    seasonality` assumes. Absent minutes are zero-traffic and
+    contribute nothing to either side (product 0), so the sparse join
+    is exact.
+
+    Returns (lag_min, n_pairs, sum_prod).
+
+    Scale shape: volume collapses to the per-minute count grid first
+    (bounded by time span); the lag comparison is one self-equi-join
+    per lag on the shifted bounded grid."""
+    if any(l < 1 for l in lags_min):
+        raise ValueError(f"lags must be >= 1 minute, got {lags_min!r}")
+    grid = (
+        events.select(
+            F.expr(
+                "cast(unix_timestamp(cast(ts AS TIMESTAMP)) AS BIGINT) div 60"
+            ).alias("m")
+        )
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    zero = grid.select(
+        F.lit(0).cast("int").alias("lag_min"),
+        F.lit(1).alias("_one"),
+        (F.col("c") * F.col("c")).alias("_p"),
+    )
+    parts = [zero]
+    for l in sorted(set(int(x) for x in lags_min)):
+        a = grid.select(F.col("m"), F.col("c").alias("ca"))
+        b = grid.select((F.col("m") - l).alias("m"), F.col("c").alias("cb"))
+        parts.append(
+            a.join(b, "m").select(
+                F.lit(l).cast("int").alias("lag_min"),
+                F.lit(1).alias("_one"),
+                (F.col("ca") * F.col("cb")).alias("_p"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("lag_min").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("_p").cast("bigint").alias("sum_prod"),
+    )

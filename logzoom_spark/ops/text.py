@@ -822,6 +822,7 @@ def winnow_fingerprints(
     k: int = 4,
     window: int = 5,
     seed: int = 7,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD 2003 — the MOSS algorithm, public): hash every k-token gram,
@@ -839,7 +840,11 @@ def winnow_fingerprints(
     k-gram × window on token count); the repartition on doc_id up front
     means the frame-min aggregate, the rightmost-tie join, and the
     dedup all reuse that one exchange (their keys all lead with
-    doc_id), so the token blow-up never crosses the wire twice."""
+    doc_id), so the token blow-up never crosses the wire twice.
+    ``n_partitions`` sizes that one exchange: the post-explode member
+    set is ~window × tokens rows, so size partitions to volume
+    (rows_in × tokens × window / ~5M per task) — the 512x rehearsal
+    showed 32 partitions OOM a 24 GB JVM where 256 sail through."""
     from ..hashing import portable_hash
 
     if k < 1 or window < 1:
@@ -849,7 +854,11 @@ def winnow_fingerprints(
         docs.filter(F.col(col).isNotNull() & (F.length(F.trim(F.col(col))) > 0))
         .select("doc_id", toks.alias("_t"))
         .filter(F.size("_t") >= k + window - 1)
-        .repartition("doc_id")
+    )
+    base = (
+        base.repartition(n_partitions, "doc_id")
+        if n_partitions
+        else base.repartition("doc_id")
     )
     grams = (
         base.select(

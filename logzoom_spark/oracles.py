@@ -5184,3 +5184,27 @@ GROUP BY 1, 2, 3
 ORDER BY n DESC, t1, t2, t3
 LIMIT 20
 """
+
+
+# Autocorrelation lag profile (aggregate.autocorr_lag_profile,
+# lags 1/60/1440 min): per-minute grid, one shifted self-join per lag,
+# lag-0 energy row for normalization.
+ORACLES["autocorr_lag_profile"] = """
+WITH grid AS (
+  SELECT cast(floor(epoch(ts)) AS BIGINT) // 60 AS m,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+u AS (
+  SELECT 0 AS lag_min, c * c AS p FROM grid
+  UNION ALL
+  SELECT 1, a.c * b.c FROM grid a JOIN grid b ON b.m = a.m + 1
+  UNION ALL
+  SELECT 60, a.c * b.c FROM grid a JOIN grid b ON b.m = a.m + 60
+  UNION ALL
+  SELECT 1440, a.c * b.c FROM grid a JOIN grid b ON b.m = a.m + 1440
+)
+SELECT lag_min::INT AS lag_min, count(*)::BIGINT AS n_pairs,
+       sum(p)::BIGINT AS sum_prod
+FROM u GROUP BY 1
+"""

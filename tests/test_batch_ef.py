@@ -1,0 +1,106 @@
+"""Invariant tests for zorder_layout, ldiversity_audit,
+session_event_trigrams, autocorr_lag_profile — the round-5 batch E/F
+ops. Trigrams and autocorrelation are cross-checked against independent
+pure-Python computations on sf0.001."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF0001
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF0001}/events.parquet")
+
+
+def test_zorder_envelopes_localize_both_dims(spark):
+    from logzoom_spark.ops.layout import zorder_layout
+
+    ev = _events(spark)
+    out = zorder_layout(ev, bits=8, n_file_bits=4).cache()
+    assert out.agg(F.sum("n_rows")).collect()[0][0] == ev.count()
+    assert out.count() <= 16
+    # file id pins the top 2 bits of BOTH dimensions -> envelopes < 64
+    assert out.filter(
+        (F.col("max_u") - F.col("min_u") >= 64)
+        | (F.col("max_d") - F.col("min_d") >= 64)
+    ).count() == 0
+    out.unpersist()
+
+
+def test_zorder_rejects_bad_bits(spark):
+    import pytest
+
+    from logzoom_spark.ops.layout import zorder_layout
+
+    with pytest.raises(ValueError):
+        zorder_layout(_events(spark), bits=8, n_file_bits=0)
+    with pytest.raises(ValueError):
+        zorder_layout(_events(spark), bits=32, n_file_bits=4)
+
+
+def test_ldiversity_flag_matches_definition(spark):
+    from logzoom_spark.ops.audit import ldiversity_audit
+
+    ev = _events(spark)
+    out = ldiversity_audit(ev, l=3).cache()
+    assert out.filter(
+        F.col("ok") != (F.col("n_sensitive") >= 3).cast("int")
+    ).count() == 0
+    assert out.agg(F.sum("n_rows")).collect()[0][0] == ev.count()
+    out.unpersist()
+
+
+def test_session_trigrams_match_pure_python(spark):
+    from logzoom_spark.aggregate import session_event_trigrams
+
+    ev = _events(spark)
+    rows = ev.select("user_id", "ts", "event_id", "event_type").collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(
+            (int(r["ts"].timestamp()), r["event_id"], r["event_type"])
+        )
+    want = Counter()
+    for seq in by_user.values():
+        seq.sort(key=lambda x: (x[0], x[1]))
+        sess = []
+        prev = None
+        for ep, _eid, et in seq:
+            if prev is None or ep - prev > 1800:
+                sess.append([])
+            sess[-1].append(et)
+            prev = ep
+        for s in sess:
+            for i in range(len(s) - 2):
+                want[(s[i], s[i + 1], s[i + 2])] += 1
+    got = {
+        (r["t1"], r["t2"], r["t3"]): r["n"]
+        for r in session_event_trigrams(ev, gap_s=1800, top=10**9).collect()
+    }
+    assert got == dict(want)
+
+
+def test_autocorr_lag0_is_energy(spark):
+    from logzoom_spark.aggregate import autocorr_lag_profile
+
+    ev = _events(spark)
+    out = {
+        r["lag_min"]: (r["n_pairs"], r["sum_prod"])
+        for r in autocorr_lag_profile(ev).collect()
+    }
+    grid = Counter(
+        int(r["ts"].timestamp()) // 60 for r in ev.select("ts").collect()
+    )
+    assert out[0] == (len(grid), sum(c * c for c in grid.values()))
+    for lag in (1, 60, 1440):
+        pairs = [
+            grid[m] * grid[m + lag] for m in grid if (m + lag) in grid
+        ]
+        if pairs:
+            assert out[lag] == (len(pairs), sum(pairs))
+        else:
+            assert lag not in out

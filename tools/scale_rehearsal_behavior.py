@@ -110,7 +110,10 @@ def main() -> None:
             )
         except Exception as e:  # record, keep campaigning
             m = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
-            _, seen = _metrics_since(seen)
+            try:
+                _, seen = _metrics_since(seen)
+            except Exception:
+                pass  # UI may be gone with the JVM; keep the error record
         results[key] = m
         _flush()
         print(key, json.dumps(m), flush=True)
