@@ -109,6 +109,15 @@ def main() -> None:
         ("erasure plan (broadcast tombstones, one day-key rollup)", se.q_erasure_plan),
         ("value outliers (histogram quartiles, broadcast fences)", se.q_value_outliers_iqr),
         ("multiline stitch (conv-key window + bounded-record assembly)", se.q_multiline_stitch),
+        ("cohort retention (distinct user-day first, bounded triangle)", se.q_cohort_retention),
+        ("rolling actives (explode on the distinct set, not raw events)", se.q_active_users_rolling),
+        ("rate limit audit (row_number on natural user+window key)", se.q_rate_limit_audit),
+        ("winnowing (one doc_id exchange, shuffle_hash frame-min join)", se.q_winnow_fingerprint_summary),
+        ("winnow overlap (hot-bucket cap before the pair join)", se.q_winnow_overlap_pairs),
+        ("knn outliers (within-cell pairs, shuffle_hash, loner left join)", se.q_knn_outlier_scores),
+        ("zorder layout (row-local Morton, bounded file-envelope agg)", se.q_zorder_layout),
+        ("session trigrams (split+id+two leads on one user exchange)", se.q_session_event_trigrams),
+        ("autocorr profile (shifted self-joins on bounded minute grid)", se.q_autocorr_lag_profile),
     ]:
         print("=" * 30, name)
         q(spark, sf).explain("formatted")
