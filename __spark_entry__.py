@@ -2641,6 +2641,30 @@ def q_autocorr_lag_profile(spark: SparkSession, sf: str) -> DataFrame:
     return autocorr_lag_profile(_read(spark, sf, "events"))
 
 
+def q_template_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the template co-occurrence graph: ordered
+    two-path + closing edge over the vocabulary-bounded edge set."""
+    from logzoom_spark.ops.templates import template_triangles
+
+    return template_triangles(_turns(spark, sf), min_both=2)
+
+
+def q_funnel_within(spark: SparkSession, sf: str) -> DataFrame:
+    """windowFunnel-style time-bounded funnel (24 h per step),
+    earliest-arrival chaining on the natural user key."""
+    from logzoom_spark.ops.relational import funnel_within
+
+    return funnel_within(_read(spark, sf, "events"), within_s=86400)
+
+
+def q_dwell_time_by_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-in-state profile: lead-gap dwell attributed to the current
+    event type; one user-key window, type-vocabulary rollup."""
+    from logzoom_spark.ops.behavior import dwell_time_by_state
+
+    return dwell_time_by_state(_read(spark, sf, "events"))
+
+
 def q_fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity audit lineitem→orders: orphan facts and
     childless parents, anti-joins over collapsed key sets."""
@@ -3087,6 +3111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ldiversity_audit": q_ldiversity_audit,
         "session_event_trigrams": q_session_event_trigrams,
         "autocorr_lag_profile": q_autocorr_lag_profile,
+        "template_triangles": q_template_triangles,
+        "funnel_within": q_funnel_within,
+        "dwell_time_by_state": q_dwell_time_by_state,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

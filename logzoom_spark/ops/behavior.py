@@ -425,3 +425,33 @@ def dormancy_reactivation(events: DataFrame, dormant_days: int = 7) -> DataFrame
             .alias("reactivated_bp"),
         )
     )
+
+
+def dwell_time_by_state(events: DataFrame) -> DataFrame:
+    """Time-in-state profile: the gap from each event to the user's
+    NEXT event is dwell time attributed to the current event's type
+    (how long users sit on an error vs after a purchase). Each user's
+    final event has no successor and is excluded by construction
+    (unbounded dwell is a presentation choice, not a measurement).
+
+    Returns (event_type, n_intervals, total_dwell_s, mean_dwell_s,
+    max_dwell_s) with floor means.
+
+    Scale shape: one lead window on the natural user key, one
+    map-side-combined rollup to the type vocabulary."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint")
+    g = (
+        events.select("user_id", "ts", "event_id", "event_type", ep.alias("_ep"))
+        .select(
+            "event_type",
+            (F.lead("_ep").over(w) - F.col("_ep")).alias("dwell"),
+        )
+        .filter(F.col("dwell").isNotNull())
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("dwell").cast("bigint").alias("total_dwell_s"),
+        F.floor(F.sum("dwell") / F.count(F.lit(1))).cast("bigint").alias("mean_dwell_s"),
+        F.max("dwell").cast("bigint").alias("max_dwell_s"),
+    )

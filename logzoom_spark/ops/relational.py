@@ -269,3 +269,64 @@ def bloom_pruned_join(
         flag = t if flag is None else (flag & t)
     pruned = tmp.filter(flag).drop(*bit_cols)
     return pruned.join(small, pruned[big_key] == small[small_key])
+
+
+def funnel_within(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    within_s: int = 86400,
+) -> DataFrame:
+    """Time-bounded sequential funnel (ClickHouse's windowFunnel is the
+    public analogue): a user advances to step i+1 only with an event
+    STRICTLY after their step-i arrival and within `within_s` seconds
+    of it — earliest-arrival semantics at every step, so the count is
+    deterministic. The unbounded variant is `funnel_counts`; the bound
+    is what makes the funnel actionable (conversions a year later are
+    not this campaign's conversions).
+
+    Returns (step_idx, step, n_users).
+
+    Scale shape: per-step per-user min-aggregates chained by broadcast-
+    friendly user-key joins — step count bounds the chain, every
+    aggregate is map-side combined on the natural user key."""
+    if not steps:
+        raise ValueError("need at least one funnel step")
+    if within_s < 1:
+        raise ValueError(f"need within_s >= 1, got {within_s}")
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint")
+    cur = (
+        events.filter(F.col("event_type") == steps[0])
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", ep.alias("_arr"))
+        .groupBy("user_id")
+        .agg(F.min("_arr").alias("arr"))
+    )
+    out_rows = [(0, steps[0], cur)]
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            events.filter(F.col("event_type") == step)
+            .select("user_id", ep.alias("_e"))
+            .join(cur.select("user_id", "arr"), "user_id")
+            .filter(
+                (F.col("_e") > F.col("arr"))
+                & (F.col("_e") <= F.col("arr") + within_s)
+            )
+            .groupBy("user_id")
+            .agg(F.min("_e").alias("arr"))
+        )
+        out_rows.append((i, step, nxt))
+        cur = nxt
+    spark = events.sparkSession
+    parts = []
+    for idx, name, df in out_rows:
+        parts.append(
+            df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+                F.lit(idx).cast("int").alias("step_idx"),
+                F.lit(name).alias("step"),
+                "n_users",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col("n_users") > 0)

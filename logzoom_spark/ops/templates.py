@@ -383,3 +383,46 @@ def sample_bias_audit(turns: DataFrame, cap: int = 200, seed: int = 0) -> DataFr
         ht.cast("bigint").alias("ht_estimate"),
         bias.alias("bias_bp"),
     )
+
+
+def template_triangles(turns: DataFrame, min_both: int = 2) -> DataFrame:
+    """Triangle census of the template co-occurrence graph: nodes are
+    masked templates, edges are pairs sharing at least `min_both`
+    conversations (the same distinct-presence edges as
+    `template_cooccurrence`), and each template is scored by how many
+    closed triangles it participates in — triangle density separates a
+    CLUSTER of mutually-correlated failure signatures (one incident
+    class) from a star around one noisy template. Completes the graph
+    family (PageRank / label propagation / k-hop / CC) with the classic
+    clustering-coefficient numerator.
+
+    Returns (template, n_triangles) for templates in ≥1 triangle.
+
+    Scale shape: volume collapses to distinct (conv, template) first;
+    edges are vocabulary-bounded (≤ |V|²), and the triangle join is the
+    standard ordered two-path + closing-edge plan (a<b<c) over that
+    bounded edge set — never over raw rows."""
+    ct = (
+        turns.filter(F.col("text").isNotNull())
+        .select("conv_id", mask_template(F.col("text")).alias("t"))
+        .distinct()
+    )
+    edges = (
+        ct.alias("a")
+        .join(ct.alias("b"), "conv_id")
+        .filter(F.col("a.t") < F.col("b.t"))
+        .groupBy(F.col("a.t").alias("u"), F.col("b.t").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_both)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("template"))
+        .groupBy("template")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return per

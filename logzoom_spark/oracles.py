@@ -5208,3 +5208,85 @@ SELECT lag_min::INT AS lag_min, count(*)::BIGINT AS n_pairs,
        sum(p)::BIGINT AS sum_prod
 FROM u GROUP BY 1
 """
+
+
+# Triangle census of the template co-occurrence graph
+# (ops/templates.template_triangles, min_both=2): ordered two-path +
+# closing edge over the vocabulary-bounded edge set.
+ORACLES["template_triangles"] = f"""
+WITH {TURNS_CTE},
+ct AS (
+  SELECT DISTINCT conv_id,
+         regexp_replace(text, '[0-9]+', '<#>', 'g') AS t
+  FROM turns WHERE text IS NOT NULL
+),
+edges AS (
+  SELECT a.t AS u, b.t AS v
+  FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.t < b.t
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT template, count(*)::BIGINT AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS template FROM tri)
+GROUP BY 1
+"""
+
+
+# Time-bounded funnel (ops/relational.funnel_within, view->click->
+# purchase within 86400 s of the previous step, earliest-arrival).
+ORACLES["funnel_within"] = """
+WITH s0 AS (
+  SELECT user_id, min(cast(floor(epoch(ts)) AS BIGINT)) AS arr FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(cast(floor(epoch(e.ts)) AS BIGINT)) AS arr
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click'
+    AND cast(floor(epoch(e.ts)) AS BIGINT) > s0.arr
+    AND cast(floor(epoch(e.ts)) AS BIGINT) <= s0.arr + 86400
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(cast(floor(epoch(e.ts)) AS BIGINT)) AS arr
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase'
+    AND cast(floor(epoch(e.ts)) AS BIGINT) > s1.arr
+    AND cast(floor(epoch(e.ts)) AS BIGINT) <= s1.arr + 86400
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 0::INT AS step_idx, 'view' AS step, (SELECT count(*) FROM s0)::BIGINT AS n_users
+  UNION ALL
+  SELECT 1, 'click', (SELECT count(*) FROM s1)
+  UNION ALL
+  SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+) WHERE n_users > 0
+"""
+
+
+# Time-in-state dwell profile (ops/behavior.dwell_time_by_state):
+# lead gap on the user key attributed to the current type.
+ORACLES["dwell_time_by_state"] = """
+WITH b AS (
+  SELECT user_id, ts, event_id, event_type,
+         cast(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         lead(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) - ep
+           AS dwell
+  FROM b
+)
+SELECT event_type, count(*)::BIGINT AS n_intervals,
+       sum(dwell)::BIGINT AS total_dwell_s,
+       cast(floor(sum(dwell) * 1.0 / count(*)) AS BIGINT) AS mean_dwell_s,
+       max(dwell)::BIGINT AS max_dwell_s
+FROM g WHERE dwell IS NOT NULL GROUP BY 1
+"""

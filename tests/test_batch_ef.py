@@ -104,3 +104,48 @@ def test_autocorr_lag0_is_energy(spark):
             assert out[lag] == (len(pairs), sum(pairs))
         else:
             assert lag not in out
+
+
+def test_template_triangles_handcrafted(spark):
+    import datetime as dt
+
+    from logzoom_spark.ops.templates import template_triangles
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # convs c1, c2 each contain templates A, B, C -> all 3 edges have
+    # presence 2 -> exactly one triangle; c3 adds an A-D edge seen once
+    # (below min_both) so D joins no triangle.
+    for cid in ("c1", "c2"):
+        for i, body in enumerate(("sig A 11", "sig B 22", "sig C 33")):
+            rows.append((cid, i, "system", body, None, t0))
+    rows += [("c3", 0, "system", "sig A 44", None, t0),
+             ("c3", 1, "system", "sig D 55", None, t0)]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {r["template"]: r["n_triangles"] for r in template_triangles(turns).collect()}
+    assert got == {"sig A <#>": 1, "sig B <#>": 1, "sig C <#>": 1}
+
+
+def test_funnel_within_bounds_and_monotone(spark):
+    from logzoom_spark.ops.relational import funnel_within
+
+    ev = _events(spark)
+    tight = {r["step"]: r["n_users"] for r in funnel_within(ev, within_s=1).collect()}
+    loose = {r["step"]: r["n_users"] for r in funnel_within(ev, within_s=10**9).collect()}
+    for step, n in tight.items():
+        assert n <= loose[step]
+    vals = [r["n_users"] for r in funnel_within(ev, within_s=86400)
+            .orderBy("step_idx").collect()]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_dwell_time_conserves_intervals(spark):
+    from logzoom_spark.ops.behavior import dwell_time_by_state
+
+    ev = _events(spark)
+    out = dwell_time_by_state(ev)
+    n_users = ev.select("user_id").distinct().count()
+    assert out.agg(F.sum("n_intervals")).collect()[0][0] == ev.count() - n_users
+    assert out.filter(F.col("mean_dwell_s") > F.col("max_dwell_s")).count() == 0
