@@ -2665,6 +2665,31 @@ def q_dwell_time_by_state(spark: SparkSession, sf: str) -> DataFrame:
     return dwell_time_by_state(_read(spark, sf, "events"))
 
 
+def q_conv_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversation-level MOSS overlap: byte-stable conv assembly →
+    winnowed fingerprints → capped pair join; catches shared verbatim
+    passages exact conv dedup misses."""
+    from logzoom_spark.ops.text import conv_winnow_overlap
+
+    return conv_winnow_overlap(_turns(spark, sf), min_shared=2)
+
+
+def q_bounce_rate_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily bounce rate: split flag, session id and per-session rollup
+    on ONE user exchange; bounce = 1-event session."""
+    from logzoom_spark.ops.behavior import bounce_rate_daily
+
+    return bounce_rate_daily(_read(spark, sf, "events"))
+
+
+def q_linear_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear multi-touch attribution over a 24 h lookback; floor
+    equal-share credits, orphans to 'none' — counted, not dropped."""
+    from logzoom_spark.ops.behavior import linear_attribution
+
+    return linear_attribution(_read(spark, sf, "events"))
+
+
 def q_fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity audit lineitem→orders: orphan facts and
     childless parents, anti-joins over collapsed key sets."""
@@ -3114,6 +3139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_triangles": q_template_triangles,
         "funnel_within": q_funnel_within,
         "dwell_time_by_state": q_dwell_time_by_state,
+        "conv_winnow_overlap": q_conv_winnow_overlap,
+        "bounce_rate_daily": q_bounce_rate_daily,
+        "linear_attribution": q_linear_attribution,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

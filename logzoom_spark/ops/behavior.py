@@ -455,3 +455,97 @@ def dwell_time_by_state(events: DataFrame) -> DataFrame:
         F.floor(F.sum("dwell") / F.count(F.lit(1))).cast("bigint").alias("mean_dwell_s"),
         F.max("dwell").cast("bigint").alias("max_dwell_s"),
     )
+
+
+def bounce_rate_daily(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Daily bounce rate: sessions split on > gap_s inactivity per user
+    (same rule as sessionize_gaps / session_event_trigrams); a bounce
+    is a single-event session; each session counts on the day of its
+    FIRST event. The classic engagement-health metric.
+
+    Returns (day_no, n_sessions, n_bounces, bounce_bp).
+
+    Scale shape: the split flag, session id and per-session rollup all
+    ride ONE user-key exchange; the daily rollup is calendar-bounded."""
+    if gap_s < 1:
+        raise ValueError(f"need gap_s >= 1, got {gap_s}")
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = events.select(
+        "user_id", "ts", "event_id", ep.alias("_ep"), _day().alias("day_no")
+    ).withColumn(
+        "_new",
+        F.coalesce(
+            F.col("_ep") - F.lag("_ep").over(wo) > gap_s, F.lit(True)
+        ).cast("int"),
+    ).withColumn(
+        "_sess", F.sum("_new").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per = base.groupBy("user_id", "_sess").agg(
+        F.count(F.lit(1)).alias("_n_ev"), F.min("day_no").alias("day_no")
+    )
+    return (
+        per.groupBy("day_no")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum((F.col("_n_ev") == 1).cast("int")).cast("bigint").alias("n_bounces"),
+        )
+        .select(
+            "day_no",
+            "n_sessions",
+            "n_bounces",
+            F.expr("(n_bounces * 10000) div n_sessions")
+            .cast("bigint")
+            .alias("bounce_bp"),
+        )
+    )
+
+
+def linear_attribution(
+    events: DataFrame, lookback_s: int = 86400
+) -> DataFrame:
+    """Linear multi-touch attribution: every non-purchase touch within
+    `lookback_s` before a purchase shares that purchase's 10000 bp
+    equally (floor division); purchases with no touch in the window
+    credit the synthetic 'none' channel — counted, not dropped. The
+    multi-touch companion to `aggregate.purchase_attribution`
+    (last-touch).
+
+    Returns (touch_type, n_credits, total_credit_bp).
+
+    Scale shape: purchases and touches join on the natural user key
+    with a bounded time-range predicate (per-user 24 h density bounds
+    the blow-up); the per-purchase touch count and the final rollup are
+    map-side-combined aggregates on purchase id / type vocabulary."""
+    if lookback_s < 1:
+        raise ValueError(f"need lookback_s >= 1, got {lookback_s}")
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), ep.alias("p_ep")
+    )
+    t = events.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("touch_type"), ep.alias("t_ep")
+    )
+    j = p.join(t, "user_id").filter(
+        (F.col("t_ep") >= F.col("p_ep") - lookback_s)
+        & (F.col("t_ep") < F.col("p_ep"))
+    )
+    per = j.groupBy("pid").agg(F.count(F.lit(1)).alias("n_touch"))
+    credited = j.join(per, "pid").select(
+        "touch_type", F.expr("10000 div n_touch").alias("credit_bp")
+    )
+    orphans = (
+        p.join(j.select("pid").distinct(), "pid", "left_anti")
+        .select(
+            F.lit("none").alias("touch_type"),
+            F.lit(10000).cast("bigint").alias("credit_bp"),
+        )
+    )
+    return (
+        credited.unionByName(orphans)
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.sum("credit_bp").cast("bigint").alias("total_credit_bp"),
+        )
+    )

@@ -968,3 +968,26 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def conv_winnow_overlap(
+    turns: DataFrame, min_shared: int = 2, max_bucket: int = 200
+) -> DataFrame:
+    """Conversation-level MOSS overlap: assemble each conversation into
+    its training document (corpus.conv_documents — byte-stable 'role:
+    text' lines) and run the winnowed-fingerprint pair detector over
+    the assembled docs. Catches conversations that share long verbatim
+    passages WITHOUT being duplicates (quoted replies, copy-pasted
+    stack traces) — the overlap class exact conv dedup by definition
+    misses. Pure composition: assembly + winnowing, each already
+    verified; the pair join keeps the hot-bucket cap.
+
+    Returns (doc_id_a, doc_id_b, n_shared) with conv_id keys."""
+    from .corpus import conv_documents
+
+    docs = conv_documents(turns).select(
+        F.col("conv_id").alias("doc_id"), F.col("doc").alias("text")
+    )
+    return winnow_overlap_pairs(
+        docs, min_shared=min_shared, max_bucket=max_bucket
+    )

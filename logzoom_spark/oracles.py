@@ -5290,3 +5290,129 @@ SELECT event_type, count(*)::BIGINT AS n_intervals,
        max(dwell)::BIGINT AS max_dwell_s
 FROM g WHERE dwell IS NOT NULL GROUP BY 1
 """
+
+
+# Conversation-level winnow overlap (composition: conv assembly ->
+# winnowing -> capped pair join). The winnow CTE chain is re-emitted
+# over the assembled conv docs; assembly is the SAME string_agg
+# expression proven byte-identical in the conv-corpus oracles.
+def _winnow_fps_from(src: str) -> str:
+    """Winnow CTE chain (k=4, window=5, seed=7) over relation `src`
+    with (doc_id, text) — emits base..fps, no leading WITH."""
+    return f"""base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM {src}
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+sized AS (
+  SELECT doc_id, t, len(t) - 4 + 1 AS n_grams
+  FROM base WHERE len(t) >= 4 + 5 - 1
+),
+grams AS (
+  SELECT doc_id, n_grams, gs.i::INT AS pos,
+         {portable_hash_sql("array_to_string(t[gs.i:gs.i+3], ' ')", 7)} AS gh
+  FROM sized, unnest(generate_series(1, n_grams)) AS gs(i)
+),
+members AS (
+  SELECT doc_id, pos, gh, gj.j AS j
+  FROM grams,
+       unnest(generate_series(greatest(1, pos - 5 + 1),
+                              least(pos, n_grams - 5 + 1))) AS gj(j)
+),
+mins AS (SELECT doc_id, j, min(gh) AS m FROM members GROUP BY 1, 2),
+sel AS (
+  SELECT mb.doc_id, mb.j, mi.m, max(mb.pos) AS pos
+  FROM members mb
+  JOIN mins mi ON mb.doc_id = mi.doc_id AND mb.j = mi.j AND mb.gh = mi.m
+  GROUP BY 1, 2, 3
+),
+fps AS (SELECT DISTINCT doc_id, pos, m AS gh FROM sel)"""
+
+
+ORACLES["conv_winnow_overlap"] = f"""
+WITH {TURNS_CTE},
+cdoc AS (
+  SELECT conv_id AS doc_id,
+         coalesce(string_agg(role || ': ' || text, chr(10)
+                             ORDER BY turn_idx), '') AS text
+  FROM turns GROUP BY conv_id
+),
+{_winnow_fps_from('cdoc')},
+d AS (SELECT DISTINCT doc_id, gh FROM fps),
+ok AS (
+  SELECT gh FROM d GROUP BY 1
+  HAVING count(*) >= 2 AND count(*) <= 200
+),
+dd AS (SELECT d.* FROM d JOIN ok USING (gh))
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       count(*)::BIGINT AS n_shared
+FROM dd a JOIN dd b ON a.gh = b.gh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+# Daily bounce rate (ops/behavior.bounce_rate_daily, gap 1800 s):
+# session id via cumulative split flags, bounce = 1-event session,
+# day = the session's first event day.
+ORACLES["bounce_rate_daily"] = f"""
+WITH b AS (
+  SELECT user_id, ts, event_id,
+         cast(floor(epoch(ts)) AS BIGINT) AS ep,
+         {_DAY_NO} AS day_no
+  FROM events
+),
+n AS (
+  SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+                   OR ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END AS newf
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+  FROM n
+),
+per AS (
+  SELECT user_id, sess, count(*)::BIGINT AS n_ev,
+         min(day_no) AS day_no
+  FROM s GROUP BY 1, 2
+)
+SELECT day_no, count(*)::BIGINT AS n_sessions,
+       sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+       ((sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 10000)
+         // count(*))::BIGINT AS bounce_bp
+FROM per GROUP BY 1
+"""
+
+
+# Linear multi-touch attribution (ops/behavior.linear_attribution,
+# 24 h lookback): every touch in the window shares the purchase's
+# 10000 bp equally (floor); orphan purchases credit 'none'.
+ORACLES["linear_attribution"] = """
+WITH p AS (
+  SELECT user_id, event_id AS pid,
+         cast(floor(epoch(ts)) AS BIGINT) AS p_ep
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_type,
+         cast(floor(epoch(ts)) AS BIGINT) AS t_ep
+  FROM events WHERE event_type <> 'purchase'
+),
+j AS (
+  SELECT p.pid, t.event_type
+  FROM p JOIN t ON p.user_id = t.user_id
+              AND t.t_ep >= p.p_ep - 86400 AND t.t_ep < p.p_ep
+),
+per AS (SELECT pid, count(*)::BIGINT AS n_touch FROM j GROUP BY 1),
+credited AS (
+  SELECT j.event_type AS touch_type, 10000 // per.n_touch AS credit_bp
+  FROM j JOIN per USING (pid)
+  UNION ALL
+  SELECT 'none', 10000 FROM p
+  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.pid = p.pid)
+)
+SELECT touch_type, count(*)::BIGINT AS n_credits,
+       sum(credit_bp)::BIGINT AS total_credit_bp
+FROM credited GROUP BY 1
+"""

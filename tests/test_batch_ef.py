@@ -149,3 +149,76 @@ def test_dwell_time_conserves_intervals(spark):
     n_users = ev.select("user_id").distinct().count()
     assert out.agg(F.sum("n_intervals")).collect()[0][0] == ev.count() - n_users
     assert out.filter(F.col("mean_dwell_s") > F.col("max_dwell_s")).count() == 0
+
+
+def test_conv_winnow_overlap_detects_shared_passage(spark):
+    import datetime as dt
+
+    from logzoom_spark.ops.text import conv_winnow_overlap
+
+    t0 = dt.datetime(2024, 1, 1)
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        ("cA", 0, "user", f"intro words before {passage} trailing bits", None, t0),
+        ("cB", 0, "user", f"{passage} followed by entirely different chatter here", None, t0),
+        ("cC", 0, "user", "completely unrelated single turn conversation body text", None, t0),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in conv_winnow_overlap(turns, min_shared=1).collect()}
+    assert ("cA", "cB") in got
+    assert all("cC" not in p for p in got)
+
+
+def test_bounce_rate_daily_totals(spark):
+    from logzoom_spark.ops.behavior import bounce_rate_daily
+
+    ev = _events(spark)
+    out = bounce_rate_daily(ev).cache()
+    assert out.filter(F.col("n_bounces") > F.col("n_sessions")).count() == 0
+    assert out.filter(
+        (F.col("bounce_bp") < 0) | (F.col("bounce_bp") > 10000)
+    ).count() == 0
+    # a huge gap threshold makes each user one session: bounces = users
+    # with exactly one event
+    one = bounce_rate_daily(ev, gap_s=10**9)
+    per_user = ev.groupBy("user_id").count()
+    assert one.agg(F.sum("n_sessions")).collect()[0][0] == per_user.count()
+    assert one.agg(F.sum("n_bounces")).collect()[0][0] == per_user.filter(
+        F.col("count") == 1
+    ).count()
+    out.unpersist()
+
+
+def test_linear_attribution_conserves_credits(spark):
+    from logzoom_spark.ops.behavior import linear_attribution
+
+    ev = _events(spark)
+    out = linear_attribution(ev).cache()
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    total = out.agg(F.sum("total_credit_bp")).collect()[0][0]
+    # floor equal-share: each purchase distributes (10000 - r) bp,
+    # 0 <= r < its touch count; orphans distribute exactly 10000
+    assert total <= 10000 * n_purch
+    assert total > 10000 * n_purch - out.agg(F.sum("n_credits")).collect()[0][0]
+    out.unpersist()
+
+
+def test_linear_attribution_orphan_goes_to_none(spark):
+    import datetime as dt
+
+    from logzoom_spark.ops.behavior import linear_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, t0, "purchase"),  # no prior touch -> none
+        (2, 20, t0, "view"),
+        (2, 21, dt.datetime(2024, 1, 1, 1), "purchase"),  # 1 touch
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    )
+    got = {r["touch_type"]: (r["n_credits"], r["total_credit_bp"])
+           for r in linear_attribution(ev).collect()}
+    assert got == {"none": (1, 10000), "view": (1, 10000)}
