@@ -2690,6 +2690,30 @@ def q_linear_attribution(spark: SparkSession, sf: str) -> DataFrame:
     return linear_attribution(_read(spark, sf, "events"))
 
 
+def q_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford leading-digit audit of event values: digit from BIGINT
+    cents (no float log at the boundary), 9-row literal expected table."""
+    from logzoom_spark.ops.audit import benford_audit
+
+    return benford_audit(_read(spark, sf, "events"))
+
+
+def q_zorder_skipping_effectiveness(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-predicate file-hit rates against the Z-order envelopes —
+    the measured payoff of the layout, bounded-frame joins only."""
+    from logzoom_spark.ops.layout import zorder_skipping_effectiveness
+
+    return zorder_skipping_effectiveness(_read(spark, sf, "events"))
+
+
+def q_ewma_rate_alerts(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer EWMA volume alerts: truncated 2^-j series over 16
+    observed days, scaled to stay BIGINT; alerts at 3x weighted mean."""
+    from logzoom_spark.ops.sre import ewma_rate_alerts
+
+    return ewma_rate_alerts(_read(spark, sf, "events"))
+
+
 def q_fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity audit lineitem→orders: orphan facts and
     childless parents, anti-joins over collapsed key sets."""
@@ -3142,6 +3166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_winnow_overlap": q_conv_winnow_overlap,
         "bounce_rate_daily": q_bounce_rate_daily,
         "linear_attribution": q_linear_attribution,
+        "benford_audit": q_benford_audit,
+        "zorder_skipping_effectiveness": q_zorder_skipping_effectiveness,
+        "ewma_rate_alerts": q_ewma_rate_alerts,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

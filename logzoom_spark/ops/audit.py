@@ -343,3 +343,52 @@ def ldiversity_audit(
         F.count_distinct(sensitive_col).cast("bigint").alias("n_sensitive"),
         (F.count_distinct(sensitive_col) >= l).cast("int").alias("ok"),
     )
+
+
+#: floor(log10(1 + 1/d) * 10000) for d = 1..9 — Benford's law expected
+#: leading-digit shares in basis points (Newcomb 1881 / Benford 1938).
+BENFORD_BP = (3010, 1760, 1249, 969, 791, 669, 579, 511, 457)
+
+
+def benford_audit(events: DataFrame, col: str = "value") -> DataFrame:
+    """Benford's-law audit of a numeric column: distribution of the
+    leading significant digit of the integer cents vs the expected
+    log-law shares — the classic fabricated-numbers screen (synthetic
+    or capped metrics flatten the curve; real multiplicative data
+    follows it). Rows with NULL or sub-cent magnitude carry no leading
+    digit and are excluded (nothing to read a digit from).
+
+    Returns (digit, n, share_bp, benford_bp, dev_bp) with dev = observed
+    − expected (signed). All integer: the digit comes from the BIGINT
+    cents rendered as a string — identical in any engine, no float
+    log10 at the boundary.
+
+    Scale shape: one row-local projection + a 9-key map-side-combined
+    rollup; expected shares join from a 9-row literal table."""
+    cents = F.floor(F.abs(F.col(col)) * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = (
+        events.select(cents.alias("_c"), digit.alias("digit"))
+        .filter(F.col("_c") >= 1)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spark = events.sparkSession
+    exp = spark.createDataFrame(
+        [(d + 1, bp) for d, bp in enumerate(BENFORD_BP)],
+        "digit int, benford_bp bigint",
+    )
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        obs.withColumn("_tot", F.sum("n").over(tot))
+        .join(F.broadcast(exp), "digit")
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 10000) div _tot").cast("bigint").alias("share_bp"),
+            "benford_bp",
+            (F.expr("(n * 10000) div _tot") - F.col("benford_bp"))
+            .cast("bigint")
+            .alias("dev_bp"),
+        )
+    )

@@ -73,3 +73,51 @@ def zorder_layout(
         F.min("_d").cast("bigint").alias("min_d"),
         F.max("_d").cast("bigint").alias("max_d"),
     )
+
+
+def zorder_skipping_effectiveness(
+    events: DataFrame, bits: int = 8, n_file_bits: int = 4
+) -> DataFrame:
+    """Quantified payoff of the Z-order layout: for EVERY possible
+    point predicate on each dimension (u = X, d = X for X in
+    [0, 2^bits)), count how many files' min/max envelopes a pruning
+    scan must read, and report the average hit rate in basis points —
+    the number a layout decision is actually made on (a perfect
+    single-dim sort gives ~1/n_files on its dim and ~10000 on the
+    other; Z-order lands both dims in between).
+
+    Returns (dim, n_probes, n_files, file_hits, avg_hit_bp).
+
+    Scale shape: the envelope table is 2^n_file_bits rows (bounded);
+    probes are a generated 2^bits-row range; the audit is a broadcast
+    range join between two bounded frames — data volume is touched
+    only by `zorder_layout`'s one aggregate."""
+    env = zorder_layout(events, bits=bits, n_file_bits=n_file_bits)
+    spark = events.sparkSession
+    probes = spark.range(1 << bits).select(F.col("id").cast("bigint").alias("x"))
+    out = []
+    for dim, lo, hi in (("u", "min_u", "max_u"), ("d", "min_d", "max_d")):
+        hits = (
+            probes.join(
+                F.broadcast(env.select(lo, hi)),
+                (F.col("x") >= F.col(lo)) & (F.col("x") <= F.col(hi)),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("file_hits"))
+        )
+        n_files = env.agg(F.count(F.lit(1)).cast("bigint").alias("n_files"))
+        out.append(
+            hits.join(n_files)
+            .select(
+                F.lit(dim).alias("dim"),
+                F.lit(1 << bits).cast("bigint").alias("n_probes"),
+                "n_files",
+                "file_hits",
+                F.expr(f"(file_hits * 10000) div ({1 << bits} * n_files)")
+                .cast("bigint")
+                .alias("avg_hit_bp"),
+            )
+        )
+    res = out[0]
+    for p in out[1:]:
+        res = res.unionByName(p)
+    return res

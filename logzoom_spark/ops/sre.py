@@ -411,3 +411,63 @@ def error_run_lengths(turns: DataFrame) -> DataFrame:
             "max_error_run"
         ),
     )
+
+
+def ewma_rate_alerts(
+    events: DataFrame,
+    horizon: int = 16,
+    threshold_x: int = 3,
+) -> DataFrame:
+    """EWMA-baseline volume alerts, integer-exact: each observed day's
+    event count is compared against an exponentially-weighted baseline
+    of the previous `horizon` OBSERVED days (weight 2^-j for the j-th
+    day back, scaled by 2^horizon so everything stays BIGINT — the
+    truncated power series of the classic EWMA recursion). A day alerts
+    when count × norm > threshold_x × baseline, i.e. count exceeds
+    threshold_x × the weighted mean. Days without any history never
+    alert (norm = 0) — counted, not dropped.
+
+    Returns (day_no, n, baseline_x, norm_x, is_alert).
+
+    Scale shape: volume collapses to the per-day grid first (calendar-
+    bounded); the `horizon` lag columns run in ONE window over that
+    bounded grid. The no-partition window is over days, not data — the
+    same bounded-aggregate exception as the histogram cut-point
+    windows (documented there)."""
+    from pyspark.sql import Window as W
+
+    if horizon < 1 or horizon > 62 or threshold_x < 1:
+        raise ValueError(
+            f"need 1 <= horizon <= 62 and threshold_x >= 1, got {horizon}/{threshold_x}"
+        )
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("bigint")
+    grid = events.groupBy(day.alias("day_no")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = W.orderBy("day_no")
+    baseline = None
+    norm = None
+    for j in range(1, horizon + 1):
+        weight = 1 << (horizon - j)
+        term = F.coalesce(F.lag("n", j).over(w) * weight, F.lit(0))
+        have = F.when(F.lag("n", j).over(w).isNotNull(), weight).otherwise(0)
+        baseline = term if baseline is None else baseline + term
+        norm = have if norm is None else norm + have
+    scored = grid.select(
+        "day_no",
+        "n",
+        baseline.cast("bigint").alias("baseline_x"),
+        norm.cast("bigint").alias("norm_x"),
+    )
+    return scored.select(
+        "day_no",
+        "n",
+        "baseline_x",
+        "norm_x",
+        (
+            (F.col("norm_x") > 0)
+            & (F.col("n") * F.col("norm_x") > threshold_x * F.col("baseline_x"))
+        )
+        .cast("int")
+        .alias("is_alert"),
+    )

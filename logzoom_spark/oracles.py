@@ -5416,3 +5416,85 @@ SELECT touch_type, count(*)::BIGINT AS n_credits,
        sum(credit_bp)::BIGINT AS total_credit_bp
 FROM credited GROUP BY 1
 """
+
+
+# EWMA-baseline volume alerts (ops/sre.ewma_rate_alerts, horizon 16,
+# threshold 3x): truncated 2^-j power series, integer-scaled by 2^16,
+# lags over the bounded day grid.
+ORACLES["ewma_rate_alerts"] = f"""
+WITH grid AS (
+  SELECT {_DAY_NO} AS day_no, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+sc AS (
+  SELECT day_no, n,
+         (coalesce(lag(n, 1) OVER w * 32768, 0) + coalesce(lag(n, 2) OVER w * 16384, 0) + coalesce(lag(n, 3) OVER w * 8192, 0) + coalesce(lag(n, 4) OVER w * 4096, 0) + coalesce(lag(n, 5) OVER w * 2048, 0) + coalesce(lag(n, 6) OVER w * 1024, 0) + coalesce(lag(n, 7) OVER w * 512, 0) + coalesce(lag(n, 8) OVER w * 256, 0) + coalesce(lag(n, 9) OVER w * 128, 0) + coalesce(lag(n, 10) OVER w * 64, 0) + coalesce(lag(n, 11) OVER w * 32, 0) + coalesce(lag(n, 12) OVER w * 16, 0) + coalesce(lag(n, 13) OVER w * 8, 0) + coalesce(lag(n, 14) OVER w * 4, 0) + coalesce(lag(n, 15) OVER w * 2, 0) + coalesce(lag(n, 16) OVER w * 1, 0))::BIGINT AS baseline_x,
+         ((CASE WHEN lag(n, 1) OVER w IS NOT NULL THEN 32768 ELSE 0 END) + (CASE WHEN lag(n, 2) OVER w IS NOT NULL THEN 16384 ELSE 0 END) + (CASE WHEN lag(n, 3) OVER w IS NOT NULL THEN 8192 ELSE 0 END) + (CASE WHEN lag(n, 4) OVER w IS NOT NULL THEN 4096 ELSE 0 END) + (CASE WHEN lag(n, 5) OVER w IS NOT NULL THEN 2048 ELSE 0 END) + (CASE WHEN lag(n, 6) OVER w IS NOT NULL THEN 1024 ELSE 0 END) + (CASE WHEN lag(n, 7) OVER w IS NOT NULL THEN 512 ELSE 0 END) + (CASE WHEN lag(n, 8) OVER w IS NOT NULL THEN 256 ELSE 0 END) + (CASE WHEN lag(n, 9) OVER w IS NOT NULL THEN 128 ELSE 0 END) + (CASE WHEN lag(n, 10) OVER w IS NOT NULL THEN 64 ELSE 0 END) + (CASE WHEN lag(n, 11) OVER w IS NOT NULL THEN 32 ELSE 0 END) + (CASE WHEN lag(n, 12) OVER w IS NOT NULL THEN 16 ELSE 0 END) + (CASE WHEN lag(n, 13) OVER w IS NOT NULL THEN 8 ELSE 0 END) + (CASE WHEN lag(n, 14) OVER w IS NOT NULL THEN 4 ELSE 0 END) + (CASE WHEN lag(n, 15) OVER w IS NOT NULL THEN 2 ELSE 0 END) + (CASE WHEN lag(n, 16) OVER w IS NOT NULL THEN 1 ELSE 0 END))::BIGINT AS norm_x
+  FROM grid WINDOW w AS (ORDER BY day_no)
+)
+SELECT day_no, n, baseline_x, norm_x,
+       (CASE WHEN norm_x > 0 AND n * norm_x > 3 * baseline_x
+             THEN 1 ELSE 0 END)::INT AS is_alert
+FROM sc
+"""
+
+
+# Benford leading-digit audit (ops/audit.benford_audit on events.value):
+# digit from the BIGINT cents string; expected shares as a literal table.
+ORACLES["benford_audit"] = """
+WITH c AS (
+  SELECT cast(floor(abs(value) * 100) AS BIGINT) AS cents FROM events
+),
+obs AS (
+  SELECT substr(cast(cents AS VARCHAR), 1, 1)::INT AS digit,
+         count(*)::BIGINT AS n
+  FROM c WHERE cents >= 1 GROUP BY 1
+),
+exp AS (
+  SELECT * FROM (VALUES (1, 3010), (2, 1760), (3, 1249), (4, 969),
+                        (5, 791), (6, 669), (7, 579), (8, 511), (9, 457))
+    AS t(digit, benford_bp)
+)
+SELECT o.digit, o.n,
+       ((o.n * 10000) // sum(o.n) OVER ())::BIGINT AS share_bp,
+       e.benford_bp::BIGINT AS benford_bp,
+       ((o.n * 10000) // sum(o.n) OVER () - e.benford_bp)::BIGINT AS dev_bp
+FROM obs o JOIN exp e ON o.digit = e.digit
+"""
+
+
+# Z-order skipping effectiveness (ops/layout.zorder_skipping_
+# effectiveness): point-predicate file-hit rate per dimension over the
+# bounded envelope table.
+ORACLES["zorder_skipping_effectiveness"] = f"""
+WITH r AS (
+  SELECT (user_id % 256)::BIGINT AS u,
+         ({_DAY_NO} % 256)::BIGINT AS d
+  FROM events
+),
+z AS (
+  SELECT u, d, (((((u >> 0) & 1) << 0) | (((u >> 1) & 1) << 2) | (((u >> 2) & 1) << 4) | (((u >> 3) & 1) << 6) | (((u >> 4) & 1) << 8) | (((u >> 5) & 1) << 10) | (((u >> 6) & 1) << 12) | (((u >> 7) & 1) << 14) | (((d >> 0) & 1) << 1) | (((d >> 1) & 1) << 3) | (((d >> 2) & 1) << 5) | (((d >> 3) & 1) << 7) | (((d >> 4) & 1) << 9) | (((d >> 5) & 1) << 11) | (((d >> 6) & 1) << 13) | (((d >> 7) & 1) << 15)) >> 12)::BIGINT AS file_id FROM r
+),
+env AS (
+  SELECT file_id, min(u) AS min_u, max(u) AS max_u,
+         min(d) AS min_d, max(d) AS max_d
+  FROM z GROUP BY 1
+),
+probes AS (SELECT gs.x::BIGINT AS x FROM unnest(generate_series(0, 255)) AS gs(x)),
+nf AS (SELECT count(*)::BIGINT AS n_files FROM env),
+hu AS (
+  SELECT count(*)::BIGINT AS file_hits
+  FROM probes p JOIN env e ON p.x >= e.min_u AND p.x <= e.max_u
+),
+hd AS (
+  SELECT count(*)::BIGINT AS file_hits
+  FROM probes p JOIN env e ON p.x >= e.min_d AND p.x <= e.max_d
+)
+SELECT 'u' AS dim, 256::BIGINT AS n_probes, nf.n_files, hu.file_hits,
+       ((hu.file_hits * 10000) // (256 * nf.n_files))::BIGINT AS avg_hit_bp
+FROM hu, nf
+UNION ALL
+SELECT 'd', 256, nf.n_files, hd.file_hits,
+       ((hd.file_hits * 10000) // (256 * nf.n_files))::BIGINT
+FROM hd, nf
+"""

@@ -222,3 +222,53 @@ def test_linear_attribution_orphan_goes_to_none(spark):
     got = {r["touch_type"]: (r["n_credits"], r["total_credit_bp"])
            for r in linear_attribution(ev).collect()}
     assert got == {"none": (1, 10000), "view": (1, 10000)}
+
+
+def test_benford_audit_shares_and_skew(spark):
+    import datetime as dt
+
+    from logzoom_spark.ops.audit import benford_audit
+
+    out = benford_audit(_events(spark)).cache()
+    assert out.agg(F.sum("share_bp")).collect()[0][0] <= 10000
+    assert out.filter((F.col("digit") < 1) | (F.col("digit") > 9)).count() == 0
+    out.unpersist()
+    # all-nines data must show a strongly positive deviation on digit 9
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, i, t0, "view", 9.99) for i in range(50)],
+        "event_id bigint, user_id bigint, ts timestamp, event_type string, value double",
+    )
+    nine = {r["digit"]: r["dev_bp"] for r in benford_audit(ev).collect()}
+    assert nine == {9: 10000 - 457}
+
+
+def test_zorder_skipping_rows_and_bounds(spark):
+    from logzoom_spark.ops.layout import zorder_skipping_effectiveness
+
+    out = zorder_skipping_effectiveness(_events(spark)).collect()
+    assert {r["dim"] for r in out} == {"u", "d"}
+    for r in out:
+        assert 0 <= r["avg_hit_bp"] <= 10000
+        assert r["file_hits"] <= r["n_probes"] * r["n_files"]
+
+
+def test_ewma_alert_fires_on_spike_only(spark):
+    import datetime as dt
+
+    from logzoom_spark.ops.sre import ewma_rate_alerts
+
+    rows = []
+    eid = 0
+    for day in range(18):
+        n = 1000 if day == 17 else 10
+        for i in range(n):
+            rows.append((eid, 1, dt.datetime(2024, 1, 1 + day, 0, 0, i % 60)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+    out = {r["day_no"]: r for r in ewma_rate_alerts(ev).collect()}
+    days = sorted(out)
+    first, last = out[days[0]], out[days[-1]]
+    assert first["norm_x"] == 0 and first["is_alert"] == 0
+    assert last["is_alert"] == 1
+    assert sum(r["is_alert"] for r in out.values()) == 1
