@@ -2714,6 +2714,23 @@ def q_ewma_rate_alerts(spark: SparkSession, sf: str) -> DataFrame:
     return ewma_rate_alerts(_read(spark, sf, "events"))
 
 
+def q_bot_ring_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Bot rings: users with byte-identical (type, pow2-gap-bucket)
+    behavioral sequences; one user-key window + digest rollup."""
+    from logzoom_spark.ops.behavior import bot_ring_detection
+
+    return bot_ring_detection(_read(spark, sf, "events"), min_users=2)
+
+
+def q_growth_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship growth composition: dormancy win-back ⋈ bounce rate on
+    the calendar-bounded day key — actives, new, reactivated, sessions,
+    bounces per day in one report."""
+    from logzoom_spark.ops.behavior import growth_report
+
+    return growth_report(_read(spark, sf, "events"))
+
+
 def q_fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity audit lineitem→orders: orphan facts and
     childless parents, anti-joins over collapsed key sets."""
@@ -3169,6 +3186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": q_benford_audit,
         "zorder_skipping_effectiveness": q_zorder_skipping_effectiveness,
         "ewma_rate_alerts": q_ewma_rate_alerts,
+        "bot_ring_detection": q_bot_ring_detection,
+        "growth_report": q_growth_report,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

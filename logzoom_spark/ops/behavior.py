@@ -549,3 +549,84 @@ def linear_attribution(
             F.sum("credit_bp").cast("bigint").alias("total_credit_bp"),
         )
     )
+
+
+def bot_ring_detection(events: DataFrame, min_users: int = 2) -> DataFrame:
+    """Bot-ring screen: users whose ENTIRE behavioral sequence — event
+    types in (ts, event_id) order plus the power-of-two bucket of each
+    inter-event gap — is byte-identical are almost certainly scripted
+    (organic users never replay both the order and the timing shape).
+    Each user collapses to one md5 sequence fingerprint; fingerprints
+    shared by >= min_users form a ring.
+
+    Returns (seq_fp, n_users, n_events) — n_events is per member (all
+    members share it by construction).
+
+    Scale shape: one user-key window (gap buckets) + one ordered
+    aggregation per user — the exchange carries (user, type, bucket)
+    triples once; rings roll up on the 32-byte digest."""
+    from pyspark.sql import Window as W
+
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_bucket = F.coalesce(
+        F.length(F.expr("bin(_gap)")).cast("string"), F.lit("s")
+    )
+    steps = (
+        events.select(
+            "user_id", "ts", "event_id", "event_type", ep.alias("_ep")
+        )
+        .withColumn("_gap", F.col("_ep") - F.lag("_ep").over(w))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.concat_ws(":", "event_type", gap_bucket).alias("_step"),
+        )
+    )
+    per_user = steps.groupBy("user_id").agg(
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "_step"))
+                ).getField("_step"),
+            )
+        ).alias("seq_fp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return (
+        per_user.groupBy("seq_fp", "n_events")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .filter(F.col("n_users") >= min_users)
+        .select("seq_fp", "n_users", "n_events")
+    )
+
+
+def growth_report(events: DataFrame, dormant_days: int = 7, gap_s: int = 1800) -> DataFrame:
+    """Flagship growth composition: one row per observed day joining the
+    engagement dossiers — actives/new/reactivated (dormancy win-back)
+    with sessions/bounces (bounce rate). The daily health report a
+    growth team reads, assembled from already-verified operators with
+    one calendar-bounded join.
+
+    Returns (day_no, n_active, n_new, n_reactivated, reactivated_bp,
+    n_sessions, n_bounces, bounce_bp).
+
+    Scale shape: both inputs are calendar-bounded aggregates; the full
+    outer join on day_no moves only those."""
+    d = dormancy_reactivation(events, dormant_days=dormant_days)
+    b = bounce_rate_daily(events, gap_s=gap_s)
+    return (
+        d.join(b, "day_no", "full_outer")
+        .select(
+            "day_no",
+            F.coalesce("n_active", F.lit(0)).cast("bigint").alias("n_active"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            F.coalesce("n_reactivated", F.lit(0)).cast("bigint").alias("n_reactivated"),
+            F.coalesce("reactivated_bp", F.lit(0)).cast("bigint").alias("reactivated_bp"),
+            F.coalesce("n_sessions", F.lit(0)).cast("bigint").alias("n_sessions"),
+            F.coalesce("n_bounces", F.lit(0)).cast("bigint").alias("n_bounces"),
+            F.coalesce("bounce_bp", F.lit(0)).cast("bigint").alias("bounce_bp"),
+        )
+    )

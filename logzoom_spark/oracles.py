@@ -5498,3 +5498,89 @@ SELECT 'd', 256, nf.n_files, hd.file_hits,
        ((hd.file_hits * 10000) // (256 * nf.n_files))::BIGINT
 FROM hd, nf
 """
+
+
+# Bot-ring screen (ops/behavior.bot_ring_detection, min_users=2):
+# per-user md5 over the ordered (type : pow2-gap-bucket) sequence.
+ORACLES["bot_ring_detection"] = """
+WITH b AS (
+  SELECT user_id, ts, event_id, event_type,
+         cast(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+),
+g AS (
+  SELECT user_id, ts, event_id,
+         event_type || ':' ||
+         (CASE WHEN lag(ep) OVER w IS NULL THEN 's'
+               ELSE length(bin(ep - lag(ep) OVER w))::VARCHAR END) AS step
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+per AS (
+  SELECT user_id,
+         md5(string_agg(step, chr(31) ORDER BY ts, event_id)) AS seq_fp,
+         count(*)::BIGINT AS n_events
+  FROM g GROUP BY user_id
+)
+SELECT seq_fp, count(*)::BIGINT AS n_users, n_events
+FROM per GROUP BY seq_fp, n_events
+HAVING count(*) >= 2
+"""
+
+
+# Growth flagship (ops/behavior.growth_report): dormancy win-back ⋈
+# bounce rate on the calendar-bounded day key.
+ORACLES["growth_report"] = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, {_DAY_NO} AS day_no FROM events
+),
+gp AS (
+  SELECT day_no,
+         day_no - lag(day_no) OVER (PARTITION BY user_id ORDER BY day_no)
+           AS gap
+  FROM ud
+),
+dorm AS (
+  SELECT day_no, count(*)::BIGINT AS n_active,
+         sum(CASE WHEN gap IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new,
+         sum(CASE WHEN gap > 7 THEN 1 ELSE 0 END)::BIGINT AS n_reactivated,
+         ((sum(CASE WHEN gap > 7 THEN 1 ELSE 0 END) * 10000)
+           // count(*))::BIGINT AS reactivated_bp
+  FROM gp GROUP BY 1
+),
+e AS (
+  SELECT user_id, ts, event_id,
+         cast(floor(epoch(ts)) AS BIGINT) AS ep,
+         {_DAY_NO} AS day_no
+  FROM events
+),
+n AS (
+  SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+                   OR ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END AS newf
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+  FROM n
+),
+pses AS (
+  SELECT user_id, sess, count(*)::BIGINT AS n_ev, min(day_no) AS day_no
+  FROM s GROUP BY 1, 2
+),
+bounce AS (
+  SELECT day_no, count(*)::BIGINT AS n_sessions,
+         sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+         ((sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 10000)
+           // count(*))::BIGINT AS bounce_bp
+  FROM pses GROUP BY 1
+)
+SELECT coalesce(d.day_no, b.day_no) AS day_no,
+       coalesce(d.n_active, 0)::BIGINT AS n_active,
+       coalesce(d.n_new, 0)::BIGINT AS n_new,
+       coalesce(d.n_reactivated, 0)::BIGINT AS n_reactivated,
+       coalesce(d.reactivated_bp, 0)::BIGINT AS reactivated_bp,
+       coalesce(b.n_sessions, 0)::BIGINT AS n_sessions,
+       coalesce(b.n_bounces, 0)::BIGINT AS n_bounces,
+       coalesce(b.bounce_bp, 0)::BIGINT AS bounce_bp
+FROM dorm d FULL OUTER JOIN bounce b ON d.day_no = b.day_no
+"""

@@ -272,3 +272,50 @@ def test_ewma_alert_fires_on_spike_only(spark):
     assert first["norm_x"] == 0 and first["is_alert"] == 0
     assert last["is_alert"] == 1
     assert sum(r["is_alert"] for r in out.values()) == 1
+
+
+def test_bot_ring_detects_identical_sequences(spark):
+    import datetime as dt
+
+    from logzoom_spark.ops.behavior import bot_ring_detection
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # users 1 and 2: identical type order AND identical gap shape
+    for u in (1, 2):
+        for i, (etype, off) in enumerate(
+            [("view", 0), ("click", 10), ("purchase", 100)]
+        ):
+            rows.append((eid, u, t0 + dt.timedelta(seconds=off + u), etype))
+            eid += 1
+    # user 3: same types but a different gap shape (bucket differs)
+    for etype, off in [("view", 0), ("click", 10), ("purchase", 5000)]:
+        rows.append((eid, 3, t0 + dt.timedelta(seconds=off), etype))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    out = bot_ring_detection(ev, min_users=2).collect()
+    assert len(out) == 1
+    assert out[0]["n_users"] == 2 and out[0]["n_events"] == 3
+
+
+def test_growth_report_equals_components(spark):
+    from logzoom_spark.ops.behavior import (
+        bounce_rate_daily,
+        dormancy_reactivation,
+        growth_report,
+    )
+
+    ev = _events(spark)
+    rep = {r["day_no"]: r for r in growth_report(ev).collect()}
+    dorm = {r["day_no"]: r for r in dormancy_reactivation(ev).collect()}
+    bnc = {r["day_no"]: r for r in bounce_rate_daily(ev).collect()}
+    assert set(rep) == set(dorm) | set(bnc)
+    for d, r in rep.items():
+        assert r["n_new"] <= r["n_active"]
+        if d in dorm:
+            assert r["n_active"] == dorm[d]["n_active"]
+        if d in bnc:
+            assert r["n_sessions"] == bnc[d]["n_sessions"]
