@@ -2731,6 +2731,15 @@ def q_growth_report(spark: SparkSession, sf: str) -> DataFrame:
     return growth_report(_read(spark, sf, "events"))
 
 
+def q_daily_dup_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-day duplication-rate curve (rows vs distinct normalized
+    fingerprints, floor basis points) — the trend a dedup stage is
+    sized and alerted on."""
+    from logzoom_spark.ops.dedup import daily_dup_rate
+
+    return daily_dup_rate(_turns(spark, sf))
+
+
 def q_fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity audit lineitem→orders: orphan facts and
     childless parents, anti-joins over collapsed key sets."""
@@ -3188,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_rate_alerts": q_ewma_rate_alerts,
         "bot_ring_detection": q_bot_ring_detection,
         "growth_report": q_growth_report,
+        "daily_dup_rate": q_daily_dup_rate,
         "dq_profile_turns": q_dq_profile_turns,
         "storage_tiering_plan": q_storage_tiering_plan,
         # --- already driver-recorded green in r01..r04 ---

@@ -831,3 +831,36 @@ def ngram_containment_pairs(
     return j.filter(
         (F.col("cont_ab10k") >= cut) | (F.col("cont_ba10k") >= cut)
     ).select("doc_a", "doc_b", "cont_ab10k", "cont_ba10k")
+
+
+def daily_dup_rate(turns: DataFrame) -> DataFrame:
+    """Pipeline-health duplication curve: per observed day, row count,
+    distinct normalized content fingerprints, and the duplication rate
+    in floor basis points — the trend a dedup stage is sized (and
+    alerted) on: a producer stuck in a retry loop shows up as a dup_bp
+    spike long before storage bills do.
+
+    Returns (day_no, n_rows, n_unique, dup_bp).
+
+    Scale shape: the fingerprint is a row-local projection; one
+    calendar-bounded aggregate carries (day, digest) — bodies never
+    shuffle (same digest-only discipline as dedup_exact)."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("bigint")
+    base = turns.filter(F.col("text").isNotNull()).select(
+        day.alias("day_no"), fingerprint("text").alias("_fp")
+    )
+    return (
+        base.groupBy("day_no")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct("_fp").cast("bigint").alias("n_unique"),
+        )
+        .select(
+            "day_no",
+            "n_rows",
+            "n_unique",
+            F.expr("((n_rows - n_unique) * 10000) div n_rows")
+            .cast("bigint")
+            .alias("dup_bp"),
+        )
+    )

@@ -5584,3 +5584,19 @@ SELECT coalesce(d.day_no, b.day_no) AS day_no,
        coalesce(b.bounce_bp, 0)::BIGINT AS bounce_bp
 FROM dorm d FULL OUTER JOIN bounce b ON d.day_no = b.day_no
 """
+
+
+# Daily duplication-rate curve (ops/dedup.daily_dup_rate): digest-only
+# per-day rollup with the dedup_exact normalization.
+ORACLES["daily_dup_rate"] = f"""
+WITH {TURNS_CTE},
+b AS (
+  SELECT {_DAY_NO} AS day_no, md5({_NORM_TEXT}) AS fp
+  FROM turns WHERE text IS NOT NULL
+)
+SELECT day_no, count(*)::BIGINT AS n_rows,
+       count(DISTINCT fp)::BIGINT AS n_unique,
+       (((count(*) - count(DISTINCT fp)) * 10000) // count(*))::BIGINT
+         AS dup_bp
+FROM b GROUP BY 1
+"""

@@ -4158,3 +4158,26 @@ def test_context_truncation_keeps_latest(spark):
     assert out[3].kept == 1 and out[3].cum_from_end == 40
     assert out[2].kept == 0 and out[2].cum_from_end == 70
     assert out[0].kept == 0
+
+
+def test_daily_dup_rate_curve(spark):
+    """Day 0: 4 rows, 2 unique (50% dup -> 5000 bp); day 1: 2 rows both
+    unique (0 bp); NULL text excluded; normalization folds case/space."""
+    import datetime as dt
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 0)),
+        ("A ", dt.datetime(2024, 1, 1, 5, 0)),   # dup of "a" after norm
+        ("b", dt.datetime(2024, 1, 1, 9, 0)),
+        ("b", dt.datetime(2024, 1, 1, 23, 59)),  # dup of "b"
+        ("c", dt.datetime(2024, 1, 2, 0, 0)),
+        ("d", dt.datetime(2024, 1, 2, 1, 0)),
+        (None, dt.datetime(2024, 1, 2, 2, 0)),   # excluded
+    ]
+    df = spark.createDataFrame(rows, "text string, ts timestamp")
+    out = {r.day_no: r for r in dedup.daily_dup_rate(df).collect()}
+    d0 = dt.date(2024, 1, 1).toordinal() - dt.date(1970, 1, 1).toordinal()
+    assert out[d0].n_rows == 4 and out[d0].n_unique == 2
+    assert out[d0].dup_bp == 5000
+    assert out[d0 + 1].n_rows == 2 and out[d0 + 1].n_unique == 2
+    assert out[d0 + 1].dup_bp == 0
