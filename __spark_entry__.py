@@ -3046,6 +3046,59 @@ def q_template_latency_profile(spark: SparkSession, sf: str) -> DataFrame:
     return template_latency_profile(_turns(spark, sf))
 
 
+def q_heaps_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve over equal-width doc_id
+    buckets: cumulative tokens vs cumulative distinct vocabulary — the
+    'is more data still buying new types' tokenizer/dedup sizing
+    diagnostic. Vocabulary-sized shuffle only; text never moves."""
+    from logzoom_spark.ops.text import heaps_vocab_growth
+
+    return heaps_vocab_growth(_read(spark, sf, "documents"), n_buckets=20)
+
+
+def q_char_entropy_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-0 character entropy per document (floor milli-nats) — the
+    compressibility quality proxy; entirely row-local built-ins, zero
+    exchange, zero Python."""
+    from logzoom_spark.ops.text import char_entropy
+
+    return char_entropy(_read(spark, sf, "documents"))
+
+
+def q_tcloseness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness release gate (quasi = event_type, sensitive =
+    user_id): exact-integer total-variation distance of each cell's
+    sensitive distribution vs global, in basis points — completes the
+    k-anonymity / l-diversity privacy family."""
+    from logzoom_spark.ops.audit import tcloseness_audit
+
+    return tcloseness_audit(_read(spark, sf, "events"))
+
+
+def q_classify_auc_en(spark: SparkSession, sf: str) -> DataFrame:
+    """Threshold-free eval of the is-English classifier: exact ROC-AUC
+    via the Mann-Whitney histogram form (ties = 1/2), integer basis
+    points; the cumulative window runs over the bounded score histogram
+    only."""
+    from logzoom_spark.ops import classify
+
+    docs = _read(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    w = classify.classifier_fit(train, F.col("lang") == "en")
+    scored = classify.classifier_score(docs, w)
+    return classify.classifier_auc(scored, docs, F.col("lang") == "en")
+
+
+def q_neyman_sample_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman-allocated stratified sample (budget 120 across lang strata,
+    weights = floor(N_h * sd(n_chars)) from exact integer moments):
+    minimum-variance allocation, hash-rank selection, fully
+    re-derivable."""
+    from logzoom_spark.ops.corpus import neyman_sample
+
+    return neyman_sample(_read(spark, sf, "documents"), budget=120)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness run records exactly the FIRST
     # 50 dict keys. Round-5 rotation (per VERDICT r4 top_next): the 44
@@ -3301,6 +3354,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": q_kmv_distinct_users,
         "latency_percentiles": q_latency_percentiles,
         "frame_sample_plan": q_frame_sample_plan,
+        # --- session-6 additions (past the prefix; rotate in next round) ---
+        "heaps_vocab_growth": q_heaps_vocab_growth,
+        "char_entropy_quality": q_char_entropy_quality,
+        "tcloseness_audit": q_tcloseness_audit,
+        "classify_auc_en": q_classify_auc_en,
+        "neyman_sample_lang": q_neyman_sample_lang,
     }
 
 

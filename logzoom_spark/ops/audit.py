@@ -392,3 +392,79 @@ def benford_audit(events: DataFrame, col: str = "value") -> DataFrame:
             .alias("dev_bp"),
         )
     )
+
+
+def tcloseness_audit(
+    events: DataFrame,
+    quasi_cols: tuple[str, ...] = ("event_type",),
+    sensitive_col: str = "user_id",
+    t_bp: int = 2000,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007 — the
+    successor to l-diversity): per quasi-identifier cell, the total
+    variation distance between the cell's sensitive-value distribution
+    and the GLOBAL distribution, in basis points. l-diversity only
+    counts distinct sensitive values; a cell can carry l values yet be
+    wildly skewed vs the population, leaking membership — t-closeness
+    bounds that skew. Completes the release-gate family with
+    `aggregate.kanon_release` and `ldiversity_audit`.
+
+    TVD for categorical sensitive values = (1/2) * [ sum over values
+    present in the cell of |p_cell - p_global| + total global mass of
+    values ABSENT from the cell ], computed EXACTLY in integers:
+    term1 = sum |n_cs*N - N_s*n_c|, term2 = (N - sum_present N_s)*n_c,
+    tvd_bp = 10000*(term1+term2) div (2*n_c*N). Intermediate products
+    stay < 2^63 up to ~10^9 rows; at full 100 TB scale cast the two
+    count factors to DECIMAL(38,0) (Spark-native) for the same exact
+    arithmetic.
+
+    Returns (*quasi_cols, n_rows, tvd_bp, ok) with ok = tvd_bp <= t_bp.
+
+    Scale shape: one (quasi, sensitive) aggregate, one sensitive-key
+    aggregate (both map-side combined), a join on the sensitive key, a
+    re-rollup on the quasi key, and a broadcast 1-row total. No body
+    columns ever move; everything after the first rollup is
+    count-sized."""
+    if t_bp < 0 or t_bp > 10000:
+        raise ValueError(f"need 0 <= t_bp <= 10000, got {t_bp}")
+    q = [F.col(c) for c in quasi_cols]
+    cell_s = events.groupBy(*q, F.col(sensitive_col).alias("_s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cs")
+    )
+    glob_s = events.groupBy(F.col(sensitive_col).alias("_s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    total = events.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    # carry n_c per cell via a window on the quasi key (rides the same
+    # exchange as the (quasi, sensitive) aggregate — no extra shuffle) so
+    # term1's |n_cs*N - N_s*n_c| sees the cell total on every row
+    from pyspark.sql import Window
+
+    wcell = Window.partitionBy(*quasi_cols)
+    detail = (
+        cell_s.join(glob_s, "_s")
+        .crossJoin(F.broadcast(total))
+        .withColumn("n_c", F.sum("n_cs").over(wcell).cast("bigint"))
+    )
+    return (
+        detail.groupBy(*quasi_cols)
+        .agg(
+            F.max("n_c").alias("n_rows"),
+            F.max("n_total").alias("_n"),
+            F.sum(
+                F.abs(F.col("n_cs") * F.col("n_total") - F.col("n_s") * F.col("n_c"))
+            )
+            .cast("bigint")
+            .alias("_term1"),
+            F.sum("n_s").cast("bigint").alias("_present"),
+        )
+        .select(
+            *quasi_cols,
+            F.col("n_rows"),
+            F.expr(
+                "CAST((10000 * (_term1 + (_n - _present) * n_rows)) "
+                "DIV (2 * n_rows * _n) AS BIGINT)"
+            ).alias("tvd_bp"),
+        )
+        .withColumn("ok", (F.col("tvd_bp") <= t_bp).cast("int"))
+    )

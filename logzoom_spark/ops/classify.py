@@ -245,3 +245,62 @@ def classifier_confusion(
         .groupBy("label", "pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def classifier_auc(
+    scored: DataFrame, docs: DataFrame, label_col: Column | str
+) -> DataFrame:
+    """Threshold-free ranking evaluation: exact ROC-AUC of the classifier
+    score against truth via the Mann-Whitney rank statistic, computed in
+    integer basis points. AUC = P(score_pos > score_neg) + (1/2)P(tie) =
+    [ sum over distinct scores s of pos_s * (2*cum_neg_below(s) + neg_s) ]
+    / (2 * P * N) — the grouped-histogram form, so ties are handled
+    exactly (each tied pair contributes 1/2) without any float ranks.
+
+    Returns ONE row (n_pos, n_neg, n_unscored, auc_bp); unscorable docs
+    (NULL score — no features) are counted, not silently dropped.
+
+    Scale shape: one groupBy on the integer score (bounded: score_fp
+    lives in [0, SCALE], so the histogram is at most SCALE+1 rows no
+    matter the corpus size), then the cumulative window and final rollup
+    run over that bounded aggregate only — the same bounded-window
+    discipline as pack_sequences' bucket prefix sum. The numerator is <
+    2*P*N*10000, within BIGINT up to ~10^7 docs per class; beyond that
+    cast the histogram counts to DECIMAL(38,0)."""
+    from pyspark.sql import Window
+
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    truth = docs.select("doc_id", y.cast("boolean").alias("_y"))
+    joined = scored.join(truth, "doc_id")
+    hist = (
+        joined.filter(F.col("score_fp").isNotNull())
+        .groupBy("score_fp")
+        .agg(
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("bigint").alias("pos"),
+            F.sum(F.when(F.col("_y"), 0).otherwise(1)).cast("bigint").alias("neg"),
+        )
+    )
+    cum = Window.orderBy("score_fp").rowsBetween(Window.unboundedPreceding, -1)
+    unscored = joined.filter(F.col("score_fp").isNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unscored")
+    )
+    return (
+        hist.withColumn("cneg", F.coalesce(F.sum("neg").over(cum), F.lit(0)))
+        .agg(
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.sum("neg").cast("bigint").alias("n_neg"),
+            F.sum(F.col("pos") * (2 * F.col("cneg") + F.col("neg")))
+            .cast("bigint")
+            .alias("_num"),
+        )
+        .crossJoin(F.broadcast(unscored))
+        .select(
+            "n_pos",
+            "n_neg",
+            "n_unscored",
+            F.expr(
+                "CASE WHEN n_pos > 0 AND n_neg > 0 "
+                "THEN CAST((10000 * _num) DIV (2 * n_pos * n_neg) AS BIGINT) END"
+            ).alias("auc_bp"),
+        )
+    )

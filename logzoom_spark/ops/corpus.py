@@ -860,3 +860,68 @@ def context_truncation_plan(
     ).withColumn(
         "kept", (F.col("cum_from_end") <= budget_tokens).cast("int")
     )
+
+
+def neyman_sample(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    measure_col: str = "n_chars",
+    budget: int = 100,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Neyman-allocated stratified sample (Neyman 1934): per-stratum
+    sample sizes proportional to N_h * S_h — spend the budget where the
+    stratum is big AND internally variable, the minimum-variance
+    allocation for estimating a population mean under a fixed total n.
+    The upgrade over proportional `stratified_sample` when strata differ
+    wildly in spread (e.g. short chat turns vs long documents).
+
+    Allocation is integer-exact and engine-portable: the weight is
+    w_h = floor(sqrt(N_h*sum(x^2) - sum(x)^2)) = floor(N_h * sd_pop(x)),
+    computed from exact BIGINT moments (IEEE sqrt is correctly rounded,
+    so floor(sqrt(exact_int)) is bit-identical in any engine);
+    alloc_h = budget * w_h div sum(w) (floor allocation — the rounding
+    remainder is intentionally left unspent, documented, deterministic).
+    Selection inside each stratum keeps the alloc_h smallest by
+    (portable_hash(id, seed), id) — a uniform, re-derivable order.
+
+    Returns the picked rows (strata_col, id_col, alloc_n) sorted within
+    each stratum by id.
+
+    Scale shape: one map-side-combined moment rollup per stratum (3
+    BIGINTs per stratum; at 100 TB cast the moments to DECIMAL(38,0) —
+    n_chars^2 sums overflow BIGINT past ~10^9 long docs), the allocation
+    arithmetic on the strata-count-sized aggregate, a broadcast join of
+    the alloc table, and a WindowGroupLimit rank (at most alloc_h rows
+    per stratum survive each input partition's shuffle write)."""
+    from pyspark.sql import Window
+
+    if budget < 1:
+        raise ValueError(f"need budget >= 1, got {budget}")
+    x = F.col(measure_col).cast("bigint")
+    st = docs.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(x).cast("bigint").alias("_s1"),
+        F.sum(x * x).cast("bigint").alias("_s2"),
+    )
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    alloc = (
+        st.withColumn(
+            "_w",
+            F.floor(F.sqrt((F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1")).cast("double"))).cast("bigint"),
+        )
+        .withColumn("_wsum", F.sum("_w").over(wtot))
+        .select(
+            strata_col,
+            F.expr(f"CASE WHEN _wsum > 0 THEN CAST(({budget} * _w) DIV _wsum AS BIGINT) ELSE 0 END").alias("alloc_n"),
+        )
+    )
+    h = portable_hash(F.col(id_col).cast("string"), seed)
+    rk = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.join(F.broadcast(alloc), strata_col)
+        .withColumn("_rn", F.row_number().over(rk))
+        .filter(F.col("_rn") <= F.col("alloc_n"))
+        .select(strata_col, id_col, "alloc_n")
+    )

@@ -991,3 +991,141 @@ def conv_winnow_overlap(
     return winnow_overlap_pairs(
         docs, min_shared=min_shared, max_bucket=max_bucket
     )
+
+
+def heaps_vocab_growth(
+    docs: DataFrame, n_buckets: int = 20, col: str = "text"
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: sweep the corpus in doc_id
+    order, split into `n_buckets` equal-width doc_id buckets, and report
+    per bucket the cumulative token count vs the cumulative DISTINCT
+    vocabulary — the standard diagnostic for "is more data still buying
+    new vocabulary" when sizing a tokenizer or dedup budget (Heaps 1978,
+    V(n) ~ K*n^beta). `newness_bp` (new types per 10k bucket tokens)
+    falling toward 0 is the saturation signal.
+
+    Returns (bucket, docs_n, bucket_tokens, new_vocab, cum_tokens,
+    cum_vocab, newness_bp), all BIGINT, ordered by bucket.
+
+    Scale shape: bucket token totals are a row-local `size(split(...))`
+    projection + an n_buckets-row rollup (map-side combined, no body
+    shuffle); first occurrences shuffle DISTINCT (token, min doc_id)
+    pairs — the vocabulary, sublinear in corpus size, the same exchange
+    class as BPE pair counting — and the cumulative window runs over the
+    n_buckets-row aggregate only. The corpus text crosses the wire
+    never."""
+    if n_buckets < 1:
+        raise ValueError(f"need n_buckets >= 1, got {n_buckets}")
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+    toks = F.filter(toks, lambda t: t != "")
+    # equal-width doc_id buckets: W from the 1-row max aggregate
+    # (broadcast, stays in-plan — no driver collect)
+    wdf = docs.agg(
+        (F.floor(F.max("doc_id") / n_buckets) + 1).cast("bigint").alias("_w")
+    )
+    base = docs.crossJoin(F.broadcast(wdf)).select(
+        F.expr("doc_id DIV _w").cast("bigint").alias("bucket"),
+        F.col("doc_id"),
+        toks.alias("_toks"),
+    )
+    per_bucket = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_n"),
+        F.sum(F.size("_toks")).cast("bigint").alias("bucket_tokens"),
+    )
+    # vocabulary first occurrences: distinct tokens per doc first (cuts
+    # the exchange to per-doc types), min doc over the corpus, bucket of
+    # that first doc
+    firsts = (
+        base.select("bucket", "doc_id", F.explode(F.array_distinct("_toks")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_vocab"))
+    )
+    from pyspark.sql import Window
+
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(firsts, "bucket", "left")
+        .select(
+            "bucket",
+            "docs_n",
+            "bucket_tokens",
+            F.coalesce("new_vocab", F.lit(0)).cast("bigint").alias("new_vocab"),
+        )
+        .withColumn("cum_tokens", F.sum("bucket_tokens").over(cum).cast("bigint"))
+        .withColumn("cum_vocab", F.sum("new_vocab").over(cum).cast("bigint"))
+        .withColumn(
+            "newness_bp",
+            F.when(
+                F.col("bucket_tokens") > 0,
+                F.expr("(new_vocab * 10000) div bucket_tokens"),
+            ).cast("bigint"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def char_entropy(
+    docs: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-0 character entropy per document, in floor-quantized
+    milli-nats — the compressibility quality proxy (CCNet/RedPajama-style
+    pipelines drop the extreme tails: near-zero entropy is padding/
+    repetition, abnormally high is encrypted/binary junk). H = ln(n) -
+    (1/n)*sum(c*ln(c)) over the per-doc character histogram.
+
+    Returns (id_col, n_chars_used, n_distinct_chars, entropy_mnat);
+    entropy_mnat is NULL for empty/NULL text (nothing to measure),
+    clamped at >= 0 so the ln(n) vs sum identity for single-symbol docs
+    cannot float-round to -1.
+
+    Scale shape: ENTIRELY row-local built-ins — sort the char array,
+    derive run starts/lengths with higher-order functions, fold
+    c*ln(c) in sorted order. Zero exchange, zero Python, whole-stage
+    codegen; the one float op is ln() over small integer counts,
+    floor-quantized to 1e-3 (same discipline as unigram_surprisal)."""
+    t = F.coalesce(F.col(col), F.lit(""))
+    expr = """
+    CASE WHEN size(_cs) = 0 THEN
+      named_struct('n', 0L, 'k', 0L, 'mnat', CAST(NULL AS BIGINT))
+    ELSE
+      named_struct(
+        'n', CAST(size(_cs) AS BIGINT),
+        'k', CAST(size(_starts) AS BIGINT),
+        'mnat', CAST(floor(1000.0d * greatest(0.0d,
+           ln(CAST(size(_cs) AS DOUBLE)) -
+           aggregate(
+             zip_with(
+               _starts,
+               concat(slice(_starts, 2, size(_starts) - 1),
+                      array(size(_cs) + 1)),
+               (a, b) -> b - a),
+             CAST(0.0 AS DOUBLE),
+             (acc, c) -> acc + CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+           / CAST(size(_cs) AS DOUBLE))) AS BIGINT))
+    END
+    """
+    return (
+        docs.select(
+            F.col(id_col),
+            F.array_sort(F.filter(F.split(t, ""), lambda c: c != "")).alias("_cs"),
+        )
+        .withColumn(
+            "_starts",
+            # sequence(1, 0) would count DOWN ([1, 0]) and element_at(_, 0)
+            # throws, so empty docs short-circuit to an empty array
+            F.expr(
+                "CASE WHEN size(_cs) = 0 THEN array() "
+                "ELSE filter(sequence(1, size(_cs)), "
+                "i -> i = 1 OR element_at(_cs, i) != element_at(_cs, i - 1)) END"
+            ),
+        )
+        .withColumn("_e", F.expr(expr))
+        .select(
+            id_col,
+            F.col("_e.n").alias("n_chars_used"),
+            F.col("_e.k").alias("n_distinct_chars"),
+            F.col("_e.mnat").alias("entropy_mnat"),
+        )
+    )

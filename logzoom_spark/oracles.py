@@ -5600,3 +5600,162 @@ SELECT day_no, count(*)::BIGINT AS n_rows,
          AS dup_bp
 FROM b GROUP BY 1
 """
+
+
+# Heaps'-law vocabulary growth (ops/text.heaps_vocab_growth, n_buckets=20):
+# equal-width doc_id buckets, per-bucket token totals, first-occurrence
+# vocabulary counts, cumulative curve.
+ORACLES["heaps_vocab_growth"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                     '\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+w AS (SELECT (max(doc_id) // 20 + 1)::BIGINT AS w FROM documents),
+base AS (
+  SELECT doc_id // (SELECT w FROM w) AS bucket, doc_id, toks FROM tk
+),
+pb AS (
+  SELECT bucket, count(*)::BIGINT AS docs_n,
+         sum(len(toks))::BIGINT AS bucket_tokens
+  FROM base GROUP BY 1
+),
+fo AS (
+  SELECT bucket, count(*)::BIGINT AS new_vocab FROM (
+    SELECT min(bucket) AS bucket FROM (
+      SELECT bucket, unnest(list_distinct(toks)) AS tok FROM base
+    ) GROUP BY tok
+  ) GROUP BY 1
+)
+SELECT pb.bucket, pb.docs_n, pb.bucket_tokens,
+       coalesce(fo.new_vocab, 0)::BIGINT AS new_vocab,
+       sum(pb.bucket_tokens) OVER (ORDER BY pb.bucket)::BIGINT AS cum_tokens,
+       sum(coalesce(fo.new_vocab, 0)) OVER (ORDER BY pb.bucket)::BIGINT
+         AS cum_vocab,
+       CASE WHEN pb.bucket_tokens > 0
+            THEN ((coalesce(fo.new_vocab, 0) * 10000)
+                  // pb.bucket_tokens)::BIGINT END AS newness_bp
+FROM pb LEFT JOIN fo USING (bucket)
+ORDER BY pb.bucket
+"""
+
+
+# Order-0 character entropy (ops/text.char_entropy): per-doc char
+# histogram, H = ln(n) - sum(c*ln(c))/n, floor-quantized milli-nats,
+# clamped >= 0 (single-symbol docs must not float-round to -1).
+ORACLES["char_entropy_quality"] = """
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(coalesce(text, '')) + 1),
+                               i -> coalesce(text, '')[i])) AS c
+  FROM documents
+),
+g AS (SELECT doc_id, c, count(*)::BIGINT AS cnt FROM ch GROUP BY 1, 2),
+e AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n, count(*)::BIGINT AS k,
+         sum(cnt * ln(cnt)) AS s
+  FROM g GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(e.n, 0)::BIGINT AS n_chars_used,
+       coalesce(e.k, 0)::BIGINT AS n_distinct_chars,
+       CASE WHEN e.n IS NULL THEN NULL
+            ELSE floor(1000.0 * greatest(0.0, ln(e.n) - e.s / e.n))::BIGINT
+       END AS entropy_mnat
+FROM documents d LEFT JOIN e USING (doc_id)
+"""
+
+
+# t-closeness audit (ops/audit.tcloseness_audit on events: quasi =
+# event_type, sensitive = user_id, t = 2000 bp): exact-integer total
+# variation distance of each cell's sensitive distribution vs global.
+ORACLES["tcloseness_audit"] = """
+WITH cs AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS n_cs
+  FROM events GROUP BY 1, 2
+),
+gs AS (SELECT user_id, count(*)::BIGINT AS n_s FROM events GROUP BY 1),
+t AS (SELECT count(*)::BIGINT AS n FROM events),
+d AS (
+  SELECT cs.event_type, cs.n_cs, gs.n_s, (SELECT n FROM t) AS n,
+         sum(cs.n_cs) OVER (PARTITION BY cs.event_type)::BIGINT AS n_c
+  FROM cs JOIN gs USING (user_id)
+),
+r AS (
+  SELECT event_type, max(n_c)::BIGINT AS n_rows,
+         ((10000 * (sum(abs(n_cs * n - n_s * n_c))
+                    + (max(n) - sum(n_s)) * max(n_c)))
+          // (2 * max(n_c) * max(n)))::BIGINT AS tvd_bp
+  FROM d GROUP BY 1
+)
+SELECT event_type, n_rows, tvd_bp,
+       (tvd_bp <= 2000)::INT AS ok
+FROM r
+"""
+
+
+# Exact ROC-AUC of the is-English classifier (ops/classify.classifier_auc):
+# Mann-Whitney over the bounded integer-score histogram, ties counted 1/2,
+# integer basis points. Reuses the classifier fit/serve CTEs verbatim so
+# the score being ranked is the one classify_lang_en verifies.
+ORACLES["classify_auc_en"] = f"""
+WITH {_CLASSIFY_CTES},
+pts AS (
+  SELECT s.score_fp, (d.lang = 'en') AS y
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE s.score_fp IS NOT NULL
+),
+h AS (
+  SELECT score_fp,
+         sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos,
+         sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS neg
+  FROM pts GROUP BY 1
+),
+c AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY score_fp
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cneg
+  FROM h
+),
+u AS (SELECT count(*)::BIGINT AS n_unscored FROM scored WHERE score_fp IS NULL)
+SELECT sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+       (SELECT n_unscored FROM u)::BIGINT AS n_unscored,
+       CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+            THEN ((10000 * sum(pos * (2 * cneg + neg)))
+                  // (2 * sum(pos) * sum(neg)))::BIGINT END AS auc_bp
+FROM c
+"""
+
+
+# Neyman-allocated stratified sample (ops/corpus.neyman_sample on
+# documents: strata = lang, measure = n_chars, budget = 120, seed 0):
+# integer moments, floor(sqrt()) weights (IEEE sqrt is correctly rounded
+# so this is engine-portable), floor allocation, hash-rank selection.
+ORACLES["neyman_sample_lang"] = f"""
+WITH st AS (
+  SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s1,
+         sum(n_chars * n_chars)::BIGINT AS s2
+  FROM documents GROUP BY 1
+),
+a AS (
+  SELECT lang, floor(sqrt((n * s2 - s1 * s1)::DOUBLE))::BIGINT AS w FROM st
+),
+al AS (
+  SELECT lang,
+         CASE WHEN (SELECT sum(w) FROM a) > 0
+              THEN ((120 * w) // (SELECT sum(w) FROM a))::BIGINT
+              ELSE 0 END AS alloc_n
+  FROM a
+),
+rk AS (
+  SELECT d.lang, d.doc_id, al.alloc_n,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY {portable_hash_sql("cast(d.doc_id AS VARCHAR)")} ASC,
+                    d.doc_id ASC) AS rn
+  FROM documents d JOIN al USING (lang)
+)
+SELECT lang, doc_id, alloc_n FROM rk WHERE rn <= alloc_n
+"""
