@@ -3099,6 +3099,38 @@ def q_neyman_sample_lang(spark: SparkSession, sf: str) -> DataFrame:
     return neyman_sample(_read(spark, sf, "documents"), budget=120)
 
 
+def q_psi_value_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index of events.value between the first and
+    second half of the day range — the ML-serving drift monitor; per-bin
+    terms floor-quantized to 1e-6 before the integer total so float
+    summation order cannot matter."""
+    from logzoom_spark.ops.audit import psi_value_drift
+
+    return psi_value_drift(_read(spark, sf, "events"))
+
+
+def q_calibration_curve_en(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability diagram of the is-English classifier: per score-decile
+    empirical positive rate vs mean predicted score — the probability-
+    quality companion to classify_auc_en."""
+    from logzoom_spark.ops import classify
+
+    docs = _read(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    w = classify.classifier_fit(train, F.col("lang") == "en")
+    scored = classify.classifier_score(docs, w)
+    return classify.calibration_curve(scored, docs, F.col("lang") == "en")
+
+
+def q_loo_target_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type by mean value cents —
+    the leakage-safe categorical feature; integer-exact, NULL for
+    singleton groups."""
+    from logzoom_spark.ops.classify import loo_target_encode
+
+    return loo_target_encode(_read(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness run records exactly the FIRST
     # 50 dict keys. Round-5 rotation (per VERDICT r4 top_next): the 44
@@ -3360,6 +3392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tcloseness_audit": q_tcloseness_audit,
         "classify_auc_en": q_classify_auc_en,
         "neyman_sample_lang": q_neyman_sample_lang,
+        "psi_value_drift": q_psi_value_drift,
+        "calibration_curve_en": q_calibration_curve_en,
+        "loo_target_encode": q_loo_target_encode,
     }
 
 

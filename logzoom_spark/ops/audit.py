@@ -468,3 +468,81 @@ def tcloseness_audit(
         )
         .withColumn("ok", (F.col("tvd_bp") <= t_bp).cast("int"))
     )
+
+
+def psi_value_drift(
+    events: DataFrame,
+    n_bins: int = 10,
+    col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Population Stability Index of a numeric column between the first
+    and second half of the observed day range — the standard ML-serving
+    drift monitor (PSI < 0.1 stable, 0.1-0.25 watch, > 0.25 act). Bins
+    are equal-width over the global [min, max]; both halves' bin shares
+    are Laplace-smoothed (+1 per bin) so empty bins stay defined, and
+    each bin's PSI term (share_cur - share_ref) * ln(share_cur /
+    share_ref) is floor-quantized to 1e-6 BEFORE summation, so the total
+    is an integer sum of per-bin integers — engine-identical regardless
+    of float summation order (the same discipline as unigram_surprisal).
+
+    Returns one row per bin: (bin, n_ref, n_cur, term_micro, psi_micro)
+    with psi_micro the corpus total repeated per row (window over the
+    n_bins-row aggregate). NULL values carry no bin and are excluded.
+
+    Scale shape: one row-local bin projection + an n_bins-key map-side-
+    combined rollup; the split day and value envelope come from a 1-row
+    broadcast aggregate; every window runs over the n_bins-row spine."""
+    if n_bins < 2:
+        raise ValueError(f"need n_bins >= 2, got {n_bins}")
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01")).cast("bigint")
+    base = events.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("double").alias("_v"), day.alias("_d")
+    )
+    stats = base.agg(
+        F.min("_v").alias("_vmin"),
+        F.max("_v").alias("_vmax"),
+        F.expr("(min(_d) + max(_d) + 1) DIV 2").cast("bigint").alias("_mid"),
+    )
+    nb = float(n_bins)
+    labeled = base.crossJoin(F.broadcast(stats)).select(
+        F.expr(
+            f"CASE WHEN _vmax = _vmin THEN 0 "
+            f"ELSE least({n_bins - 1}, CAST(floor((_v - _vmin) "
+            f"/ ((_vmax - _vmin) / {nb})) AS INT)) END"
+        ).alias("bin"),
+        (F.col("_d") < F.col("_mid")).alias("_is_ref"),
+    )
+    counts = labeled.groupBy("bin").agg(
+        F.sum(F.when(F.col("_is_ref"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
+        F.sum(F.when(F.col("_is_ref"), 0).otherwise(1)).cast("bigint").alias("n_cur"),
+    )
+    spine = events.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    from pyspark.sql import Window
+
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+        .withColumn("_tr", F.sum("n_ref").over(tot))
+        .withColumn("_tc", F.sum("n_cur").over(tot))
+        .withColumn(
+            "term_micro",
+            F.expr(
+                f"CAST(floor(1000000.0d * "
+                f"((CAST(n_cur + 1 AS DOUBLE) / CAST(_tc + {n_bins} AS DOUBLE)"
+                f"  - CAST(n_ref + 1 AS DOUBLE) / CAST(_tr + {n_bins} AS DOUBLE))"
+                f" * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(_tc + {n_bins} AS DOUBLE))"
+                f"      / (CAST(n_ref + 1 AS DOUBLE) / CAST(_tr + {n_bins} AS DOUBLE)))"
+                f")) AS BIGINT)"
+            ),
+        )
+        .withColumn("psi_micro", F.sum("term_micro").over(tot).cast("bigint"))
+        .select("bin", "n_ref", "n_cur", "term_micro", "psi_micro")
+    )

@@ -304,3 +304,103 @@ def classifier_auc(
             ).alias("auc_bp"),
         )
     )
+
+
+def calibration_curve(
+    scored: DataFrame,
+    docs: DataFrame,
+    label_col: Column | str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for the classifier: scores binned into
+    equal-width slices of the [0, SCALE] fixed-point range; per bin the
+    empirical positive rate vs the mean predicted score — a calibrated
+    model tracks the diagonal (pos_bp ~ mean_score_fp/100 for
+    SCALE = 1e6). Complements `classifier_auc` (ranking) with the
+    probability-quality view used to pick filtering thresholds.
+
+    Returns (bin, n, n_pos, pos_bp, mean_score_fp), integer-exact;
+    unscorable docs (NULL score) are excluded here — they carry no
+    probability to calibrate (classifier_auc counts them). Bins are
+    equal-width over the OBSERVED [min, max] score (a Laplace-smoothed
+    mean-of-evidence score concentrates near the prior, so fixed
+    [0, SCALE] bins would collapse the whole corpus into one cell);
+    the envelope comes from a 1-row broadcast aggregate.
+
+    Scale shape: one row-local bin projection + an n_bins-key map-side-
+    combined rollup; nothing else moves."""
+    if n_bins < 1:
+        raise ValueError(f"need n_bins >= 1, got {n_bins}")
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    truth = docs.select("doc_id", y.cast("boolean").alias("_y"))
+    pts = scored.filter(F.col("score_fp").isNotNull()).join(truth, "doc_id")
+    env = pts.agg(
+        F.min("score_fp").alias("_smin"), F.max("score_fp").alias("_smax")
+    )
+    return (
+        pts.crossJoin(F.broadcast(env))
+        .select(
+            F.expr(
+                f"least({n_bins - 1}, "
+                f"CAST(((score_fp - _smin) * {n_bins}) "
+                f"DIV (_smax - _smin + 1) AS INT))"
+            ).alias("bin"),
+            "score_fp",
+            "_y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+            F.sum("score_fp").cast("bigint").alias("_s"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("CAST((n_pos * 10000) DIV n AS BIGINT)").alias("pos_bp"),
+            F.expr("CAST(_s DIV n AS BIGINT)").alias("mean_score_fp"),
+        )
+    )
+
+
+def loo_target_encode(
+    events: DataFrame,
+    key_col: str = "event_type",
+    target_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    feature for downstream models: each row's encoding is the mean
+    target of its OWN group EXCLUDING the row itself, enc = (sum_g - x)
+    / (n_g - 1). Plain group-mean encoding leaks the row's own label
+    into its feature; LOO is the standard counter (public art:
+    Micci-Barreca, SIGKDD Explorations 2001).
+
+    Integer-exact: targets as floor(x*100) cents, encoding as truncating
+    integer division (numerator is non-negative for non-negative
+    targets; both engines truncate toward zero). Rows with a NULL
+    target, or in a singleton group, get NULL enc — counted, not
+    dropped.
+
+    Returns (id_col, key_col, target_cents, enc_cents).
+
+    Scale shape: one map-side-combined (key) rollup joined back on the
+    key — broadcast when the key domain is dim-sized (event types), a
+    plain shuffled equi-join when it is not; the fact table is scanned
+    once per side."""
+    c = F.floor(F.col(target_col) * 100).cast("bigint")
+    base = events.select(F.col(id_col), F.col(key_col), c.alias("target_cents"))
+    g = base.filter(F.col("target_cents").isNotNull()).groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("target_cents").cast("bigint").alias("_s"),
+    )
+    return base.join(F.broadcast(g), key_col, "left").select(
+        id_col,
+        key_col,
+        "target_cents",
+        F.expr(
+            "CASE WHEN target_cents IS NULL OR _n IS NULL OR _n <= 1 THEN NULL "
+            "ELSE CAST((_s - target_cents) DIV (_n - 1) AS BIGINT) END"
+        ).alias("enc_cents"),
+    )

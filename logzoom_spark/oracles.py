@@ -5759,3 +5759,105 @@ rk AS (
 )
 SELECT lang, doc_id, alloc_n FROM rk WHERE rn <= alloc_n
 """
+
+
+# PSI value-drift monitor (ops/audit.psi_value_drift, n_bins=10): first
+# vs second half of the day range, equal-width bins over global [min,max],
+# Laplace-smoothed shares, per-bin term floor-quantized to 1e-6 BEFORE the
+# integer total so float summation order cannot matter.
+ORACLES["psi_value_drift"] = f"""
+WITH base AS (
+  SELECT value::DOUBLE AS v, {_DAY_NO} AS d FROM events WHERE value IS NOT NULL
+),
+st AS (
+  SELECT min(v) AS vmin, max(v) AS vmax,
+         (min(d) + max(d) + 1) // 2 AS mid
+  FROM base
+),
+lab AS (
+  SELECT CASE WHEN (SELECT vmax FROM st) = (SELECT vmin FROM st) THEN 0
+              ELSE least(9, CAST(floor((v - (SELECT vmin FROM st))
+                   / (((SELECT vmax FROM st) - (SELECT vmin FROM st))
+                      / 10.0)) AS INT)) END AS bin,
+         d < (SELECT mid FROM st) AS is_ref
+  FROM base
+),
+cnt AS (
+  SELECT bin, sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS n_cur
+  FROM lab GROUP BY 1
+),
+sp AS (SELECT unnest(range(0, 10))::INT AS bin),
+f AS (
+  SELECT sp.bin, coalesce(cnt.n_ref, 0)::BIGINT AS n_ref,
+         coalesce(cnt.n_cur, 0)::BIGINT AS n_cur
+  FROM sp LEFT JOIN cnt USING (bin)
+),
+g AS (
+  SELECT bin, n_ref, n_cur,
+         sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc
+  FROM f
+),
+tm AS (
+  SELECT bin, n_ref, n_cur,
+         CAST(floor(1000000.0 *
+           ((CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE)
+             - CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))
+            * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+                 / (CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)))))
+           AS BIGINT) AS term_micro
+  FROM g
+)
+SELECT bin, n_ref, n_cur, term_micro,
+       sum(term_micro) OVER ()::BIGINT AS psi_micro
+FROM tm
+"""
+
+
+# Classifier reliability diagram (ops/classify.calibration_curve,
+# n_bins=10 over the [0, 1e6] fixed-point score): per-bin positive rate
+# vs mean score. Reuses the classifier fit/serve CTEs verbatim.
+ORACLES["calibration_curve_en"] = f"""
+WITH {_CLASSIFY_CTES},
+pts AS (
+  SELECT s.score_fp, (d.lang = 'en') AS y
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE s.score_fp IS NOT NULL
+),
+env AS (SELECT min(score_fp) AS smin, max(score_fp) AS smax FROM pts),
+b AS (
+  SELECT least(9, CAST(((score_fp - (SELECT smin FROM env)) * 10)
+           // ((SELECT smax FROM env) - (SELECT smin FROM env) + 1)
+           AS INT)) AS bin,
+         score_fp, y
+  FROM pts
+)
+SELECT bin, count(*)::BIGINT AS n,
+       sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       ((sum(CASE WHEN y THEN 1 ELSE 0 END) * 10000)
+        // count(*))::BIGINT AS pos_bp,
+       (sum(score_fp) // count(*))::BIGINT AS mean_score_fp
+FROM b GROUP BY 1
+"""
+
+
+# Leave-one-out target encoding (ops/classify.loo_target_encode on
+# events: key=event_type, target=value cents): enc = (sum_g - x)/(n_g-1),
+# truncating integer division (numerator non-negative here; both engines
+# truncate toward zero). NULL target / singleton group -> NULL enc.
+ORACLES["loo_target_encode"] = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS target_cents
+  FROM events
+),
+g AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(target_cents)::BIGINT AS s
+  FROM base WHERE target_cents IS NOT NULL GROUP BY 1
+)
+SELECT b.event_id, b.event_type, b.target_cents,
+       CASE WHEN b.target_cents IS NULL OR g.n IS NULL OR g.n <= 1 THEN NULL
+            ELSE CAST((g.s - b.target_cents) // (g.n - 1) AS BIGINT)
+       END AS enc_cents
+FROM base b LEFT JOIN g USING (event_type)
+"""

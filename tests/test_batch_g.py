@@ -173,3 +173,82 @@ def test_neyman_allocation_and_determinism(spark):
     )
     assert other != again
     out.unpersist()
+
+
+def test_psi_zero_on_identical_halves_and_positive_on_shift(spark):
+    from logzoom_spark.ops.audit import psi_value_drift
+
+    # same value multiset on both sides of the split -> every term is
+    # exactly 0 (shares identical); shifted second half -> PSI fires
+    import datetime
+
+    d0 = datetime.datetime(2024, 1, 1)
+    d9 = datetime.datetime(2024, 1, 9)
+    same = [(d0, float(v)) for v in range(100)] + [
+        (d9, float(v)) for v in range(100)
+    ]
+    df = spark.createDataFrame(same, "ts timestamp, value double")
+    out = psi_value_drift(df).collect()
+    assert len(out) == 10  # full bin spine, empty bins included
+    assert all(r["term_micro"] == 0 for r in out)
+    assert out[0]["psi_micro"] == 0
+    shifted = [(d0, float(v)) for v in range(100)] + [
+        (d9, float(v) + 60.0) for v in range(100)
+    ]
+    out2 = psi_value_drift(
+        spark.createDataFrame(shifted, "ts timestamp, value double")
+    ).collect()
+    assert out2[0]["psi_micro"] > 250000  # > 0.25: "act" territory
+    # real table: conservation of rows into n_ref + n_cur
+    ev = _events(spark)
+    out3 = psi_value_drift(ev).collect()
+    assert sum(r["n_ref"] + r["n_cur"] for r in out3) == ev.filter(
+        F.col("value").isNotNull()
+    ).count()
+
+
+def test_calibration_curve_conserves_and_bounds(spark):
+    from logzoom_spark.ops import classify
+
+    d = _docs(spark)
+    w = classify.classifier_fit(
+        d.filter(F.col("doc_id") % 10 < 8), F.col("lang") == "en"
+    )
+    scored = classify.classifier_score(d, w).cache()
+    out = classify.calibration_curve(scored, d, F.col("lang") == "en").collect()
+    assert sum(r["n"] for r in out) == scored.filter(
+        F.col("score_fp").isNotNull()
+    ).count()
+    for r in out:
+        assert 0 <= r["pos_bp"] <= 10000
+        assert 0 <= r["bin"] <= 9
+        assert r["n_pos"] <= r["n"]
+    scored.unpersist()
+
+
+def test_loo_target_encode_hand_values(spark):
+    from logzoom_spark.ops.classify import loo_target_encode
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 0.10),
+            (2, "a", 0.20),
+            (3, "a", 0.30),
+            (4, "b", 9.99),  # singleton group -> NULL
+            (5, "c", None),  # NULL target -> NULL, still a row
+            (6, "c", 1.00),  # its group has only 1 non-null -> NULL too
+        ],
+        "event_id bigint, event_type string, value double",
+    )
+    got = {r["event_id"]: r for r in loo_target_encode(df).collect()}
+    assert len(got) == 6  # counted, not dropped
+    assert got[1]["enc_cents"] == 25  # (20+30)/2
+    assert got[2]["enc_cents"] == 20  # (10+30)/2
+    assert got[3]["enc_cents"] == 15  # (10+20)/2
+    assert got[4]["enc_cents"] is None
+    assert got[5]["enc_cents"] is None and got[5]["target_cents"] is None
+    assert got[6]["enc_cents"] is None
+    # real table: row conservation and NULL only where contract says
+    ev = _events(spark)
+    out = loo_target_encode(ev)
+    assert out.count() == ev.count()
