@@ -427,6 +427,10 @@ def tcloseness_audit(
     count-sized."""
     if t_bp < 0 or t_bp > 10000:
         raise ValueError(f"need 0 <= t_bp <= 10000, got {t_bp}")
+    # NULL sensitive values are excluded up front: an equi-join on the
+    # sensitive key would silently drop them from the per-cell terms while
+    # the grand total still counted them, skewing every denominator
+    events = events.filter(F.col(sensitive_col).isNotNull())
     q = [F.col(c) for c in quasi_cols]
     cell_s = events.groupBy(*q, F.col(sensitive_col).alias("_s")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cs")

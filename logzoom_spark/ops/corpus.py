@@ -900,8 +900,10 @@ def neyman_sample(
     if budget < 1:
         raise ValueError(f"need budget >= 1, got {budget}")
     x = F.col(measure_col).cast("bigint")
+    # count(x), not count(*): NULL measures must be absent from ALL three
+    # moments or the variance numerator N*sum(x^2) - sum(x)^2 is inflated
     st = docs.groupBy(strata_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.count(x).cast("bigint").alias("_n"),
         F.sum(x).cast("bigint").alias("_s1"),
         F.sum(x * x).cast("bigint").alias("_s2"),
     )

@@ -5671,12 +5671,13 @@ FROM documents d LEFT JOIN e USING (doc_id)
 # event_type, sensitive = user_id, t = 2000 bp): exact-integer total
 # variation distance of each cell's sensitive distribution vs global.
 ORACLES["tcloseness_audit"] = """
-WITH cs AS (
+WITH e AS (SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+cs AS (
   SELECT event_type, user_id, count(*)::BIGINT AS n_cs
-  FROM events GROUP BY 1, 2
+  FROM e GROUP BY 1, 2
 ),
-gs AS (SELECT user_id, count(*)::BIGINT AS n_s FROM events GROUP BY 1),
-t AS (SELECT count(*)::BIGINT AS n FROM events),
+gs AS (SELECT user_id, count(*)::BIGINT AS n_s FROM e GROUP BY 1),
+t AS (SELECT count(*)::BIGINT AS n FROM e),
 d AS (
   SELECT cs.event_type, cs.n_cs, gs.n_s, (SELECT n FROM t) AS n,
          sum(cs.n_cs) OVER (PARTITION BY cs.event_type)::BIGINT AS n_c
@@ -5735,7 +5736,7 @@ FROM c
 # so this is engine-portable), floor allocation, hash-rank selection.
 ORACLES["neyman_sample_lang"] = f"""
 WITH st AS (
-  SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s1,
+  SELECT lang, count(n_chars)::BIGINT AS n, sum(n_chars)::BIGINT AS s1,
          sum(n_chars * n_chars)::BIGINT AS s2
   FROM documents GROUP BY 1
 ),

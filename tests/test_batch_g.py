@@ -252,3 +252,25 @@ def test_loo_target_encode_hand_values(spark):
     ev = _events(spark)
     out = loo_target_encode(ev)
     assert out.count() == ev.count()
+
+
+def test_tcloseness_and_neyman_null_handling(spark):
+    from logzoom_spark.ops.audit import tcloseness_audit
+    from logzoom_spark.ops.corpus import neyman_sample
+
+    # NULL sensitive rows are excluded from EVERY term (cells and total):
+    # with them gone, cell 'x' == global -> TVD exactly 0
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("x", None), ("x", None)],
+        "event_type string, user_id bigint",
+    )
+    got = tcloseness_audit(df).collect()
+    assert len(got) == 1 and got[0]["tvd_bp"] == 0 and got[0]["n_rows"] == 2
+    # NULL measures don't inflate the Neyman variance numerator: a stratum
+    # whose only non-null measures are constant has weight 0 -> alloc 0
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10), (3, "a", None), (4, "b", 5), (5, "b", 105)],
+        "doc_id bigint, lang string, n_chars bigint",
+    )
+    picked = neyman_sample(docs, budget=2, seed=0).collect()
+    assert all(r["lang"] == "b" for r in picked)  # all weight sits on b
