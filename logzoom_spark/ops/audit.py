@@ -550,3 +550,186 @@ def psi_value_drift(
         .withColumn("psi_micro", F.sum("term_micro").over(tot).cast("bigint"))
         .select("bin", "n_ref", "n_cur", "term_micro", "psi_micro")
     )
+
+
+def dp_noisy_counts(
+    events: DataFrame,
+    eps_bits: int = 1,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Differentially-private release of the per-(key, day) event counts
+    under the discrete Laplace (two-sided geometric) mechanism of
+    Ghosh-Roughgarden-Sundararajan (SIAM J. Comput. 2012): noise =
+    G1 - G2 with G1, G2 iid Geometric over {0, 1, ...} with success
+    probability 1 - alpha, alpha = 2^-eps_bits, which is eps-DP for the
+    unit-sensitivity daily histogram with eps = eps_bits * ln 2 (one
+    event changes exactly one cell by 1, so the cells compose in
+    parallel).
+
+    Sampling is pure integer arithmetic — no ln(), no float, no RNG:
+    a seeded 40-bit portable hash of the cell key is uniform on
+    [0, 2^40); its leading-zero count L (= 40 - bit-length) is
+    Geometric(1/2), and L div eps_bits is Geometric(1 - 2^-eps_bits)
+    (P[L >= g*eps_bits] = 2^-(g*eps_bits) = alpha^g). The 2^-40 tail is
+    folded onto the top value — the standard finite-precision
+    truncation, deterministic in both engines. Two seeds give the two
+    independent geometrics.
+
+    The seeded-hash noise makes the mechanism REPRODUCIBLE, which is
+    what lets DuckDB value-verify it; a production release would derive
+    the seed from a secret (the privacy proof needs the adversary not
+    to know the noise), exactly like the sampling gates elsewhere in
+    this package trade a secret seed for verifiability.
+
+    Returns (key, day, n_true, noise, n_released) with n_released =
+    max(0, n_true + noise) (non-negativity is DP-safe post-processing).
+    n_true is emitted for the parity/utility audit only — the DP release
+    is the (key, day, n_released) projection.
+
+    Scale shape: one map-side-combined count per (key, day) cell; noise
+    is a row-local projection on the cell-sized aggregate. Nothing else
+    moves."""
+    if eps_bits < 1:
+        raise ValueError(f"need eps_bits >= 1, got {eps_bits}")
+    from ..hashing import portable_hash
+
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01")).cast("bigint")
+    cells = (
+        events.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(key_col).alias("key"), day.alias("day"))
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    cell_id = F.concat_ws("|", F.col("key"), F.col("day"))
+
+    def geom(seed: int):
+        # leading-zero count of a 40-bit uniform = Geometric(1/2);
+        # integer-dividing by eps_bits thins it to Geometric(1 - alpha)
+        h = F.pmod(portable_hash(cell_id, seed=seed), F.lit(1 << 40))
+        return F.when(h == 0, F.lit(40)).otherwise(F.lit(40) - F.length(F.bin(h)))
+
+    g1 = F.floor(geom(101).cast("bigint") / F.lit(eps_bits)).cast("bigint")
+    g2 = F.floor(geom(102).cast("bigint") / F.lit(eps_bits)).cast("bigint")
+    return cells.select(
+        "key",
+        "day",
+        "n_true",
+        (g1 - g2).cast("bigint").alias("noise"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (F.col("n_true") + g1 - g2).cast("bigint"),
+        ).alias("n_released"),
+    )
+
+
+def ks_value_drift(
+    events: DataFrame,
+    n_buckets: int = 64,
+    col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic of a numeric column
+    between the first and second half of the observed day range — the
+    distribution-shape companion to `psi_value_drift` (PSI sees binned
+    mass shifts; KS sees the worst-case CDF gap at full resolution).
+
+    D = max over observed values v of |F_ref(v) - F_cur(v)|, carried as
+    the exact integer numerator |cum_ref(v)*n_cur - cum_cur(v)*n_ref|
+    over the common denominator n_ref*n_cur (DECIMAL(38,0) — no float
+    ever, so no summation-order slack and no overflow at 10^12 rows).
+    Returns ONE row (n_ref, n_cur, at_value, d_num, ks_bp): the gap
+    location (smallest value attaining the max), the exact numerator,
+    and 10000*D. NULL values are excluded.
+
+    Scale shape: the stream collapses to per-distinct-value (n_ref,
+    n_cur) counts first (one shuffle, map-side combined); the global
+    CDF prefix sums then run two-level — equal-width value buckets from
+    a 1-row broadcast envelope, an in-bucket cumulative window
+    partitioned BY bucket, and bucket offsets from a window over the
+    n_buckets-row bucket aggregate (the same distributed-prefix-sum
+    shape as pack_sequences, corpus.py) — so no window ever moves the
+    distinct-value table to one task. The final argmax is a
+    TakeOrdered(1), never a global sort."""
+    if n_buckets < 1:
+        raise ValueError(f"need n_buckets >= 1, got {n_buckets}")
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01")).cast("bigint")
+    base = events.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("double").alias("v"), day.alias("d")
+    )
+    env = base.agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.expr("(min(d) + max(d) + 1) DIV 2").cast("bigint").alias("mid"),
+    )
+    nb = float(n_buckets)
+    counts = (
+        base.crossJoin(F.broadcast(env))
+        .select(
+            "v",
+            F.expr(
+                f"CASE WHEN vmax = vmin THEN 0 "
+                f"ELSE least({n_buckets - 1}, CAST(floor((v - vmin) "
+                f"/ ((vmax - vmin) / {nb})) AS INT)) END"
+            ).alias("bkt"),
+            (F.col("d") < F.col("mid")).alias("is_ref"),
+        )
+        .groupBy("bkt", "v")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("c_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1))
+            .cast("decimal(38,0)")
+            .alias("c_cur"),
+        )
+    )
+    in_bkt = Window.partitionBy("bkt").orderBy("v")
+    local = (
+        counts.withColumn("l_ref", F.sum("c_ref").over(in_bkt))
+        .withColumn("l_cur", F.sum("c_cur").over(in_bkt))
+    )
+    bkt_tot = counts.groupBy("bkt").agg(
+        F.sum("c_ref").alias("t_ref"), F.sum("c_cur").alias("t_cur")
+    )
+    off_w = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bkt_tot.select(
+        "bkt",
+        F.coalesce(F.sum("t_ref").over(off_w), F.lit(0).cast("decimal(38,0)"))
+        .alias("o_ref"),
+        F.coalesce(F.sum("t_cur").over(off_w), F.lit(0).cast("decimal(38,0)"))
+        .alias("o_cur"),
+    )
+    tot_w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    totals = bkt_tot.select(
+        F.sum("t_ref").over(tot_w).alias("n_ref"),
+        F.sum("t_cur").over(tot_w).alias("n_cur"),
+    ).limit(1)
+    gaps = (
+        local.join(F.broadcast(offs), "bkt")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.col("v").alias("at_value"),
+            F.abs(
+                (F.col("l_ref") + F.col("o_ref")) * F.col("n_cur")
+                - (F.col("l_cur") + F.col("o_cur")) * F.col("n_ref")
+            ).alias("d_num_dec"),
+            (F.col("n_ref").cast("decimal(38,0)") * F.col("n_cur")).alias("den"),
+        )
+    )
+    return (
+        gaps.orderBy(F.col("d_num_dec").desc(), F.col("at_value").asc())
+        .limit(1)
+        .select(
+            "n_ref",
+            "n_cur",
+            "at_value",
+            F.col("d_num_dec").cast("bigint").alias("d_num"),
+            F.expr("CAST((10000 * d_num_dec) DIV den AS BIGINT)").alias("ks_bp"),
+        )
+    )

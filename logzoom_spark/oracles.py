@@ -5862,3 +5862,64 @@ SELECT b.event_id, b.event_type, b.target_cents,
        END AS enc_cents
 FROM base b LEFT JOIN g USING (event_type)
 """
+
+
+# DP noisy daily counts (ops/audit.dp_noisy_counts, eps_bits=1): discrete
+# Laplace noise = G1 - G2, each G the leading-zero count of a seeded
+# 40-bit uniform from the portable hash (Geometric(1/2), eps = ln 2).
+# Pure integer sampling -- no ln(), so no libm slack between engines.
+_DP_CELL = "key || '|' || day"
+ORACLES["dp_noisy_counts"] = f"""
+WITH cells AS (
+  SELECT event_type AS key, {_DAY_NO} AS day, count(*)::BIGINT AS n_true
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+nz AS (
+  SELECT key, day, n_true,
+         {portable_hash_sql(_DP_CELL, seed=101)} % 1099511627776 AS h1,
+         {portable_hash_sql(_DP_CELL, seed=102)} % 1099511627776 AS h2
+  FROM cells
+),
+g AS (
+  SELECT key, day, n_true,
+         (CASE WHEN h1 = 0 THEN 40 ELSE 40 - length(bin(h1)) END)::BIGINT AS g1,
+         (CASE WHEN h2 = 0 THEN 40 ELSE 40 - length(bin(h2)) END)::BIGINT AS g2
+  FROM nz
+)
+SELECT key, day, n_true, (g1 - g2)::BIGINT AS noise,
+       greatest(0, n_true + g1 - g2)::BIGINT AS n_released
+FROM g
+"""
+
+
+# Exact two-sample KS statistic (ops/audit.ks_value_drift): first vs
+# second half of the day range, integer numerator over n_ref*n_cur,
+# smallest value attaining the max. The oracle uses the plain global
+# cumulative window; the Spark side's bucketed prefix sum must agree.
+ORACLES["ks_value_drift"] = f"""
+WITH base AS (
+  SELECT value::DOUBLE AS v, {_DAY_NO} AS d FROM events WHERE value IS NOT NULL
+),
+st AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM base),
+cnt AS (
+  SELECT v,
+         sum(CASE WHEN d < (SELECT mid FROM st) THEN 1 ELSE 0 END)::HUGEINT AS c_ref,
+         sum(CASE WHEN d < (SELECT mid FROM st) THEN 0 ELSE 1 END)::HUGEINT AS c_cur
+  FROM base GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         sum(c_ref) OVER (ORDER BY v) AS cr,
+         sum(c_cur) OVER (ORDER BY v) AS cc,
+         sum(c_ref) OVER () AS nr,
+         sum(c_cur) OVER () AS nc
+  FROM cnt
+)
+SELECT nr::BIGINT AS n_ref, nc::BIGINT AS n_cur, v AS at_value,
+       abs(cr * nc - cc * nr)::BIGINT AS d_num,
+       ((10000 * abs(cr * nc - cc * nr)) // (nr * nc))::BIGINT AS ks_bp
+FROM cum
+ORDER BY abs(cr * nc - cc * nr) DESC, v ASC
+LIMIT 1
+"""
