@@ -3150,6 +3150,26 @@ def q_ks_value_drift(spark: SparkSession, sf: str) -> DataFrame:
     return ks_value_drift(_read(spark, sf, "events"))
 
 
+def q_kmv_set_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta-sketch KMV set-intersection estimate between event-type user
+    sets (k=64) with the exact intersection as the audit column — the
+    bounded-memory path audience_overlap defers to at unbounded type
+    cardinality."""
+    from logzoom_spark.ops.sketch import kmv_set_overlap
+
+    return kmv_set_overlap(_read(spark, sf, "events"), k=64)
+
+
+def q_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """CMS inner-product (AMS F2) join-cardinality estimate of the
+    lineitem self-join on l_partkey vs the exact size — the planner
+    estimate as a verified quantity; never undercounts."""
+    from logzoom_spark.ops.sketch import cms_join_size_estimate
+
+    li = _read(spark, sf, "lineitem")
+    return cms_join_size_estimate(li, "l_partkey", li, "l_partkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness run records exactly the FIRST
     # 50 dict keys. Round-5 rotation (per VERDICT r4 top_next): the 44
@@ -3416,6 +3436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loo_target_encode": q_loo_target_encode,
         "dp_noisy_counts": q_dp_noisy_counts,
         "ks_value_drift": q_ks_value_drift,
+        "kmv_set_overlap": q_kmv_set_overlap,
+        "join_size_estimate": q_join_size_estimate,
     }
 
 

@@ -674,3 +674,219 @@ def hll_sliding_distinct(
         .withColumnRenamed("grp", "day")
         .select(F.col("day").cast("bigint").alias("day"), "hll_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch estimator audits: join-size (CMS inner product) and set
+# intersection (KMV/theta) — the planner-input estimates a 100 TB engine
+# computes INSTEAD of the exact operation, emitted here side-by-side with
+# the exact value so the estimator's error is itself a verified quantity.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_topk(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    k: int,
+    n_salt: int = DEFAULT_N_SALT,
+) -> DataFrame:
+    """The k smallest portable hashes per group — the KMV sketch ROWS
+    (grp, h), built with the same two-stage salted plan as
+    `kmv_distinct` (per-shard top-k, then a merge window over ≤
+    n_salt·k survivors) so no task ever sorts a whole group."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    hashed = (
+        df.filter(v.isNotNull())
+        .select(F.col(group_col).alias("grp"), portable_hash(v.cast("string")).alias("h"))
+        .withColumn("salt", F.pmod(F.col("h"), F.lit(n_salt)))
+    )
+    w1 = Window.partitionBy("grp", "salt").orderBy("h")
+    partial = (
+        hashed.dropDuplicates(["grp", "h"])
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("grp").orderBy("h")
+    return (
+        partial.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_set_overlap(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    k: int = 64,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Theta-sketch-style set-intersection estimate between every pair of
+    event-type user sets — the bounded-memory path `audience_overlap`'s
+    docstring defers to for unbounded type cardinality (that operator
+    expands exact per-user pairs; this one compares k-row sketches).
+
+    Per pair: theta = min of the two sketches' kth-minimum hashes (a
+    sketch with fewer than k distinct members contributes theta =
+    HASH_SPACE — it IS its whole set); n_common = |common hashes <
+    theta|; est_inter = n_common * HASH_SPACE div theta (the standard
+    theta-sketch estimator, exact when both sets fit their sketches).
+    Deterministic in the portable hash, hence value-verifiable.
+
+    Returns (t1, t2, theta, n_common, est_inter, exact_inter, err_bp)
+    for t1 < t2; err_bp = sign * (10000*|est-exact| div exact)
+    (truncating on the non-negative magnitude, so both engines agree on
+    negatives). With with_exact=False the exact audit columns are
+    skipped — the production shape: nothing beyond the k-row sketches
+    and the |types|-row kth table ever moves.
+
+    Scale shape: one distinct-collapse shuffle builds the sketches
+    (two-stage salted top-k, `_kmv_topk`); the pair stage joins two
+    ≤|types|·k-row sketch tables on h and the |types|²-row pair spine
+    is a broadcast. The exact audit reuses the `audience_overlap`
+    self-equi-join on the user key."""
+    base = events.filter(
+        F.col(type_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(F.col(type_col).alias("t"), F.col(user_col).alias("u"))
+    sk = _kmv_topk(base, "t", F.col("u"), k).cache()
+    kth = sk.groupBy("grp").agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("nk")
+    )
+    theta_t = kth.select(
+        F.col("grp").alias("t"),
+        F.when(F.col("nk") < k, F.lit(HASH_SPACE).cast("bigint"))
+        .otherwise(F.col("kth"))
+        .alias("th"),
+    )
+    spine = (
+        theta_t.select(F.col("t").alias("t1"), F.col("th").alias("th1"))
+        .join(
+            theta_t.select(F.col("t").alias("t2"), F.col("th").alias("th2")),
+            F.col("t1") < F.col("t2"),
+        )
+        .withColumn("theta", F.least("th1", "th2"))
+        .select("t1", "t2", "theta")
+    )
+    common = (
+        sk.select(F.col("grp").alias("t1"), "h")
+        .join(sk.select(F.col("grp").alias("t2"), "h"), "h")
+        .filter(F.col("t1") < F.col("t2"))
+        .join(F.broadcast(spine), ["t1", "t2"])
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # both sides are |types|^2-bounded; the OUTER side cannot carry a
+    # broadcast hint, and none is needed
+    est = (
+        spine.join(common, ["t1", "t2"], "left")
+        .select(
+            "t1",
+            "t2",
+            "theta",
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+        )
+        .withColumn(
+            "est_inter",
+            F.expr(
+                f"CAST((n_common * CAST({HASH_SPACE} AS DECIMAL(38,0))) "
+                f"DIV theta AS BIGINT)"
+            ),
+        )
+    )
+    if not with_exact:
+        return est
+    ua = base.distinct()
+    exact = (
+        ua.select(F.col("t").alias("t1"), "u")
+        .join(ua.select(F.col("t").alias("t2"), "u"), "u")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return (
+        est.join(exact, ["t1", "t2"], "left")
+        .select(
+            "t1",
+            "t2",
+            "theta",
+            "n_common",
+            "est_inter",
+            F.coalesce("exact_inter", F.lit(0)).cast("bigint").alias("exact_inter"),
+        )
+        .withColumn(
+            "err_bp",
+            F.when(F.col("exact_inter") == 0, F.lit(0).cast("bigint")).otherwise(
+                F.signum(F.col("est_inter") - F.col("exact_inter")).cast("bigint")
+                * F.expr(
+                    "CAST((10000 * abs(est_inter - exact_inter)) "
+                    "DIV exact_inter AS BIGINT)"
+                )
+            ),
+        )
+    )
+
+
+def cms_join_size_estimate(
+    a: DataFrame,
+    key_a: str,
+    b: DataFrame,
+    key_b: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Equi-join output-cardinality estimate via the Count-Min inner
+    product (Alon-Matias-Szegedy F2 / Cormode-Muthukrishnan §4.2):
+    |A ⋈ B| = Σ_key n_A(key)·n_B(key), estimated as the MIN over the
+    depth hash rows of Σ_bucket cntA·cntB. Each row's inner product is
+    the true join size plus non-negative collision cross-terms, so the
+    estimate NEVER undercounts — the safe direction for a planner
+    deciding shuffle partitioning or broadcast eligibility.
+
+    Returns ONE row (exact_rows, est_rows, overcount_bp). All products
+    and sums are DECIMAL(38,0) — exact at 10^12-row inputs where
+    per-key counts squared overflow BIGINT.
+
+    Scale shape: each input is read once and collapses map-side to
+    ≤ depth·width partial cells before its one bounded shuffle
+    (cms_build); the inner product joins two ≤ depth·width-row sketches
+    (broadcast). The exact side — one groupBy per input co-partitioned
+    on the join key — is the audit; a planner runs only the sketch
+    path."""
+    ska = cms_build(a, key_a, depth=depth, width=width).select(
+        "row_i", "bucket", F.col("cnt").cast("decimal(38,0)").alias("cnt_a")
+    )
+    skb = cms_build(b, key_b, depth=depth, width=width).select(
+        "row_i", "bucket", F.col("cnt").cast("decimal(38,0)").alias("cnt_b")
+    )
+    est = (
+        ska.join(F.broadcast(skb), ["row_i", "bucket"])
+        .groupBy("row_i")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+        .agg(F.min("ip").alias("est_dec"))
+    )
+    na = (
+        a.filter(F.col(key_a).isNotNull())
+        .groupBy(F.col(key_a).alias("k"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_a"))
+    )
+    nb = (
+        b.filter(F.col(key_b).isNotNull())
+        .groupBy(F.col(key_b).alias("k"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_b"))
+    )
+    exact = na.join(nb, "k").agg(
+        F.coalesce(F.sum(F.col("n_a") * F.col("n_b")), F.lit(0).cast("decimal(38,0)"))
+        .alias("exact_dec")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("exact_dec").cast("bigint").alias("exact_rows"),
+        F.col("est_dec").cast("bigint").alias("est_rows"),
+        F.when(F.col("exact_dec") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr("CAST((10000 * (est_dec - exact_dec)) DIV exact_dec AS BIGINT)")
+        )
+        .alias("overcount_bp"),
+    )

@@ -5923,3 +5923,93 @@ FROM cum
 ORDER BY abs(cr * nc - cc * nr) DESC, v ASC
 LIMIT 1
 """
+
+
+# Theta-sketch set-intersection estimate between event-type user sets
+# (ops/sketch.kmv_set_overlap, k=64): theta = min of the pair's kth-min
+# hashes (HASH_SPACE when a set fits its sketch), est = n_common *
+# HASH_SPACE // theta. The oracle is the direct single-window top-k; the
+# Spark side's two-stage salted plan must agree.
+_KMV_M = 1 << 60
+ORACLES["kmv_set_overlap"] = f"""
+WITH base AS (
+  SELECT DISTINCT event_type AS t, user_id AS u FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+dh AS (
+  SELECT DISTINCT t, {portable_hash_sql('cast(u AS VARCHAR)')} AS h FROM base
+),
+sk AS (
+  SELECT t, h FROM (
+    SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM dh
+  ) WHERE rn <= 64
+),
+kth AS (
+  SELECT t,
+         CASE WHEN count(*) < 64 THEN {_KMV_M} ELSE max(h) END AS th
+  FROM sk GROUP BY t
+),
+spine AS (
+  SELECT a.t AS t1, b.t AS t2, least(a.th, b.th) AS theta
+  FROM kth a JOIN kth b ON a.t < b.t
+),
+cm AS (
+  SELECT s1.t AS t1, s2.t AS t2, count(*)::BIGINT AS c
+  FROM sk s1
+  JOIN sk s2 ON s1.h = s2.h AND s1.t < s2.t
+  JOIN spine sp ON sp.t1 = s1.t AND sp.t2 = s2.t
+  WHERE s1.h < sp.theta
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT sp.t1, sp.t2, sp.theta,
+         coalesce(cm.c, 0)::BIGINT AS n_common,
+         ((coalesce(cm.c, 0)::HUGEINT * {_KMV_M}) // sp.theta)::BIGINT AS est_inter
+  FROM spine sp LEFT JOIN cm ON cm.t1 = sp.t1 AND cm.t2 = sp.t2
+),
+ex AS (
+  SELECT a.t AS t1, b.t AS t2, count(*)::BIGINT AS exact_inter
+  FROM base a JOIN base b ON a.u = b.u AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT e.t1, e.t2, e.theta, e.n_common, e.est_inter,
+       coalesce(ex.exact_inter, 0)::BIGINT AS exact_inter,
+       CASE WHEN coalesce(ex.exact_inter, 0) = 0 THEN 0
+            ELSE sign(e.est_inter - ex.exact_inter)::BIGINT
+                 * ((10000 * abs(e.est_inter - ex.exact_inter))
+                    // ex.exact_inter)
+       END::BIGINT AS err_bp
+FROM est e LEFT JOIN ex ON ex.t1 = e.t1 AND ex.t2 = e.t2
+"""
+
+
+# CMS inner-product join-size estimate (ops/sketch.cms_join_size_estimate
+# on the lineitem self-join over l_partkey, depth=4, width=1024): the
+# AMS F2 estimator; est = min over hash rows of sum(cntA*cntB), never
+# below the exact size.
+_CMS_JS_CELLS = "\nUNION ALL\n".join(
+    f"SELECT {i} AS row_i, ({portable_hash_sql('cast(l_partkey AS VARCHAR)', i)}) % 1024 AS bucket\n"
+    "FROM lineitem WHERE l_partkey IS NOT NULL"
+    for i in range(4)
+)
+ORACLES["join_size_estimate"] = f"""
+WITH cells AS (
+{_CMS_JS_CELLS}
+),
+sk AS (SELECT row_i, bucket, count(*)::HUGEINT AS cnt FROM cells GROUP BY 1, 2),
+ip AS (
+  SELECT a.row_i, sum(a.cnt * b.cnt) AS ip
+  FROM sk a JOIN sk b ON a.row_i = b.row_i AND a.bucket = b.bucket
+  GROUP BY 1
+),
+est AS (SELECT min(ip) AS e FROM ip),
+n AS (
+  SELECT l_partkey AS k, count(*)::HUGEINT AS n
+  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+),
+exact AS (SELECT coalesce(sum(a.n * b.n), 0) AS x FROM n a JOIN n b USING (k))
+SELECT x::BIGINT AS exact_rows, e::BIGINT AS est_rows,
+       (CASE WHEN x = 0 THEN 0 ELSE (10000 * (e - x)) // x END)::BIGINT
+         AS overcount_bp
+FROM exact, est
+"""

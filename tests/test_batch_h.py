@@ -107,3 +107,63 @@ def test_ks_identical_halves_is_zero(spark):
     )
     got = ks_value_drift(df).collect()[0]
     assert got["d_num"] == 0 and got["ks_bp"] == 0
+
+
+def test_kmv_overlap_exact_when_sets_fit_sketch(spark):
+    from logzoom_spark.ops.sketch import kmv_set_overlap, HASH_SPACE
+
+    ev = _events(spark)
+    # sf0.001 has 15 distinct users: k=64 sketches hold every set whole,
+    # so theta = HASH_SPACE and the estimator must be EXACT on all pairs
+    out = kmv_set_overlap(ev, k=64).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["theta"] == HASH_SPACE
+        assert r["est_inter"] == r["exact_inter"] == r["n_common"]
+        assert r["err_bp"] == 0
+    # with_exact=False drops the audit columns but not the estimate
+    lean = {(r["t1"], r["t2"]): r["est_inter"]
+            for r in kmv_set_overlap(ev, k=64, with_exact=False).collect()}
+    assert lean == {(r["t1"], r["t2"]): r["est_inter"] for r in out}
+
+
+def test_kmv_overlap_estimates_within_tolerance_when_sketched(spark):
+    from logzoom_spark.ops.sketch import kmv_set_overlap, HASH_SPACE
+
+    # two types, 400 users each, known intersection 200; k=64 forces the
+    # estimation branch (theta < HASH_SPACE)
+    rows = [("a", u) for u in range(400)] + [("b", u) for u in range(200, 600)]
+    df = spark.createDataFrame(rows, "event_type string, user_id bigint")
+    r = kmv_set_overlap(df, k=64).collect()[0]
+    assert r["theta"] < HASH_SPACE
+    assert r["exact_inter"] == 200
+    # KMV/theta estimate with k=64: allow generous but bounded error
+    assert 100 <= r["est_inter"] <= 320
+
+
+def test_cms_join_estimate_never_undercounts(spark):
+    from logzoom_spark.ops.sketch import cms_join_size_estimate
+
+    li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+    r = cms_join_size_estimate(li, "l_partkey", li, "l_partkey").collect()[0]
+    assert r["est_rows"] >= r["exact_rows"] > 0
+    assert r["overcount_bp"] >= 0
+    # wider sketch -> monotonically no-worse estimate
+    r2 = cms_join_size_estimate(
+        li, "l_partkey", li, "l_partkey", width=8192
+    ).collect()[0]
+    assert r["est_rows"] >= r2["est_rows"] >= r2["exact_rows"]
+
+
+def test_cms_join_estimate_exact_without_collisions_and_zero_on_disjoint(spark):
+    from logzoom_spark.ops.sketch import cms_join_size_estimate
+
+    a = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 2, 3]], "k bigint")
+    b = spark.createDataFrame([(k,) for k in [1, 2, 2, 4]], "k bigint")
+    # exact = 3*1 + 2*2 = 7; with a huge width collisions are absent in
+    # practice and the estimate collapses to the exact inner product
+    r = cms_join_size_estimate(a, "k", b, "k", width=65536).collect()[0]
+    assert r["exact_rows"] == 7 and r["est_rows"] == 7 and r["overcount_bp"] == 0
+    dis = spark.createDataFrame([(k,) for k in [100, 200]], "k bigint")
+    r0 = cms_join_size_estimate(a, "k", dis, "k", width=65536).collect()[0]
+    assert r0["exact_rows"] == 0 and r0["overcount_bp"] == 0
