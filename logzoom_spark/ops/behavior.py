@@ -630,3 +630,135 @@ def growth_report(events: DataFrame, dormant_days: int = 7, gap_s: int = 1800) -
             F.coalesce("bounce_bp", F.lit(0)).cast("bigint").alias("bounce_bp"),
         )
     )
+
+
+def cuped_adjusted_lift(events: DataFrame) -> DataFrame:
+    """A/B lift with CUPED variance reduction (Deng, Xu, Kohavi, Walker,
+    WSDM 2013): treatment = parity of the seeded portable user hash,
+    metric Y = per-user value cents in the SECOND half of the day range,
+    covariate X = the same user's FIRST-half cents (0 when absent — the
+    standard fill), theta = cov(X,Y)/var(X) pooled over both arms, and
+    the adjusted metric Y - theta*X removes the pre-period component of
+    the variance.
+
+    Everything is integer-exact: cents via floor(value*100), moments as
+    DECIMAL sums, theta in micro-units via sign-split truncating
+    division (sign(c) * (|c|*1e6 div v) — both engines truncate the
+    NON-NEGATIVE magnitude, so floor-vs-trunc divergence on negatives
+    cannot occur; the same guard everywhere below). Returns ONE row:
+    (n_t, n_c, theta_micro, diff_raw_micro, diff_cuped_micro,
+    var_reduction_bp) — mean lifts in micro-cents, var_reduction_bp =
+    the squared X,Y correlation in basis points (the fraction of metric
+    variance CUPED removes), computed as a two-step truncating ratio
+    (deterministic in both engines; at 10^12-row scale rescale cents
+    before squaring — cov^2 alone can exceed 38 digits).
+
+    Scale shape: one groupBy on the user key builds (user, arm, x, y);
+    the pooled moments are a 1-row aggregate and the per-arm totals a
+    2-row aggregate of that same frame — the adjustment distributes over
+    sums (sum(Y - theta*X) = sum(Y) - theta*sum(X)), so no second pass
+    over users is ever needed."""
+    from ..hashing import portable_hash
+
+    day = F.datediff(F.to_date(F.col("ts")), F.lit("1970-01-01")).cast("bigint")
+    base = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("u"),
+            day.alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    env = base.agg(
+        F.expr("(min(d) + max(d) + 1) DIV 2").cast("bigint").alias("mid")
+    )
+    per_user = (
+        base.crossJoin(F.broadcast(env))
+        .groupBy("u")
+        .agg(
+            F.sum(F.when(F.col("d") < F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("decimal(19,0)")
+            .alias("x"),
+            F.sum(F.when(F.col("d") < F.col("mid"), 0).otherwise(F.col("cents")))
+            .cast("decimal(19,0)")
+            .alias("y"),
+        )
+        .withColumn("arm", F.pmod(portable_hash(F.col("u").cast("string")), F.lit(2)))
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("covn"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("varx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("vary"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n_arm"),
+        F.sum("x").alias("sx_arm"),
+        F.sum("y").alias("sy_arm"),
+    )
+    # sign-split truncating division: both engines truncate the
+    # non-negative magnitude
+    sdiv = (
+        lambda num, den: F.when(F.col(den) == 0, F.lit(0).cast("bigint")).otherwise(
+            F.signum(F.col(num)).cast("bigint")
+            * F.expr(f"CAST(abs({num}) DIV {den} AS BIGINT)")
+        )
+    )
+    wide = (
+        arms.groupBy()
+        .pivot("arm", [0, 1])
+        .agg(
+            F.first("n_arm").alias("n"),
+            F.first("sx_arm").alias("sx"),
+            F.first("sy_arm").alias("sy"),
+        )
+        .crossJoin(F.broadcast(mom))
+        .withColumn("theta_num", F.col("covn") * 1000000)
+        .withColumn("theta_micro", sdiv("theta_num", "varx"))
+        # mean raw lift numerator: (sy_t*n_c - sy_c*n_t) * 1e6
+        .withColumn(
+            "raw_num",
+            (F.col("1_sy") * F.col("0_n") - F.col("0_sy") * F.col("1_n"))
+            * 1000000,
+        )
+        .withColumn("nn", F.col("1_n") * F.col("0_n"))
+        .withColumn("diff_raw_micro", sdiv("raw_num", "nn"))
+        # adjusted totals distribute: sum(y*1e6 - theta*x) per arm
+        .withColumn(
+            "adj_t", F.col("1_sy") * 1000000 - F.col("theta_micro") * F.col("1_sx")
+        )
+        .withColumn(
+            "adj_c", F.col("0_sy") * 1000000 - F.col("theta_micro") * F.col("0_sx")
+        )
+        .withColumn(
+            "cuped_num",
+            F.col("adj_t") * F.col("0_n") - F.col("adj_c") * F.col("1_n"),
+        )
+        .withColumn("diff_cuped_micro", sdiv("cuped_num", "nn"))
+        # r^2 in bp, two-step truncating ratio (see docstring)
+        .withColumn("c10k", F.col("covn") * 10000)
+        .withColumn("step1", sdiv("c10k", "varx"))
+        .withColumn("r2_num", F.col("step1") * F.col("covn"))
+        .withColumn("var_reduction_bp", sdiv("r2_num", "vary"))
+    )
+    return wide.select(
+        F.col("1_n").cast("bigint").alias("n_t"),
+        F.col("0_n").cast("bigint").alias("n_c"),
+        "theta_micro",
+        "diff_raw_micro",
+        "diff_cuped_micro",
+        "var_reduction_bp",
+    )

@@ -404,3 +404,70 @@ def loo_target_encode(
             "ELSE CAST((_s - target_cents) DIV (_n - 1) AS BIGINT) END"
         ).alias("enc_cents"),
     )
+
+
+def mi_feature_rank(docs: DataFrame, label: Column) -> DataFrame:
+    """Mutual information I(X; Y) in micro-nats between each candidate
+    categorical feature and a boolean label — the feature-selection
+    ranking run before fitting `classifier_fit` (high-MI features carry
+    signal; near-zero ones are hash-bucket noise).
+
+    Features are fixed, engine-portable projections of the document row:
+    `source` (native), `len_bucket` (n_chars div 512), `has_digit`
+    (regexp on text; NULL text is its own level). I(X;Y) =
+    Σ_cells (n_xy/n)·ln(n_xy·n / (n_x·n_y)); each cell's term is
+    floor-quantized to 1e-6 nats BEFORE summation (the
+    summation-order-proof discipline of psi_value_drift — cell terms can
+    be negative, and floor is floor in both engines, not
+    truncation).
+
+    Returns (feature, n_levels, mi_micro) ranked descending. MI is
+    non-negative in exact math; the quantized total can dip a few
+    micro-nats below zero for an independent pair, which is itself the
+    correct \"no signal\" reading.
+
+    Scale shape: ONE scan — the three features leave the row as a
+    row-local stack() (3 rows per doc, no self-union rescans); one
+    map-side-combined groupBy on (feature, level, y); every marginal
+    re-aggregates the cell table (bounded by Σ levels · 2), and the
+    final sum is per-feature over that same bounded frame."""
+    y = F.coalesce(label, F.lit(False)).alias("y")
+    feats = docs.select(
+        F.expr(
+            "stack(3, "
+            " 'source', coalesce(source, '<null>'), "
+            " 'len_bucket', coalesce(cast(n_chars div 512 AS STRING), '<null>'), "
+            " 'has_digit', CASE WHEN text IS NULL THEN '<null>' "
+            "              WHEN text rlike '[0-9]' THEN '1' ELSE '0' END "
+            ") AS (feature, level)"
+        ),
+        y,
+    )
+    cells = feats.groupBy("feature", "level", "y").agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n_xy")
+    )
+    lv = cells.groupBy("feature", "level").agg(F.sum("n_xy").alias("n_x"))
+    yy = cells.groupBy("feature", "y").agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.groupBy("feature").agg(
+        F.sum("n_xy").alias("n"),
+        F.countDistinct("level").alias("n_levels"),
+    )
+    terms = (
+        cells.join(lv, ["feature", "level"])
+        .join(yy, ["feature", "y"])
+        .join(F.broadcast(tot), "feature")
+        .select(
+            "feature",
+            "n_levels",
+            F.expr(
+                "CAST(floor(1000000.0d * (CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * ln(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)"
+                "      / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))) AS BIGINT)"
+            ).alias("term_micro"),
+        )
+    )
+    return (
+        terms.groupBy("feature", "n_levels")
+        .agg(F.sum("term_micro").cast("bigint").alias("mi_micro"))
+        .orderBy(F.col("mi_micro").desc(), F.col("feature").asc())
+    )

@@ -6013,3 +6013,118 @@ SELECT x::BIGINT AS exact_rows, e::BIGINT AS est_rows,
          AS overcount_bp
 FROM exact, est
 """
+
+
+# MI feature ranking (ops/classify.mi_feature_rank vs label lang='en'):
+# per-cell term floor-quantized to 1e-6 nats before the integer total;
+# cell terms can be negative and floor is floor in both engines.
+ORACLES["mi_feature_rank"] = """
+WITH feats AS (
+  SELECT 'source' AS feature, coalesce(source, '<null>') AS level,
+         coalesce(lang = 'en', false) AS y FROM documents
+  UNION ALL
+  SELECT 'len_bucket', coalesce(CAST(n_chars // 512 AS VARCHAR), '<null>'),
+         coalesce(lang = 'en', false) FROM documents
+  UNION ALL
+  SELECT 'has_digit',
+         CASE WHEN text IS NULL THEN '<null>'
+              WHEN regexp_matches(text, '[0-9]') THEN '1' ELSE '0' END,
+         coalesce(lang = 'en', false) FROM documents
+),
+cells AS (
+  SELECT feature, level, y, count(*)::HUGEINT AS n_xy
+  FROM feats GROUP BY 1, 2, 3
+),
+lv AS (SELECT feature, level, sum(n_xy) AS n_x FROM cells GROUP BY 1, 2),
+yy AS (SELECT feature, y, sum(n_xy) AS n_y FROM cells GROUP BY 1, 2),
+tot AS (
+  SELECT feature, sum(n_xy) AS n, count(DISTINCT level)::BIGINT AS n_levels
+  FROM cells GROUP BY 1
+),
+terms AS (
+  SELECT c.feature, t.n_levels,
+         CAST(floor(1000000.0 * (c.n_xy::DOUBLE / t.n::DOUBLE)
+              * ln(c.n_xy::DOUBLE * t.n::DOUBLE
+                   / (l.n_x::DOUBLE * y2.n_y::DOUBLE))) AS BIGINT) AS tm
+  FROM cells c
+  JOIN lv l ON l.feature = c.feature AND l.level = c.level
+  JOIN yy y2 ON y2.feature = c.feature AND y2.y = c.y
+  JOIN tot t ON t.feature = c.feature
+)
+SELECT feature, n_levels, sum(tm)::BIGINT AS mi_micro
+FROM terms GROUP BY 1, 2
+ORDER BY mi_micro DESC, feature ASC
+"""
+
+
+# CUPED-adjusted A/B lift (ops/behavior.cuped_adjusted_lift): arm =
+# portable-hash parity of user_id, X = first-half cents, Y = second-half
+# cents, theta pooled; every division is the sign-split truncating form
+# sign(num) * (abs(num) // den), so floor-vs-trunc on negatives cannot
+# diverge between engines.
+ORACLES["cuped_adjusted_lift"] = f"""
+WITH base AS (
+  SELECT user_id AS u, {_DAY_NO} AS d,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+env AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM base),
+pu AS (
+  SELECT u,
+         sum(CASE WHEN d < (SELECT mid FROM env) THEN cents ELSE 0 END)::HUGEINT AS x,
+         sum(CASE WHEN d < (SELECT mid FROM env) THEN 0 ELSE cents END)::HUGEINT AS y,
+         {portable_hash_sql('cast(u AS VARCHAR)')} % 2 AS arm
+  FROM base GROUP BY u
+),
+mm AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         count(*)::HUGEINT * sum(x * y) - sum(x) * sum(y) AS covn,
+         count(*)::HUGEINT * sum(x * x) - sum(x) * sum(x) AS varx,
+         count(*)::HUGEINT * sum(y * y) - sum(y) * sum(y) AS vary
+  FROM pu
+),
+w AS (
+  SELECT
+    (SELECT count(*)::HUGEINT FROM pu WHERE arm = 1) AS n_t,
+    (SELECT count(*)::HUGEINT FROM pu WHERE arm = 0) AS n_c,
+    (SELECT coalesce(sum(x), 0)::HUGEINT FROM pu WHERE arm = 1) AS sx_t,
+    (SELECT coalesce(sum(x), 0)::HUGEINT FROM pu WHERE arm = 0) AS sx_c,
+    (SELECT coalesce(sum(y), 0)::HUGEINT FROM pu WHERE arm = 1) AS sy_t,
+    (SELECT coalesce(sum(y), 0)::HUGEINT FROM pu WHERE arm = 0) AS sy_c,
+    covn, varx, vary
+  FROM mm
+),
+t1 AS (
+  SELECT *,
+    CASE WHEN varx = 0 THEN 0
+         ELSE sign(covn)::HUGEINT * ((abs(covn) * 1000000) // varx)
+    END AS theta_micro,
+    n_t * n_c AS nn
+  FROM w
+),
+t2 AS (
+  SELECT *,
+    (sy_t * n_c - sy_c * n_t) * 1000000 AS raw_num,
+    (sy_t * 1000000 - theta_micro * sx_t) * n_c
+      - (sy_c * 1000000 - theta_micro * sx_c) * n_t AS cuped_num,
+    CASE WHEN varx = 0 THEN 0
+         ELSE sign(covn)::HUGEINT * ((abs(covn) * 10000) // varx)
+    END AS step1
+  FROM t1
+)
+SELECT n_t::BIGINT AS n_t, n_c::BIGINT AS n_c,
+       theta_micro::BIGINT AS theta_micro,
+       (CASE WHEN nn = 0 THEN 0
+             ELSE sign(raw_num)::HUGEINT * (abs(raw_num) // nn) END)::BIGINT
+         AS diff_raw_micro,
+       (CASE WHEN nn = 0 THEN 0
+             ELSE sign(cuped_num)::HUGEINT * (abs(cuped_num) // nn) END)::BIGINT
+         AS diff_cuped_micro,
+       (CASE WHEN vary = 0 THEN 0
+             ELSE sign(step1 * covn)::HUGEINT
+                  * (abs(step1 * covn) // vary) END)::BIGINT
+         AS var_reduction_bp
+FROM t2
+"""

@@ -167,3 +167,51 @@ def test_cms_join_estimate_exact_without_collisions_and_zero_on_disjoint(spark):
     dis = spark.createDataFrame([(k,) for k in [100, 200]], "k bigint")
     r0 = cms_join_size_estimate(a, "k", dis, "k", width=65536).collect()[0]
     assert r0["exact_rows"] == 0 and r0["overcount_bp"] == 0
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF0001}/documents.parquet")
+
+
+def test_mi_independent_feature_is_zero_and_copy_is_entropy(spark):
+    from logzoom_spark.ops.classify import mi_feature_rank
+
+    # label == source-driven: build docs where 'source' IS the label and
+    # len_bucket/has_digit are constant -> MI(source) = H(label), others 0
+    rows = [(i, "a1b", "en" if i % 2 == 0 else "fr", "s-en" if i % 2 == 0 else "s-fr", 100)
+            for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    got = {r["feature"]: r for r in mi_feature_rank(df, F.col("lang") == "en").collect()}
+    # H(Bernoulli 1/2) = ln 2 = 0.693147... -> 693146 after per-cell floor
+    assert abs(got["source"]["mi_micro"] - 693146) <= 4
+    assert got["len_bucket"]["mi_micro"] == 0 and got["has_digit"]["mi_micro"] == 0
+    # real corpus: MI finite, n_levels positive, ranking order holds
+    out = mi_feature_rank(_docs(spark), F.col("lang") == "en").collect()
+    assert [r["feature"] for r in out] == sorted(
+        [r["feature"] for r in out],
+        key=lambda f: (-next(x["mi_micro"] for x in out if x["feature"] == f), f),
+    )
+
+
+def test_cuped_reduces_abs_noise_when_covariate_predicts(spark):
+    from logzoom_spark.ops.behavior import cuped_adjusted_lift
+
+    ev = _events(spark)
+    r = cuped_adjusted_lift(ev).collect()[0]
+    assert r["n_t"] + r["n_c"] > 0
+    assert 0 <= r["var_reduction_bp"] <= 10000
+    # synthetic: y = 2x exactly (pre-period predicts post perfectly, no
+    # treatment effect) -> theta == 2e6, adjusted lift == raw lift minus
+    # the pre-period imbalance; var reduction ~ 100%
+    rows = []
+    for u in range(200):
+        rows.append((u, "2024-01-01 00:00:00", float(u % 17)))       # pre
+        rows.append((u, "2024-01-09 00:00:00", float(2 * (u % 17)))) # post
+    df = spark.createDataFrame(rows, "user_id bigint, s string, value double").select(
+        "user_id", F.col("s").cast("timestamp").alias("ts"), "value"
+    )
+    rr = cuped_adjusted_lift(df).collect()[0]
+    assert rr["theta_micro"] == 2_000_000
+    assert rr["var_reduction_bp"] >= 9999
+    # y - theta*x == 0 for every user, so the adjusted lift is exactly 0
+    assert rr["diff_cuped_micro"] == 0
