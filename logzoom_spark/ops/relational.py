@@ -330,3 +330,79 @@ def funnel_within(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.filter(F.col("n_users") > 0)
+
+
+def skyline_users(events: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """2-D skyline (Pareto front; Börzsönyi, Kossmann, Stocker, ICDE
+    2001) over per-user (total value cents, event count), both
+    maximized: the users no other user dominates — the multi-criteria
+    top-set a single ORDER BY cannot express.
+
+    A point p is dominated iff some q has q.v >= p.v, q.n >= p.n with
+    one strict. Split by the v comparison: (a) strictly-greater-v
+    dominators exist iff max-n over v' > p.v is >= p.n; (b) equal-v
+    dominators exist iff the per-v max-n exceeds p.n. Both reduce to a
+    running max over the DISTINCT-value spine — never a pairwise join.
+
+    Scale shape: one user-key rollup, then the distinct-v spine (<=
+    distinct totals); the strictly-greater running max runs two-level —
+    equal-width v buckets from a 1-row broadcast envelope, an in-bucket
+    strict-predecessor max window partitioned BY bucket (v DESC), and
+    per-bucket offsets from a window over the n_buckets-row aggregate —
+    the same distributed-prefix shape as ks_value_drift, max instead of
+    sum. Returns (user_id, value_cents, n_events), dominance-free."""
+    if n_buckets < 1:
+        raise ValueError(f"need n_buckets >= 1, got {n_buckets}")
+    pu = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").alias("u"))
+        .agg(
+            F.sum(F.coalesce(F.floor(F.col("value") * 100), F.lit(0)))
+            .cast("bigint")
+            .alias("v"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    env = pu.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    nb = float(n_buckets)
+    bucketed = pu.crossJoin(F.broadcast(env)).select(
+        "u",
+        "v",
+        "n",
+        F.expr(
+            f"CASE WHEN vmax = vmin THEN 0 "
+            f"ELSE least({n_buckets - 1}, CAST(floor((v - vmin) "
+            f"/ ((vmax - vmin) / {nb})) AS INT)) END"
+        ).alias("bkt"),
+    )
+    # per-distinct-v spine: max n at that exact v
+    spine = bucketed.groupBy("bkt", "v").agg(F.max("n").alias("m_eq"))
+    # in-bucket strict-predecessor running max, v DESC
+    in_bkt = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("v").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = spine.withColumn("m_gt_local", F.max("m_eq").over(in_bkt))
+    # per-bucket totals -> strictly-higher-bucket offsets (bkt DESC)
+    bmax = spine.groupBy("bkt").agg(F.max("m_eq").alias("bm"))
+    off_w = (
+        Window.orderBy(F.col("bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bmax.select("bkt", F.max("bm").over(off_w).alias("m_hi"))
+    gt = local.join(F.broadcast(offs), "bkt").select(
+        "v",
+        "m_eq",
+        # Spark's greatest skips NULLs: NULL only when BOTH miss (the
+        # global-max v in the top nonempty bucket), i.e. undominated
+        F.greatest(F.col("m_gt_local"), F.col("m_hi")).alias("m_gt"),
+    )
+    return (
+        bucketed.join(gt, "v")
+        .filter(
+            (F.col("m_gt").isNull() | (F.col("m_gt") < F.col("n")))
+            & (F.col("m_eq") <= F.col("n"))
+        )
+        .select(F.col("u").alias("user_id"), F.col("v").alias("value_cents"), F.col("n").alias("n_events"))
+    )

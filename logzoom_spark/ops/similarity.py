@@ -870,3 +870,79 @@ def mmr_topk(
     return emb.sparkSession.createDataFrame(
         picked, "rank int, vec_id bigint, mmr bigint"
     )
+
+
+def hard_negatives_topk(
+    emb: DataFrame,
+    n_queries: int = 50,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the top-k most
+    similar vectors with a DIFFERENT label — the batch that makes a
+    contrastive/embedding trainer sweat (easy negatives are far; hard
+    ones sit just across the boundary). The label-filtered variant of
+    ``knn_join``: same probe arithmetic and tie-free ord, but the
+    different-label predicate lands BEFORE the per-anchor top-k window,
+    so an anchor surrounded by same-label vectors still surfaces k true
+    negatives from its probed cells rather than an empty page.
+
+    Returns (query_id, vec_id, dot, neg_rank) with neg_rank 1..k by
+    quantized dot desc, vec_id asc.
+
+    Scale shape: identical to knn_join (projection-only probe-cell
+    selection over inlined literal centroids, one equi-join on the
+    n_cells-cardinality cell key, WindowGroupLimit top-k) — the label
+    rides the assignment rows as one extra integer; no added
+    shuffle."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(emb, n_cells=n_cells, scale=scale).join(
+        emb.select("vec_id", F.col("label").alias("v_label")), "vec_id"
+    )
+    v = quantize(F.col("embedding"), scale)
+    base = emb.select("vec_id", v.alias("v"))
+    cents = base.filter(F.col("vec_id") < n_cells).collect()
+    qdf = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        quantize(F.col("embedding"), scale).alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(
+                (
+                    -(
+                        dot(F.col("qv"), F.array(*[F.lit(int(x)) for x in c["v"]]))
+                        * n_cells
+                        - F.lit(int(c["vec_id"]))
+                    )
+                ).alias("negord"),
+                F.lit(int(c["vec_id"])).alias("cell"),
+            )
+            for c in cents
+        ]
+    )
+    cells = F.transform(
+        F.slice(F.sort_array(probe_structs), 1, n_probe), lambda s: s["cell"]
+    )
+    probes = qdf.select("query_id", "qv", "q_label", F.explode(cells).alias("cell"))
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(~F.col("v_label").eqNullSafe(F.col("q_label")))
+        .select("query_id", "vec_id", dot(F.col("v"), F.col("qv")).alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "dot",
+            F.col("neg_rank").cast("bigint").alias("neg_rank"),
+        )
+    )

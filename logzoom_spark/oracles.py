@@ -6128,3 +6128,64 @@ SELECT n_t::BIGINT AS n_t, n_c::BIGINT AS n_c,
          AS var_reduction_bp
 FROM t2
 """
+
+
+# 2-D skyline / Pareto front over per-user (value cents, event count)
+# (ops/relational.skyline_users): the oracle is the direct NOT EXISTS
+# dominance quantifier; the Spark side's bucketed running-max must agree.
+ORACLES["skyline_users"] = """
+WITH pu AS (
+  SELECT user_id AS u,
+         sum(coalesce(CAST(floor(value * 100) AS BIGINT), 0))::BIGINT AS v,
+         count(*)::BIGINT AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT p.u AS user_id, p.v AS value_cents, p.n AS n_events
+FROM pu p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pu q
+  WHERE q.v >= p.v AND q.n >= p.n AND (q.v > p.v OR q.n > p.n)
+)
+"""
+
+# Contrastive hard negatives (ops.similarity.hard_negatives_topk):
+# knn_join's probe arithmetic with the different-label predicate applied
+# BEFORE the per-anchor top-k (anchors vec_id < 50, k=3, 16 cells, 4
+# probes); labels ride the assignment
+ORACLES["hard_negatives_topk"] = f"""
+WITH qv AS (SELECT vec_id, label, {_QUANT} AS q FROM embeddings),
+cents AS (SELECT vec_id AS cell, q AS cv FROM qv WHERE vec_id < 16),
+ascored AS (
+  SELECT v.vec_id, v.label, v.q, c.cell,
+         cast(list_sum(list_transform(range(1, 65), i -> v.q[i] * c.cv[i])) AS BIGINT)
+           * 16 - c.cell AS ord
+  FROM qv v CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, label, q, arg_max(cell, ord) AS cell
+  FROM ascored GROUP BY vec_id, label, q
+),
+queries AS (SELECT vec_id AS query_id, label AS q_label, q AS qq FROM qv WHERE vec_id < 50),
+probe AS (
+  SELECT query_id, q_label, qq, cell FROM (
+    SELECT qu.query_id, qu.q_label, qu.qq, c.cell,
+           row_number() OVER (PARTITION BY qu.query_id ORDER BY
+             cast(list_sum(list_transform(range(1, 65), i -> c.cv[i] * qu.qq[i])) AS BIGINT)
+               * 16 - c.cell DESC) AS rn
+    FROM queries qu CROSS JOIN cents c
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         cast(list_sum(list_transform(range(1, 65), i -> a.q[i] * p.qq[i])) AS BIGINT) AS dot
+  FROM probe p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.query_id
+    AND NOT (a.label IS NOT DISTINCT FROM p.q_label)
+)
+SELECT query_id, vec_id, dot, neg_rank FROM (
+  SELECT query_id, vec_id, dot,
+         cast(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id)
+              AS BIGINT) AS neg_rank
+  FROM cand
+) WHERE neg_rank <= 3
+"""

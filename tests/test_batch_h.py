@@ -215,3 +215,81 @@ def test_cuped_reduces_abs_noise_when_covariate_predicts(spark):
     assert rr["var_reduction_bp"] >= 9999
     # y - theta*x == 0 for every user, so the adjusted lift is exactly 0
     assert rr["diff_cuped_micro"] == 0
+
+
+def test_skyline_matches_bruteforce_and_bucket_invariance(spark):
+    from logzoom_spark.ops.relational import skyline_users
+
+    ev = _events(spark)
+    got = {(r["user_id"], r["value_cents"], r["n_events"])
+           for r in skyline_users(ev).collect()}
+    pu = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.coalesce(F.floor(F.col("value") * 100), F.lit(0))).alias("v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    pts = [(r["user_id"], r["v"], r["n"]) for r in pu]
+    brute = {
+        (u, v, n)
+        for (u, v, n) in pts
+        if not any(
+            qv >= v and qn >= n and (qv > v or qn > n) for (_, qv, qn) in pts
+        )
+    }
+    assert got == brute and len(got) > 0
+    one = {(r["user_id"], r["value_cents"], r["n_events"])
+           for r in skyline_users(ev, n_buckets=1).collect()}
+    assert one == got
+
+
+def test_skyline_known_configuration(spark):
+    from logzoom_spark.ops.relational import skyline_users
+
+    # (v, n): (10, 1) dominated by (10, 2); (5, 5) and (10, 2) and (12, 1)
+    # on the front; duplicates of a front point both kept
+    rows = []
+    def user(u, v_cents, n):
+        for i in range(n):
+            rows.append((u, float(v_cents) / 100.0 if i == 0 else 0.0))
+    user(1, 1000, 1)
+    user(2, 1000, 2)
+    user(3, 500, 5)
+    user(4, 1200, 1)
+    user(5, 500, 5)
+    df = spark.createDataFrame(rows, "user_id bigint, value double")
+    got = {(r["user_id"]) for r in skyline_users(df).collect()}
+    assert got == {2, 3, 4, 5}
+
+
+def test_hard_negatives_exclude_same_label_and_match_bruteforce(spark):
+    from logzoom_spark.ops.similarity import hard_negatives_topk, quantize, dot
+
+    em = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    out = hard_negatives_topk(em, n_queries=10, k=3).collect()
+    labels = {r["vec_id"]: r["label"] for r in em.select("vec_id", "label").collect()}
+    for r in out:
+        assert labels[r["vec_id"]] != labels[r["query_id"]]
+        assert 1 <= r["neg_rank"] <= 3
+    # per-anchor: within its probed cells, ranking equals the exact
+    # different-label ranking (probe-set equivalence via a full-probe run)
+    full = hard_negatives_topk(em, n_queries=10, k=3, n_probe=16).collect()
+    # with all cells probed the result must equal the global brute force
+    q = em.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), quantize(F.col("embedding")).alias("qv"),
+        F.col("label").alias("ql"))
+    c = em.select("vec_id", quantize(F.col("embedding")).alias("v"), "label")
+    brute = (
+        q.join(c, F.col("vec_id") != F.col("qid"))
+        .filter(~F.col("label").eqNullSafe(F.col("ql")))
+        .select("qid", "vec_id", dot(F.col("v"), F.col("qv")).alias("dot"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vec_id"))
+    bt = {(r["qid"], r["vec_id"], r["dot"], r["rk"])
+          for r in brute.withColumn("rk", F.row_number().over(w))
+          .filter(F.col("rk") <= 3).collect()}
+    assert {(r["query_id"], r["vec_id"], r["dot"], r["neg_rank"]) for r in full} == bt
