@@ -3208,6 +3208,25 @@ def q_hard_negatives_topk(spark: SparkSession, sf: str) -> DataFrame:
     return hard_negatives_topk(_read(spark, sf, "embeddings"), n_queries=50, k=3)
 
 
+def q_session_incident_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap join of user sessions against daily error-incident
+    windows via day-bucket blocking — equi-join on the day key plus a
+    residual range predicate, never an inequality join."""
+    from logzoom_spark.ops.relational import session_incident_overlap
+
+    return session_incident_overlap(_read(spark, sf, "events"))
+
+
+def q_ab_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-arm Poisson-bootstrap CI for mean user value: deterministic
+    Poisson(1) replication weights from the seeded portable hash (2^30
+    fixed-point inverse CDF); replica explode map-side-combines into
+    2*n_reps cells before the shuffle."""
+    from logzoom_spark.ops.behavior import ab_bootstrap_ci
+
+    return ab_bootstrap_ci(_read(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness run records exactly the FIRST
     # 50 dict keys. Round-5 rotation (per VERDICT r4 top_next): the 44
@@ -3480,6 +3499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_adjusted_lift": q_cuped_adjusted_lift,
         "skyline_users": q_skyline_users,
         "hard_negatives_topk": q_hard_negatives_topk,
+        "session_incident_overlap": q_session_incident_overlap,
+        "ab_bootstrap_ci": q_ab_bootstrap_ci,
     }
 
 

@@ -762,3 +762,115 @@ def cuped_adjusted_lift(events: DataFrame) -> DataFrame:
         "diff_cuped_micro",
         "var_reduction_bp",
     )
+
+
+#: Poisson(1) inverse-CDF thresholds at 2^30 fixed point (k = 0..8; the
+#: 2^-30-scale tail folds onto weight 9). The SAME literals appear in the
+#: DuckDB oracle — both engines compare the identical integers.
+POISSON1_THR = [
+    395007542,
+    790015084,
+    987518855,
+    1053353445,
+    1069812093,
+    1073103822,
+    1073652444,
+    1073730819,
+    1073740615,
+]
+
+
+def poisson1_weight_sql(h_expr: str) -> str:
+    """SQL CASE text mapping a uniform [0, 2^30) integer to a Poisson(1)
+    draw by inverse CDF — dialect-neutral (shared by the Spark expr and
+    the DuckDB oracle)."""
+    whens = " ".join(
+        f"WHEN ({h_expr}) < {t} THEN {k}" for k, t in enumerate(POISSON1_THR)
+    )
+    return f"CASE {whens} ELSE 9 END"
+
+
+def ab_bootstrap_ci(events: DataFrame, n_reps: int = 32) -> DataFrame:
+    """Per-arm Poisson-bootstrap confidence interval for mean user value
+    — THE distributed bootstrap (each user draws an independent
+    Poisson(1) replication weight per replica, so no replica ever needs
+    a global resample; Chamandy et al., 'Estimating Uncertainty for
+    Massive Data Streams', Google 2012). Arms are the same hash-parity
+    split as cuped_adjusted_lift; weights come from the seeded portable
+    hash of (user, replica) by inverse CDF over 2^30 fixed-point
+    thresholds (POISSON1_THR) — pure integers, reproducible, verifiable.
+
+    Returns one row per arm: (arm, n_users, mean_cents, lo05_cents,
+    hi95_cents) — the point mean and the 5th/95th percentile-disc of the
+    n_reps replica means (rank ceil(p*B), the _target_rank rule).
+
+    Scale shape: users collapse to (user, arm, cents) on one key
+    exchange; the replica explode (x n_reps) is row-local on that
+    user-sized frame and map-side combines into 2*n_reps (arm, rep)
+    cells before its shuffle — the exchange carries cells, not users;
+    percentiles run over the n_reps-row per-arm frame."""
+    from ..hashing import portable_hash
+
+    if n_reps < 2:
+        raise ValueError(f"need n_reps >= 2, got {n_reps}")
+    per_user = (
+        events.filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.col("user_id").alias("u"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100)).cast("decimal(19,0)").alias("y")
+        )
+        .withColumn("arm", F.pmod(portable_hash(F.col("u").cast("string")), F.lit(2)))
+    )
+    reps = per_user.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1)))
+    ).withColumn(
+        "h",
+        F.pmod(
+            portable_hash(F.concat_ws("|", F.col("u"), F.col("b")), seed=7),
+            F.lit(1 << 30),
+        ),
+    ).withColumn("w", F.expr(poisson1_weight_sql("h")).cast("decimal(19,0)"))
+    cells = reps.groupBy("arm", "b").agg(
+        F.sum(F.col("w") * F.col("y")).alias("sw"),
+        F.sum("w").alias("ww"),
+    )
+    rmeans = cells.select(
+        "arm",
+        F.when(F.col("ww") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.signum(F.col("sw")).cast("bigint")
+            * F.expr("CAST(abs(sw) DIV ww AS BIGINT)")
+        )
+        .alias("rmean"),
+    )
+    w_rank = Window.partitionBy("arm").orderBy("rmean")
+    lo_rank = -(-5 * n_reps // 100) or 1  # ceil(0.05*B), min 1
+    hi_rank = -(-95 * n_reps // 100)
+    pct = (
+        rmeans.withColumn("rn", F.row_number().over(w_rank))
+        .groupBy("arm")
+        .agg(
+            F.max(F.when(F.col("rn") == lo_rank, F.col("rmean"))).alias("lo05_cents"),
+            F.max(F.when(F.col("rn") == hi_rank, F.col("rmean"))).alias("hi95_cents"),
+        )
+    )
+    point = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("y").alias("sy"),
+    ).select(
+        "arm",
+        "n_users",
+        F.when(F.col("n_users") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.signum(F.col("sy")).cast("bigint")
+            * F.expr("CAST(abs(sy) DIV n_users AS BIGINT)")
+        )
+        .alias("mean_cents"),
+    )
+    return point.join(pct, "arm").select(
+        F.col("arm").cast("bigint").alias("arm"),
+        "n_users",
+        "mean_cents",
+        "lo05_cents",
+        "hi95_cents",
+    )

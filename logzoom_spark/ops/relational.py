@@ -406,3 +406,84 @@ def skyline_users(events: DataFrame, n_buckets: int = 64) -> DataFrame:
         )
         .select(F.col("u").alias("user_id"), F.col("v").alias("value_cents"), F.col("n").alias("n_events"))
     )
+
+
+def session_incident_overlap(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Interval-overlap join: user sessions (the bounce_rate_daily /
+    sessionize_gaps split rule — > gap_s inactivity starts a new
+    session) against daily error-incident windows (per day, the
+    [first, last] error-event envelope). The temporal-join shape a
+    plain equi-join cannot express: which sessions were exposed to an
+    incident, and for how long.
+
+    Returns (user_id, sess_start_ep, day_no, overlap_s, n_errors) — one
+    row per (session, incident) pair with positive or zero-length
+    overlap (touching endpoints count, overlap_s >= 0).
+
+    Scale shape: day-bucket blocking — a session explodes to the
+    calendar days it spans (row-local sequence/explode; sessions are
+    gap-bounded so the fan-out is tiny), incidents are single-day by
+    construction, and the join is an EQUI-join on the day key followed
+    by the residual range predicate; no session ever compares against
+    another day's incidents and no pair is produced twice. The session
+    rollup rides the same one user-key exchange as bounce_rate_daily;
+    the incident table is calendar-bounded."""
+    if gap_s < 1:
+        raise ValueError(f"need gap_s >= 1, got {gap_s}")
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type", ep.alias("_ep"))
+        .withColumn(
+            "_new",
+            F.coalesce(
+                F.col("_ep") - F.lag("_ep").over(wo) > gap_s, F.lit(True)
+            ).cast("int"),
+        )
+        .withColumn(
+            "_sess", F.sum("_new").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    sessions = base.groupBy("user_id", "_sess").agg(
+        F.min("_ep").alias("s_start"), F.max("_ep").alias("s_end")
+    )
+    incidents = (
+        events.filter(
+            (F.col("event_type") == "error") & F.col("ts").isNotNull()
+        )
+        .select(ep.alias("_ep"))
+        .groupBy((F.col("_ep") / 86400).cast("bigint").alias("day_no"))
+        .agg(
+            F.min("_ep").alias("i_start"),
+            F.max("_ep").alias("i_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_errors"),
+        )
+    )
+    days = sessions.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                (F.col("s_start") / 86400).cast("bigint"),
+                (F.col("s_end") / 86400).cast("bigint"),
+            )
+        ).alias("day_no"),
+    )
+    return (
+        days.join(incidents, "day_no")
+        .filter(
+            (F.col("s_start") <= F.col("i_end"))
+            & (F.col("i_start") <= F.col("s_end"))
+        )
+        .select(
+            "user_id",
+            F.col("s_start").alias("sess_start_ep"),
+            "day_no",
+            (
+                F.least("s_end", "i_end") - F.greatest("s_start", "i_start")
+            ).cast("bigint").alias("overlap_s"),
+            "n_errors",
+        )
+    )

@@ -6189,3 +6189,91 @@ SELECT query_id, vec_id, dot, neg_rank FROM (
   FROM cand
 ) WHERE neg_rank <= 3
 """
+
+
+# Session x daily-error-incident interval overlap join
+# (ops/relational.session_incident_overlap, gap_s=1800): the oracle is
+# the direct range-predicate join; the Spark side's day-bucket blocking
+# must find the identical pair set (overlapping intervals share a day).
+ORACLES["session_incident_overlap"] = """
+WITH base AS (
+  SELECT user_id, ts, event_id, cast(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+lagd AS (
+  SELECT user_id, ts, event_id, ep,
+         coalesce((ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800,
+                  true)::INT AS newf
+  FROM base
+),
+sess AS (
+  SELECT user_id, ep,
+         sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS s
+  FROM lagd
+),
+spans AS (
+  SELECT user_id, s, min(ep) AS s_start, max(ep) AS s_end
+  FROM sess GROUP BY 1, 2
+),
+inc AS (
+  SELECT cast(floor(epoch(ts)) AS BIGINT) // 86400 AS day_no,
+         min(cast(floor(epoch(ts)) AS BIGINT)) AS i_start,
+         max(cast(floor(epoch(ts)) AS BIGINT)) AS i_end,
+         count(*)::BIGINT AS n_errors
+  FROM events WHERE event_type = 'error' AND ts IS NOT NULL GROUP BY 1
+)
+SELECT sp.user_id, sp.s_start AS sess_start_ep, inc.day_no,
+       (least(sp.s_end, inc.i_end) - greatest(sp.s_start, inc.i_start))::BIGINT
+         AS overlap_s,
+       inc.n_errors
+FROM spans sp
+JOIN inc ON sp.s_start <= inc.i_end AND inc.i_start <= sp.s_end
+"""
+
+
+# Poisson-bootstrap A/B confidence interval (ops/behavior.ab_bootstrap_ci,
+# n_reps=32): per-(user, replica) Poisson(1) weights by inverse CDF over
+# the 2^30 fixed-point thresholds; replica means rank-picked at
+# ceil(.05*B)=2 / ceil(.95*B)=31. CASE text generated by the SAME
+# poisson1_weight_sql the Spark op uses.
+ORACLES["ab_bootstrap_ci"] = """
+WITH pu AS (
+  SELECT user_id AS u,
+         sum(CAST(floor(value * 100) AS BIGINT))::HUGEINT AS y,
+         cast('0x' || substr(md5((cast(user_id AS VARCHAR)) || '#0'), 1, 15) AS BIGINT) % 2 AS arm
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL GROUP BY 1
+),
+reps AS (SELECT u, y, arm, unnest(range(0, 32)) AS b FROM pu),
+hh AS (
+  SELECT arm, b, y, cast('0x' || substr(md5((u || '|' || b) || '#7'), 1, 15) AS BIGINT) % 1073741824 AS h
+  FROM reps
+),
+wt AS (SELECT arm, b, y, (CASE WHEN (h) < 395007542 THEN 0 WHEN (h) < 790015084 THEN 1 WHEN (h) < 987518855 THEN 2 WHEN (h) < 1053353445 THEN 3 WHEN (h) < 1069812093 THEN 4 WHEN (h) < 1073103822 THEN 5 WHEN (h) < 1073652444 THEN 6 WHEN (h) < 1073730819 THEN 7 WHEN (h) < 1073740615 THEN 8 ELSE 9 END)::HUGEINT AS w FROM hh),
+cells AS (SELECT arm, b, sum(w * y) AS sw, sum(w) AS ww FROM wt GROUP BY 1, 2),
+rm AS (
+  SELECT arm,
+         (CASE WHEN ww = 0 THEN 0
+               ELSE sign(sw)::HUGEINT * (abs(sw) // ww) END)::BIGINT AS rmean
+  FROM cells
+),
+rk AS (
+  SELECT arm, rmean,
+         row_number() OVER (PARTITION BY arm ORDER BY rmean) AS rn
+  FROM rm
+),
+pct AS (
+  SELECT arm,
+         max(CASE WHEN rn = 2 THEN rmean END)::BIGINT AS lo05_cents,
+         max(CASE WHEN rn = 31 THEN rmean END)::BIGINT AS hi95_cents
+  FROM rk GROUP BY 1
+),
+pt AS (SELECT arm, count(*)::BIGINT AS n_users, sum(y) AS sy FROM pu GROUP BY 1)
+SELECT pt.arm::BIGINT AS arm, pt.n_users,
+       (CASE WHEN pt.n_users = 0 THEN 0
+             ELSE sign(pt.sy)::HUGEINT
+                  * (abs(pt.sy) // pt.n_users::HUGEINT) END)::BIGINT
+         AS mean_cents,
+       pct.lo05_cents, pct.hi95_cents
+FROM pt JOIN pct USING (arm)
+"""

@@ -293,3 +293,56 @@ def test_hard_negatives_exclude_same_label_and_match_bruteforce(spark):
           for r in brute.withColumn("rk", F.row_number().over(w))
           .filter(F.col("rk") <= 3).collect()}
     assert {(r["query_id"], r["vec_id"], r["dot"], r["neg_rank"]) for r in full} == bt
+
+
+def test_overlap_join_matches_direct_predicate(spark):
+    from logzoom_spark.ops.relational import session_incident_overlap
+
+    ev = _events(spark)
+    got = {tuple(r) for r in session_incident_overlap(ev).collect()}
+    # brute force from the same session/incident definitions
+    ep = F.unix_timestamp(F.col("ts")).cast("bigint")
+    from pyspark.sql import Window
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", ep.alias("e"))
+        .withColumn("nf", F.coalesce(F.col("e") - F.lag("e").over(wo) > 1800, F.lit(True)).cast("int"))
+        .withColumn("s", F.sum("nf").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    spans = base.groupBy("user_id", "s").agg(F.min("e").alias("a"), F.max("e").alias("b")).collect()
+    inc = (
+        ev.filter((F.col("event_type") == "error") & F.col("ts").isNotNull())
+        .select(ep.alias("e"))
+        .groupBy((F.col("e") / 86400).cast("bigint").alias("d"))
+        .agg(F.min("e").alias("ia"), F.max("e").alias("ib"), F.count(F.lit(1)).alias("ne"))
+        .collect()
+    )
+    brute = set()
+    for srow in spans:
+        for irow in inc:
+            if srow["a"] <= irow["ib"] and irow["ia"] <= srow["b"]:
+                brute.add((srow["user_id"], srow["a"], irow["d"],
+                           min(srow["b"], irow["ib"]) - max(srow["a"], irow["ia"]),
+                           irow["ne"]))
+    assert got == brute and len(got) > 0
+    # at least one genuine (multi-second) overlap exists in the corpus
+    assert any(r[3] > 0 for r in got)
+
+
+def test_bootstrap_ci_brackets_mean_and_poisson_marginal(spark):
+    from logzoom_spark.ops.behavior import ab_bootstrap_ci, POISSON1_THR
+
+    rows = ab_bootstrap_ci(_events(spark)).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["lo05_cents"] <= r["hi95_cents"]
+        # the CI should bracket the point mean on real data
+        assert r["lo05_cents"] <= r["mean_cents"] <= r["hi95_cents"]
+    # thresholds are the Poisson(1) CDF at 2^30: P(0) ~ e^-1
+    import math
+    assert abs(POISSON1_THR[0] / (1 << 30) - math.exp(-1)) < 1e-9
+    assert POISSON1_THR == sorted(POISSON1_THR)
+    # determinism
+    again = {r["arm"]: tuple(r) for r in ab_bootstrap_ci(_events(spark)).collect()}
+    assert all(tuple(r) == again[r["arm"]] for r in rows)
