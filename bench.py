@@ -102,7 +102,7 @@ def main() -> None:
     from logzoom_spark import transcripts as tr
     from logzoom_spark import aggregate as agg
     from logzoom_spark.route import Route, apply_route
-    from logzoom_spark.ops import dedup, similarity
+    from logzoom_spark.ops import dedup, setsim, similarity
     from logzoom_spark.ops import text as tx
 
     # Small-input caveat: the default 128 MB read split would collapse this
@@ -400,6 +400,22 @@ def main() -> None:
     bench(
         "psi_value_drift",
         lambda: se.q_psi_value_drift(spark, sf_dir).collect(),
+    )
+    # session-8 exact-similarity / sharding family
+    # t=9000 for the bench: the sf0.1 synthetic corpus is template-dense
+    # (7.1M true pairs at t=6000 — the answer itself is huge); the tighter
+    # threshold keeps the bench entry about the join machinery, not the
+    # output materialization
+    bench(
+        "setsim_join_pairs",
+        lambda: _noop(
+            setsim.setsim_join(docs, threshold_bp=9000)
+        ),
+        runs=1,
+    )
+    bench(
+        "hrw_shard_counts",
+        lambda: _noop(se.q_hrw_shard_counts(spark, sf_dir)),
     )
 
     # secondary (opt-in: SPARK_GRAFT_SINK_BENCH=1): the same pipeline with

@@ -1,0 +1,133 @@
+"""Exact set-similarity join via prefix filtering (PPJoin-lite).
+
+The reference dedups at the whole-line level only (its filters are
+equality rules, route/route.go:3-7); a training-data pipeline needs the
+EXACT near-duplicate pair set at a tunable Jaccard threshold. MinHash/LSH
+(`ops.dedup`) is the probabilistic path; this module is the exact one:
+the prefix-filtering principle of PPJoin (Xiao, Wang, Lin, Yu, WWW 2008)
+— under any global total order on tokens, two sets with overlap >= a
+must each contain one of the other's first (|d| - a + 1) tokens, so
+candidate pairs only need to collide on the short rare-token prefix,
+never on the full posting lists.
+
+Scale shape: one token-key exchange to attach document frequencies (the
+global order is df-ascending, so the prefix holds each document's
+RAREST tokens — the join fan-out per token is smallest exactly where
+prefixes select), a candidate equi-join on prefix tokens with the
+Jaccard length filter applied BEFORE the distinct, and a verify join
+that touches only candidate pairs. No all-pairs stage anywhere; the
+expensive frequent tokens are excluded from every prefix by
+construction. All arithmetic is integer basis points — bit-identical to
+the DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tok_sets(docs: DataFrame, col: str, id_col: str) -> DataFrame:
+    """(id, token) DISTINCT — whitespace words, lowercased, '' dropped."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+
+
+def setsim_join(
+    docs: DataFrame,
+    threshold_bp: int = 6000,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs of documents with word-set Jaccard >= threshold_bp/10000.
+
+    Exact (not probabilistic): prefix filtering guarantees no pair is
+    missed, the verify stage computes true intersection/union sizes, and
+    the threshold test is integer cross-multiplication
+    (10000*inter >= threshold_bp*union) — no float anywhere.
+
+    Per document of set size s, the required overlap for any qualifying
+    partner is a = ceil(t*s) (Jaccard >= t implies |x∩y| >= t*|x∪y| >=
+    t*max(|x|,|y|)), so the prefix is the first s - a + 1 tokens in the
+    global (df asc, token asc) order. Pairs must share a prefix token in
+    BOTH directions; emitting from each side and letting the equi-join
+    intersect gives the standard both-prefixes guarantee. The length
+    filter 10000*min >= t*max prunes before dedup.
+
+    Returns (doc_a, doc_b, inter_tokens, union_tokens, jaccard_bp) with
+    doc_a < doc_b, jaccard_bp = floor(10000*inter/union).
+    """
+    if not 0 < threshold_bp <= 10000:
+        raise ValueError(f"need 0 < threshold_bp <= 10000, got {threshold_bp}")
+    toks = _tok_sets(docs, col, id_col)
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("dfq"))
+    # global order: rarest-first; (dfq, token) is total because token is
+    # unique per document
+    rnk_w = Window.partitionBy("id").orderBy("dfq", "token")
+    ordered = (
+        toks.join(dfreq, "token")
+        .withColumn("rnk", F.row_number().over(rnk_w))
+        .join(sizes, "id")
+    )
+    # prefix length = sz - ceil(t*sz) + 1;  ceil(t*sz) = (t*sz + 9999) // 10000
+    pref = ordered.filter(
+        F.col("rnk")
+        <= F.col("sz")
+        - F.floor((F.lit(threshold_bp) * F.col("sz") + 9999) / 10000)
+        + 1
+    ).select("token", "id", "sz")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, "token")
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            # Jaccard >= t forces 10000*min(sz) >= t*max(sz); with the
+            # least/greatest form the filter is symmetric in a/b
+            & (
+                F.lit(10000) * F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.lit(threshold_bp) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            )
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("doc_a"), "token")
+    tb = toks.select(F.col("id").alias("doc_b"), "token")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_tokens"))
+    )
+    return (
+        inter.withColumn(
+            "union_tokens", F.col("sz_a") + F.col("sz_b") - F.col("inter_tokens")
+        )
+        .filter(
+            F.lit(10000) * F.col("inter_tokens")
+            >= F.lit(threshold_bp) * F.col("union_tokens")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_tokens",
+            "union_tokens",
+            F.floor(F.lit(10000) * F.col("inter_tokens") / F.col("union_tokens"))
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+    )

@@ -6277,3 +6277,105 @@ SELECT pt.arm::BIGINT AS arm, pt.n_users,
        pct.lo05_cents, pct.hi95_cents
 FROM pt JOIN pct USING (arm)
 """
+
+# Exact prefix-filter set-similarity join (ops/setsim.setsim_join,
+# PPJoin-lite, Xiao et al. WWW 2008): identical integer basis-point
+# arithmetic, identical (df asc, token asc) global token order, and the
+# same both-sides prefix emission — the oracle IS the algorithm, so a
+# missed candidate on either engine shows up as a row diff.
+ORACLES["setsim_join_pairs"] = r"""
+WITH tk AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                        '\s+')) AS token
+    FROM documents) WHERE token <> ''
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM tk GROUP BY 1),
+dfreq AS (SELECT token, count(*)::BIGINT AS dfq FROM tk GROUP BY 1),
+ordered AS (
+  SELECT tk.doc_id, tk.token, s.sz,
+         row_number() OVER (PARTITION BY tk.doc_id
+                            ORDER BY d.dfq, tk.token) AS rnk
+  FROM tk JOIN dfreq d USING (token) JOIN sizes s USING (doc_id)
+),
+pref AS (
+  SELECT token, doc_id, sz FROM ordered
+  WHERE rnk <= sz - ((6000 * sz + 9999) // 10000) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sz AS sz_a, b.sz AS sz_b
+  FROM pref a JOIN pref b ON a.token = b.token AND a.doc_id < b.doc_id
+  WHERE 10000 * least(a.sz, b.sz) >= 6000 * greatest(a.sz, b.sz)
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, c.sz_a, c.sz_b, count(*)::BIGINT AS inter_tokens
+  FROM cand c
+  JOIN tk ta ON ta.doc_id = c.doc_a
+  JOIN tk tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, inter_tokens,
+       (sz_a + sz_b - inter_tokens)::BIGINT AS union_tokens,
+       ((10000 * inter_tokens) // (sz_a + sz_b - inter_tokens))::BIGINT
+         AS jaccard_bp
+FROM inter
+WHERE 10000 * inter_tokens >= 6000 * (sz_a + sz_b - inter_tokens)
+"""
+
+# Rendezvous-hash shard occupancy (route.hrw_shard_counts): the oracle
+# recomputes the argmax with the identical portable 60-bit hash via an
+# unnest over the shard range and the same (hash DESC, shard ASC)
+# tie-break the Spark struct-max encodes with (h, -s).
+ORACLES["hrw_shard_counts"] = r"""
+WITH keys AS (
+  SELECT user_id AS k, count(*)::BIGINT AS n_ev FROM events
+  WHERE user_id IS NOT NULL GROUP BY 1
+),
+h AS (
+  SELECT k, n_ev, s.shard,
+         cast('0x' || substr(md5((cast(k AS VARCHAR) || '|' || cast(s.shard AS VARCHAR)) || '#0'), 1, 15) AS BIGINT) AS hv
+  FROM keys CROSS JOIN (SELECT range AS shard FROM range(0, 8)) s
+),
+a AS (
+  SELECT k, n_ev, shard,
+         row_number() OVER (PARTITION BY k ORDER BY hv DESC, shard ASC) AS rn
+  FROM h
+)
+SELECT shard::INT AS shard, count(*)::BIGINT AS n_keys,
+       sum(n_ev)::BIGINT AS n_events
+FROM a WHERE rn = 1 GROUP BY 1
+"""
+
+# HRW minimal-movement reshard audit (route.hrw_reshard_audit): assign at
+# 8 and 9 shards; n_moved must equal n_moved_to_new row by row (the HRW
+# theorem the pytest also pins).
+ORACLES["hrw_reshard_audit"] = r"""
+WITH keys AS (
+  SELECT DISTINCT user_id AS k FROM events WHERE user_id IS NOT NULL
+),
+h9 AS (
+  SELECT k, s.shard,
+         cast('0x' || substr(md5((cast(k AS VARCHAR) || '|' || cast(s.shard AS VARCHAR)) || '#0'), 1, 15) AS BIGINT) AS hv
+  FROM keys CROSS JOIN (SELECT range AS shard FROM range(0, 9)) s
+),
+a9 AS (
+  SELECT k, shard,
+         row_number() OVER (PARTITION BY k ORDER BY hv DESC, shard ASC) AS rn
+  FROM h9
+),
+before AS (
+  SELECT k, shard AS shard_before FROM (
+    SELECT k, shard,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY hv DESC, shard ASC) AS rn
+    FROM h9 WHERE shard < 8) WHERE rn = 1
+),
+after AS (SELECT k, shard AS shard_after FROM a9 WHERE rn = 1)
+SELECT b.shard_before::INT AS shard_before, count(*)::BIGINT AS n_keys,
+       sum((a.shard_after <> b.shard_before)::INT)::BIGINT AS n_moved,
+       sum((a.shard_after = 8)::INT)::BIGINT AS n_moved_to_new
+FROM before b JOIN after a USING (k)
+GROUP BY 1
+"""

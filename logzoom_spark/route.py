@@ -325,3 +325,77 @@ def rate_limit_verdicts(
         rn.alias("_rn"),
         (rn <= limit).cast("int").alias("admitted"),
     )
+
+
+def hrw_shard(key: Column, n_shards: int, seed: int = 0) -> Column:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar, IEEE/ACM ToN 1998): shard = argmax over s of
+    hash(key '|' s). Row-local — an array of n_shards struct literals
+    and an array_max, zero exchange, fully codegen'd; the property that
+    makes it the right sharding for a mutable 100 TB layout is minimal
+    movement: adding shard n moves ONLY the keys whose new max is the
+    new shard (expected 1/(n+1) of them), never reshuffles the rest —
+    unlike mod-n, which moves (n-1)/n of all keys.
+
+    Ties on the 60-bit hash break to the SMALLER shard id (struct max
+    over (h, -s)), matching the oracle's ORDER BY h DESC, shard ASC."""
+    if n_shards < 1:
+        raise ValueError(f"need n_shards >= 1, got {n_shards}")
+    entries = [
+        F.struct(
+            portable_hash(F.concat(key.cast("string"), F.lit(f"|{s}")), seed).alias("h"),
+            F.lit(-s).alias("ns"),
+        )
+        for s in range(n_shards)
+    ]
+    return (-F.array_max(F.array(*entries))["ns"]).cast("int")
+
+
+def hrw_shard_counts(
+    events: DataFrame, n_shards: int = 8, key_col: str = "user_id", seed: int = 0
+) -> DataFrame:
+    """Shard-occupancy report for rendezvous sharding over the distinct
+    keys: (shard, n_keys, n_events). One groupBy on the key (the table's
+    natural rollup), then a bounded n_shards-row aggregate — the shard
+    expression itself never shuffles."""
+    per_key = (
+        events.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ev"))
+        .withColumn("shard", hrw_shard(F.col("k"), n_shards, seed))
+    )
+    return per_key.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+    )
+
+
+def hrw_reshard_audit(
+    events: DataFrame, n_before: int = 8, key_col: str = "user_id", seed: int = 0
+) -> DataFrame:
+    """Measured minimal-movement audit: assign every distinct key at
+    n_before and n_before+1 shards and report, per before-shard,
+    (shard_before, n_keys, n_moved, n_moved_to_new). The HRW theorem
+    says n_moved == n_moved_to_new on every row (a key either keeps its
+    shard or moves to the NEW shard — the argmax over the old candidates
+    is unchanged), so the pair of columns is a self-audit the pytest and
+    the oracle both pin; total movement is ~ 1/(n_before+1)."""
+    keys = (
+        events.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("k"))
+        .distinct()
+    )
+    both = keys.select(
+        "k",
+        hrw_shard(F.col("k"), n_before, seed).alias("shard_before"),
+        hrw_shard(F.col("k"), n_before + 1, seed).alias("shard_after"),
+    )
+    return both.groupBy("shard_before").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum((F.col("shard_after") != F.col("shard_before")).cast("int"))
+        .cast("bigint")
+        .alias("n_moved"),
+        F.sum((F.col("shard_after") == n_before).cast("int"))
+        .cast("bigint")
+        .alias("n_moved_to_new"),
+    )
