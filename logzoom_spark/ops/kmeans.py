@@ -51,19 +51,28 @@ def _assign(base: DataFrame, cents: list[tuple[int, list[int]]], k: int) -> Data
     is (smallest dist², then smallest cell)) — exact BIGINT throughout,
     no dist²·k+cell packing whose float-division unpacking would round
     past 2^53."""
-    pairs = []
-    for cell, cv in cents:
-        diff2 = F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.array(*[F.lit(int(x)) for x in cv]),
-                lambda a, b: (a - b) * (a - b),
-            ),
+    # centroids as ONE literal array-of-arrays + a single transform lambda
+    # instead of k unrolled zip_with/aggregate copies: the distances are
+    # identical BIGINTs, but the expression tree shrinks ~k× — Catalyst
+    # analysis + codegen of the per-centroid unrolled form dominated
+    # wall-clock on bounded tables (each Lloyd round recompiles the plan)
+    cells_lit = F.array(*[F.lit(int(cell)) for cell, _ in cents])
+    cvs_lit = F.array(
+        *[F.array(*[F.lit(int(x)) for x in cv]) for _, cv in cents]
+    )
+    dists = F.transform(
+        cvs_lit,
+        lambda cv: F.aggregate(
+            F.zip_with(F.col("v"), cv, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
+        ),
+    )
+    best = F.array_min(
+        F.zip_with(
+            dists, cells_lit, lambda d, c: F.struct(d.alias("d"), c.alias("c"))
         )
-        pairs.append(F.struct(diff2.alias("d"), F.lit(int(cell)).alias("c")))
-    best = F.array_min(F.array(*pairs))
+    )
     # ragged row (embedding shorter than dims): zip_with NULL-pads, every
     # dist² is NULL, and struct ordering sorts NULL `d` FIRST — so an
     # unguarded best["c"] would silently assign such rows to the lowest

@@ -88,21 +88,30 @@ def pq_encode(
     code_cols = []
     for j, book in enumerate(codebooks):
         sv = F.slice(F.col("v"), j * sub + 1, sub)
-        pairs = []
-        for ent in book:
-            diff2 = F.aggregate(
-                F.zip_with(
-                    sv,
-                    F.array(*[F.lit(int(x)) for x in ent["v"]]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
+        # one literal array-of-arrays + a single transform lambda per
+        # subspace instead of k unrolled zip_with/aggregate copies — same
+        # exact BIGINT distances, ~k× smaller expression tree (the
+        # plan-compile cost the old form paid per encode; see
+        # ops/kmeans.py:_assign for the same rewrite)
+        codes_lit = F.array(*[F.lit(int(e["code"])) for e in book])
+        cvs_lit = F.array(
+            *[F.array(*[F.lit(int(x)) for x in e["v"]]) for e in book]
+        )
+        dists = F.transform(
+            cvs_lit,
+            lambda cv: F.aggregate(
+                F.zip_with(sv, cv, lambda a, b: (a - b) * (a - b)),
                 F.lit(0).cast("bigint"),
                 lambda acc, x: acc + x,
+            ),
+        )
+        best = F.array_min(
+            F.zip_with(
+                dists,
+                codes_lit,
+                lambda d, c: F.struct(d.alias("d"), c.alias("c")),
             )
-            pairs.append(
-                F.struct(diff2.alias("d"), F.lit(int(ent["code"])).alias("c"))
-            )
-        best = F.array_min(F.array(*pairs))
+        )
         # NULL-padded zip_with (short row) sorts NULL d first — null the
         # code out rather than silently assigning the lowest id
         code_cols.append(F.when(best["d"].isNotNull(), best["c"]).cast("int"))

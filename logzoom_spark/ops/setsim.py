@@ -14,8 +14,9 @@ Scale shape: one token-key exchange to attach document frequencies (the
 global order is df-ascending, so the prefix holds each document's
 RAREST tokens — the join fan-out per token is smallest exactly where
 prefixes select), a candidate equi-join on prefix tokens with the
-Jaccard length filter applied BEFORE the distinct, and a verify join
-that touches only candidate pairs. No all-pairs stage anywhere; the
+Jaccard length filter AND the paper's positional filter applied BEFORE
+the distinct, and an array-intersect verify that touches only candidate
+pairs. No all-pairs stage anywhere; the
 expensive frequent tokens are excluded from every prefix by
 construction. All arithmetic is integer basis points — bit-identical to
 the DuckDB oracle twin.
@@ -23,7 +24,7 @@ the DuckDB oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -68,24 +69,44 @@ def setsim_join(
     if not 0 < threshold_bp <= 10000:
         raise ValueError(f"need 0 < threshold_bp <= 10000, got {threshold_bp}")
     toks = _tok_sets(docs, col, id_col)
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("dfq"))
-    # global order: rarest-first; (dfq, token) is total because token is
-    # unique per document
-    rnk_w = Window.partitionBy("id").orderBy("dfq", "token")
-    ordered = (
+    # ONE tokenize pass: per-doc token array in the global (dfq asc, token
+    # asc) order — rarest-first; (dfq, token) is total because token is
+    # unique per document. Everything downstream (sizes, prefixes, verify)
+    # derives from this table, so the old plan's five independent
+    # tokenize+distinct subtrees (42 Exchanges) collapse to one whose
+    # groupBy(id) exchange the verify joins then reuse outright.
+    dt = (
         toks.join(dfreq, "token")
-        .withColumn("rnk", F.row_number().over(rnk_w))
-        .join(sizes, "id")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sz"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dfq", "token"))),
+                lambda s: s["token"],
+            ).alias("arr"),
+        )
     )
-    # prefix length = sz - ceil(t*sz) + 1;  ceil(t*sz) = (t*sz + 9999) // 10000
-    pref = ordered.filter(
-        F.col("rnk")
-        <= F.col("sz")
-        - F.floor((F.lit(threshold_bp) * F.col("sz") + 9999) / 10000)
-        + 1
-    ).select("token", "id", "sz")
+    # prefix length = sz - ceil(t*sz) + 1;  ceil(t*sz) = (t*sz + 9999) DIV
+    # 10000 (integral DIV — exact at any magnitude, no double round-trip)
+    pref = dt.select(
+        "id",
+        "sz",
+        F.posexplode(
+            F.expr(
+                f"slice(arr, 1, cast(sz - (({threshold_bp} * sz + 9999) DIV 10000) + 1 as int))"
+            )
+        ).alias("pos0", "token"),
+    ).select("token", "id", "sz", (F.col("pos0") + 1).alias("rnk"))
     a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin positional filter: the matched token sits at rank rnk_a/rnk_b
+    # of the SAME global order in both docs, so common tokens before it
+    # number <= least(rnk_a, rnk_b) and after it <= least(sz_a - rnk_a,
+    # sz_b - rnk_b); a qualifying pair needs overlap >= minoverlap =
+    # ceil(t*(sz_a+sz_b)/(10000+t)) (from 10000*inter >= t*(sz_a+sz_b-inter)),
+    # and the bound holds for EVERY shared occurrence of a qualifying pair,
+    # so the row-level filter can never drop one.
+    eq = 10000 + threshold_bp
     cand = (
         a.join(b, "token")
         .filter(
@@ -96,6 +117,10 @@ def setsim_join(
                 F.lit(10000) * F.least(F.col("a.sz"), F.col("b.sz"))
                 >= F.lit(threshold_bp) * F.greatest(F.col("a.sz"), F.col("b.sz"))
             )
+            & F.expr(
+                "least(a.rnk, b.rnk) + least(a.sz - a.rnk, b.sz - b.rnk) >= "
+                f"({threshold_bp} * (a.sz + b.sz) + {eq - 1}) DIV {eq}"
+            )
         )
         .select(
             F.col("a.id").alias("doc_a"),
@@ -105,13 +130,19 @@ def setsim_join(
         )
         .distinct()
     )
-    ta = toks.select(F.col("id").alias("doc_a"), "token")
-    tb = toks.select(F.col("id").alias("doc_b"), "token")
+    # verify on the ordered arrays: tokens are distinct per doc, so
+    # |array_intersect| IS the exact intersection size — no pair×tokens
+    # explode join, candidates only ever carry two bounded arrays
     inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_tokens"))
+        cand.join(dt.select(F.col("id").alias("doc_a"), F.col("arr").alias("_aa")), "doc_a")
+        .join(dt.select(F.col("id").alias("doc_b"), F.col("arr").alias("_ab")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("_aa", "_ab")).cast("bigint").alias("inter_tokens"),
+        )
     )
     return (
         inter.withColumn(

@@ -176,19 +176,25 @@ def ivf_assign(
             "centroids to dense ids 0..n_cells-1 (keeping your own mapping) so "
             "the tie-free argmax stays deterministic"
         )
-    structs = [
-        F.struct(
-            (
-                dot(F.col("v"), F.array(*[F.lit(int(x)) for x in c["v"]])) * n_cells
-                - F.lit(int(c["vec_id"]))
-            ).alias("ord"),
-            F.lit(int(c["vec_id"])).alias("cell"),
-        )
-        for c in cents
-    ]
+    # one literal array-of-arrays + a single transform lambda instead of
+    # n_cells unrolled dot-product copies — identical ord/cell values,
+    # ~n_cells× smaller expression tree (see ops/kmeans.py:_assign for the
+    # same rewrite and why plan-compile time made this worth doing)
+    cells_lit = F.array(*[F.lit(int(c["vec_id"])) for c in cents])
+    cvs_lit = F.array(
+        *[F.array(*[F.lit(int(x)) for x in c["v"]]) for c in cents]
+    )
+    ords = F.zip_with(
+        cvs_lit,
+        cells_lit,
+        lambda cv, cell: F.struct(
+            (dot(F.col("v"), cv) * n_cells - cell).alias("ord"),
+            cell.alias("cell"),
+        ),
+    )
     # array_max on (ord, cell) structs picks max ord; ord is unique, so
     # the struct comparison never reaches the cell field
-    return base.withColumn("cell", F.array_max(F.array(*structs))["cell"])
+    return base.withColumn("cell", F.array_max(ords)["cell"])
 
 
 def ivf_topk(
@@ -429,20 +435,18 @@ def knn_join(
         quantize(F.col("embedding"), scale).alias("qv"),
     )
     # negated ord: sort_array is ascending, we want best (max ord) first
-    probe_structs = F.array(
-        *[
-            F.struct(
-                (
-                    -(
-                        dot(F.col("qv"), F.array(*[F.lit(int(x)) for x in c["v"]]))
-                        * n_cells
-                        - F.lit(int(c["vec_id"]))
-                    )
-                ).alias("negord"),
-                F.lit(int(c["vec_id"])).alias("cell"),
-            )
-            for c in cents
-        ]
+    # (single literal array-of-arrays + one lambda — see ivf_assign)
+    _cells_lit = F.array(*[F.lit(int(c["vec_id"])) for c in cents])
+    _cvs_lit = F.array(
+        *[F.array(*[F.lit(int(x)) for x in c["v"]]) for c in cents]
+    )
+    probe_structs = F.zip_with(
+        _cvs_lit,
+        _cells_lit,
+        lambda cv, cell: F.struct(
+            (-(dot(F.col("qv"), cv) * n_cells - cell)).alias("negord"),
+            cell.alias("cell"),
+        ),
     )
     cells = F.transform(
         F.slice(F.sort_array(probe_structs), 1, n_probe), lambda s: s["cell"]
@@ -910,20 +914,18 @@ def hard_negatives_topk(
         quantize(F.col("embedding"), scale).alias("qv"),
         F.col("label").alias("q_label"),
     )
-    probe_structs = F.array(
-        *[
-            F.struct(
-                (
-                    -(
-                        dot(F.col("qv"), F.array(*[F.lit(int(x)) for x in c["v"]]))
-                        * n_cells
-                        - F.lit(int(c["vec_id"]))
-                    )
-                ).alias("negord"),
-                F.lit(int(c["vec_id"])).alias("cell"),
-            )
-            for c in cents
-        ]
+    # single literal array-of-arrays + one lambda — see ivf_assign
+    _cells_lit = F.array(*[F.lit(int(c["vec_id"])) for c in cents])
+    _cvs_lit = F.array(
+        *[F.array(*[F.lit(int(x)) for x in c["v"]]) for c in cents]
+    )
+    probe_structs = F.zip_with(
+        _cvs_lit,
+        _cells_lit,
+        lambda cv, cell: F.struct(
+            (-(dot(F.col("qv"), cv) * n_cells - cell)).alias("negord"),
+            cell.alias("cell"),
+        ),
     )
     cells = F.transform(
         F.slice(F.sort_array(probe_structs), 1, n_probe), lambda s: s["cell"]
