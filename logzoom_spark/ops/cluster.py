@@ -75,6 +75,10 @@ def connected_components(
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                # carry the pre-round label so the convergence probe below
+                # is a filter over the checkpointed rows, not another
+                # shuffle join per round
+                F.col("label").alias("_old"),
             )
         )
         # pointer jump: a label is itself a node id, so adopting the
@@ -89,24 +93,21 @@ def connected_components(
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("_jl", "label")).alias("label"),
+                "_old",
             )
         )
         if not eager:
-            labels = new_labels
+            labels = new_labels.drop("_old")
             break
         new_labels = new_labels.localCheckpoint()  # truncate iterative lineage
         # scalar convergence probe: count labels that moved this round — a
         # type-agnostic fixpoint test (a sum() probe would be NULL for
-        # string ids and falsely converge after one hop). The join rides the
-        # same (node) key as the propagation join; only one scalar reaches
-        # the driver.
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # string ids and falsely converge after one hop). The pre-round
+        # label rides the checkpointed rows, so this is a shuffle-free
+        # filter+count over in-memory data; only one scalar reaches the
+        # driver.
+        n_changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
         if n_changed == 0:
             converged = True
             break

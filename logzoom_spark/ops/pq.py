@@ -61,14 +61,25 @@ def pq_fit(
     if dims % m != 0:
         raise ValueError(f"dims={dims} not divisible by m={m}")
     sub = dims // m
-    books: Codebooks = []
-    for j in range(m):
+
+    def _fit(j: int) -> list[dict]:
         emb_j = emb.select(
             "vec_id",
             F.slice(F.col("embedding"), j * sub + 1, sub).alias("embedding"),
         )
         _, cents = kmeans_fit(emb_j, k=k, iters=iters, dims=sub, scale=scale)
-        books.append([{"code": c["vec_id"], "v": c["v"]} for c in cents])
+        return [{"code": c["vec_id"], "v": c["v"]} for c in cents]
+
+    if m == 1:
+        return [_fit(0)]
+    # the m subspace fits are independent Lloyd loops whose per-round jobs
+    # are driver-synchronous; submitting them from a thread pool overlaps
+    # each fit's collect barriers with the others' running stages (guide
+    # §2.6 back-fill) — codebooks are bit-identical to the sequential loop
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        books: Codebooks = list(pool.map(_fit, range(m)))
     return books
 
 

@@ -86,6 +86,13 @@ def setsim_join(
                 lambda s: s["token"],
             ).alias("arr"),
         )
+        # lazy checkpoint: the table feeds both prefix sides AND both
+        # verify joins; broadcast wrappers around those consumers defeat
+        # Spark's exchange reuse, so without this the tokenize+collect
+        # subtree executes four times per action (measured: ~2.8 s each at
+        # bench sf). Lazy, so plan construction stays free; blocks are
+        # released by the ContextCleaner when the plan is dropped.
+        .localCheckpoint(eager=False)
     )
     # prefix length = sz - ceil(t*sz) + 1;  ceil(t*sz) = (t*sz + 9999) DIV
     # 10000 (integral DIV — exact at any magnitude, no double round-trip)
@@ -127,8 +134,29 @@ def setsim_join(
             F.col("b.id").alias("doc_b"),
             F.col("a.sz").alias("sz_a"),
             F.col("b.sz").alias("sz_b"),
+            F.col("a.rnk").alias("_ra"),
+            F.col("b.rnk").alias("_rb"),
         )
-        .distinct()
+        # dedup to one row per pair (the old .distinct()) and apply the
+        # paper's EXACT positional bound at the pair's MINIMAL shared
+        # prefix token (min (rnk_a, rnk_b) struct — the global order makes
+        # both ranks minimal at the same token): any common token smaller
+        # would itself be a shared prefix token, so common-before = 1
+        # exactly and overlap <= 1 + min(sz_a - pa0, sz_b - pb0). Strictly
+        # tighter than the row-level min(pa,pb) form, same shuffle as the
+        # distinct it replaces, and provably lossless for qualifying pairs.
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.min(F.struct("_ra", "_rb")).alias("_m"))
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("sz_a") - F.col("_m._ra"), F.col("sz_b") - F.col("_m._rb")
+            )
+            >= F.expr(
+                f"({threshold_bp} * (sz_a + sz_b) + {eq - 1}) DIV {eq}"
+            )
+        )
+        .drop("_m")
     )
     # verify on the ordered arrays: tokens are distinct per doc, so
     # |array_intersect| IS the exact intersection size — no pair×tokens

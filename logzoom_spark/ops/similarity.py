@@ -71,11 +71,19 @@ def _hyperplane(p: int, dims: int = 64) -> Column:
 
 
 def _bucket_expr(v: Column, planes: int) -> Column:
-    bucket = None
-    for p in range(planes):
-        bit = F.when(dot(v, _hyperplane(p)) >= 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket * 2 + bit
-    return bucket.cast("bigint")
+    # one literal array of hyperplanes + a fold instead of `planes`
+    # unrolled dot subtrees — identical bit order (plane 0 is the MSB),
+    # ~planes× smaller expression tree (see ops/kmeans.py:_assign)
+    planes_lit = F.array(*[_hyperplane(p) for p in range(planes)])
+    bits = F.transform(
+        planes_lit,
+        lambda pl: F.when(dot(v, pl) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        bits,
+        F.lit(0).cast("bigint"),
+        lambda acc, bit: acc * 2 + bit,
+    )
 
 
 def cosine_dup_pairs(
@@ -621,9 +629,13 @@ def random_project(
     projected index is what you persist, bucket, and probe — scans read
     out_dims·8 bytes per row instead of the raw embedding column."""
     v = quantize(F.col("embedding"), scale)
+    # one literal array of hyperplanes + one transform lambda instead of
+    # out_dims unrolled dot subtrees — identical rv values/order, ~out_dims×
+    # smaller expression tree (see ops/kmeans.py:_assign)
+    planes_lit = F.array(*[_hyperplane(j, dims) for j in range(out_dims)])
     return emb.select(
         "vec_id",
-        F.array(*[dot(v, _hyperplane(j, dims)) for j in range(out_dims)]).alias("rv"),
+        F.transform(planes_lit, lambda pl: dot(v, pl)).alias("rv"),
     )
 
 
