@@ -366,6 +366,10 @@ def ngram_hashes(
     portable 60-bit hash the DuckDB oracle replicates) — same convention
     as ops/dedup.py."""
     h = _hash_fn(hasher)
+    if hasher == "md5":
+        from .util import spread_input
+
+        docs = spread_input(docs)  # per-gram md5 digests ride the scan (§2.5)
     # token array materialized before the sliding-window transform —
     # slice() over the raw split() inside the lambda would re-split the
     # doc at every position (the O(n²) HOF re-evaluation trap)

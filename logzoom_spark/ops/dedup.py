@@ -294,6 +294,16 @@ def minhash_signatures(
     hash(shingle, k). One explode-free pass: array_min over a transform of
     the shingle array per seed — all JVM-side, whole-stage codegen."""
     h = _hash_fn(hasher)
+    if hasher == "md5":
+        # the portable-md5 shingle digests are the one genuinely
+        # compute-bound projection in this family, and they ride the scan
+        # stage: a single-file input runs the whole minhash on one core
+        # (guide §2.5 input skew). Measured A/B at bench sf: md5 path
+        # 5.2->2.4 s with the spread; the cheap xxhash path is faster
+        # WITHOUT the extra exchange, so the spread is hasher-gated.
+        from .util import spread_input
+
+        docs = spread_input(docs)
     sh = shingles(docs, n=n, keep=keep)
 
     def seeded(k: int):
@@ -529,6 +539,10 @@ def simhash(docs: DataFrame, bits: int = 64, hasher: str = "xx") -> DataFrame:
         # constant 0 and every token would vote -1 there, silently skewing
         # hamming distances vs the xxhash64 path
         raise ValueError("hasher='md5' yields 60-bit hashes; bits must be <= 60")
+    if hasher == "md5":
+        from .util import spread_input
+
+        docs = spread_input(docs)  # bits×tokens md5 digests ride the scan
     h = _hash_fn(hasher)
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
     bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
