@@ -9,11 +9,12 @@ quantization family next to SQ8 (`similarity.sq8_rerank_topk`) and the
 JL projection index (`similarity.random_project`).
 
 Spark-first shapes:
-- **fit**: ``kmeans.kmeans_fit`` per subspace on the SLICED embedding —
-  the same bounded-driver-state Lloyd loop (k×subdims ints per round);
-  m independent codebooks. At 100 TB codebooks are trained on a sample
-  (this module is agnostic: pass any `emb` you like), then the full
-  corpus is encoded in one pass.
+- **fit**: one FUSED Lloyd loop for all m subspaces — per round a single
+  pass assigns every subspace's cell and aggregates per (subspace, cell)
+  under one exchange (bounded driver state: m·k×subdims ints per round),
+  instead of m independent scans. At 100 TB codebooks are trained on a
+  sample (this module is agnostic: pass any `emb` you like), then the
+  full corpus is encoded in one pass.
 - **encode**: nearest-centroid argmin per subspace with codebooks inlined
   as literals — a pure whole-stage-codegen projection, ZERO shuffle, one
   pass (the `kmeans._assign` / `ivf_assign` pattern; m·k·subdims = dims·k
@@ -57,53 +58,121 @@ def pq_fit(
     ``codebooks[j] = [{"code": id, "v": [subdims ints]}, ...]``.
     Subspace j covers embedding dims [j·dims/m, (j+1)·dims/m). Init
     centroids per subspace are the vec_id < k rows' subvectors (the
-    deterministic seeding documented in ops/kmeans.py)."""
+    deterministic seeding documented in ops/kmeans.py).
+
+    All m subspace Lloyd loops run as ONE fused loop: a single init
+    collect (sliced driver-side), and per round a single job whose
+    projection assigns every subspace's cell, explodes m (subspace,
+    cell, subvector) rows per input row, and aggregates per (subspace,
+    cell) — one pass over the data per round for all m fits instead of
+    m passes (the old per-subspace kmeans_fit calls re-scanned the
+    embedding column m times per round). Centroids are bit-identical to
+    the per-subspace loops: each subspace's arithmetic is untouched,
+    only co-scheduled."""
     if dims % m != 0:
         raise ValueError(f"dims={dims} not divisible by m={m}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     sub = dims // m
-
-    def _fit(j: int) -> list[dict]:
-        emb_j = emb.select(
-            "vec_id",
-            F.slice(F.col("embedding"), j * sub + 1, sub).alias("embedding"),
-        )
-        _, cents = kmeans_fit(emb_j, k=k, iters=iters, dims=sub, scale=scale)
-        return [{"code": c["vec_id"], "v": c["v"]} for c in cents]
-
-    if m == 1:
-        return [_fit(0)]
-    # the m subspace fits are independent Lloyd loops whose per-round jobs
-    # are driver-synchronous; submitting them from a thread pool overlaps
-    # each fit's collect barriers with the others' running stages (guide
-    # §2.6 back-fill) — codebooks are bit-identical to the sequential loop
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=m) as pool:
-        books: Codebooks = list(pool.map(_fit, range(m)))
-    return books
-
-
-def pq_encode(
-    emb: DataFrame, codebooks: Codebooks, scale: int = 1000
-) -> DataFrame:
-    """(vec_id, codes array<int>): per subspace, the id of the nearest
-    codebook centroid — ties to the lowest code id, ragged/short rows get
-    NULL code for the affected subspace (the kmeans NULL-guard). Pure
-    codegen projection over inlined codebook literals: zero shuffle, one
-    pass, m·k exact BIGINT sub-distances per row."""
-    m = len(codebooks)
-    if m == 0:
-        raise ValueError("codebooks must be non-empty")
-    sub = len(codebooks[0][0]["v"])
     base = emb.select("vec_id", quantize(F.col("embedding"), scale).alias("v"))
+    init = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["v"]])
+        for r in base.filter(F.col("vec_id") < k).collect()
+    )
+    if not init:
+        raise ValueError(f"no init centroids: no vec_id in [0, {k})")
+    # per-subspace centroid lists [(cell, [sub ints]), ...]; slicing after
+    # quantize == quantizing the slice (elementwise), matching the old
+    # per-subspace kmeans_fit(emb_j) exactly
+    cents: list[list[tuple[int, list[int]]]] = []
+    for j in range(m):
+        cj = [(vid, v[j * sub : (j + 1) * sub]) for vid, v in init]
+        for _, cv in cj:
+            if len(cv) != sub:
+                raise ValueError(
+                    f"dims={sub} but embeddings have {len(cv)} dimensions"
+                )
+        cents.append(cj)
+
+    def _cell(j: int) -> F.Column:
+        # nearest-centroid argmin for subspace j (ties to lowest cell id;
+        # NULL on ragged rows) — the ops/kmeans.py:_assign expression over
+        # the j-th slice
+        sv = F.slice(F.col("v"), j * sub + 1, sub)
+        cells_lit = F.array(*[F.lit(int(c)) for c, _ in cents[j]])
+        cvs_lit = F.array(
+            *[F.array(*[F.lit(int(x)) for x in cv]) for _, cv in cents[j]]
+        )
+        dists = F.transform(
+            cvs_lit,
+            lambda cv: F.aggregate(
+                F.zip_with(sv, cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        best = F.array_min(
+            F.zip_with(
+                dists, cells_lit, lambda d, c: F.struct(d.alias("d"), c.alias("c"))
+            )
+        )
+        return F.when(best["d"].isNotNull(), best["c"]).cast("int")
+
+    if iters > 1:
+        base = base.persist()
+    try:
+        for _ in range(iters - 1):
+            stacked = base.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("subj"),
+                                _cell(j).alias("cell"),
+                                F.slice(F.col("v"), j * sub + 1, sub).alias("sv"),
+                            )
+                            for j in range(m)
+                        ]
+                    )
+                ).alias("s")
+            ).select("s.*")
+            sums = (
+                stacked.filter(F.col("cell").isNotNull())
+                .groupBy("subj", "cell")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col("sv")[i]).alias(f"s{i}") for i in range(sub)],
+                )
+            )
+            rows = sums.collect()
+            cents = [
+                sorted(
+                    (
+                        int(r["cell"]),
+                        [int(r[f"s{i}"]) // int(r["n"]) for i in range(sub)],
+                    )
+                    for r in rows
+                    if int(r["subj"]) == j
+                )
+                for j in range(m)
+            ]
+    finally:
+        if iters > 1:
+            base.unpersist()
+    return [[{"code": c, "v": cv} for c, cv in cents[j]] for j in range(m)]
+
+
+def _codes_expr(codebooks: Codebooks, v) -> F.Column:
+    """array<int> of per-subspace nearest-code ids over a quantized-vector
+    column ``v`` — ties to the lowest code id, NULL per subspace on
+    ragged/short rows (the kmeans NULL-guard). Pure codegen expression
+    over inlined codebook literals (one literal array-of-arrays + a
+    single transform lambda per subspace — see ops/kmeans.py:_assign for
+    why the unrolled per-code form was worth retiring)."""
+    sub = len(codebooks[0][0]["v"])
     code_cols = []
     for j, book in enumerate(codebooks):
-        sv = F.slice(F.col("v"), j * sub + 1, sub)
-        # one literal array-of-arrays + a single transform lambda per
-        # subspace instead of k unrolled zip_with/aggregate copies — same
-        # exact BIGINT distances, ~k× smaller expression tree (the
-        # plan-compile cost the old form paid per encode; see
-        # ops/kmeans.py:_assign for the same rewrite)
+        sv = F.slice(v, j * sub + 1, sub)
         codes_lit = F.array(*[F.lit(int(e["code"])) for e in book])
         cvs_lit = F.array(
             *[F.array(*[F.lit(int(x)) for x in e["v"]]) for e in book]
@@ -126,7 +195,21 @@ def pq_encode(
         # NULL-padded zip_with (short row) sorts NULL d first — null the
         # code out rather than silently assigning the lowest id
         code_cols.append(F.when(best["d"].isNotNull(), best["c"]).cast("int"))
-    return base.select("vec_id", F.array(*code_cols).alias("codes"))
+    return F.array(*code_cols)
+
+
+def pq_encode(
+    emb: DataFrame, codebooks: Codebooks, scale: int = 1000
+) -> DataFrame:
+    """(vec_id, codes array<int>): per subspace, the id of the nearest
+    codebook centroid — ties to the lowest code id, ragged/short rows get
+    NULL code for the affected subspace (the kmeans NULL-guard). Pure
+    codegen projection over inlined codebook literals: zero shuffle, one
+    pass, m·k exact BIGINT sub-distances per row."""
+    if len(codebooks) == 0:
+        raise ValueError("codebooks must be non-empty")
+    base = emb.select("vec_id", quantize(F.col("embedding"), scale).alias("v"))
+    return base.select("vec_id", _codes_expr(codebooks, F.col("v")).alias("codes"))
 
 
 def _adc_dist_table(
@@ -233,11 +316,14 @@ def ivfpq_index(
     """IVF-PQ BUILD: (index, coarse_centroids) where index is
     (vec_id, cell, codes) — the stored table of a billion-scale ANN
     deployment. Coarse cells come from the Lloyd loop (``kmeans_fit``,
-    zero-shuffle literal-centroid assignment); codes from ``pq_encode``
-    (zero-shuffle projection). The one build-time shuffle is the
-    vec_id equi-join gluing them — at deploy scale the index is then
-    written ``partitionBy(cell)`` so probes prune to nprobe/n_cells of
-    the files and never shuffle.
+    zero-shuffle literal-centroid assignment); codes from the same
+    ``_codes_expr`` projection. Both are pure expressions over ONE
+    quantized-vector scan, so the index is a single zero-shuffle
+    projection — no build-time shuffle at all (the old plan equi-joined
+    two projections of the same source on vec_id just to zip them: 2
+    Exchanges and a second full scan for identical rows). At deploy
+    scale the index is then written ``partitionBy(cell)`` so probes
+    prune to nprobe/n_cells of the files and never shuffle.
 
     This is the flat-quantizer IVFADC variant (codes encode the vector,
     not its residual against the coarse centroid): the probe/scan plan is
@@ -245,12 +331,19 @@ def ivfpq_index(
     ``v − centroid[cell]`` and building one distance table per probed
     cell slots into the same shapes — but flat coding keeps the oracle a
     single unrolled SQL twin."""
-    assignment, cents = kmeans_fit(
+    from .kmeans import _assign
+
+    _, cents = kmeans_fit(
         emb, k=n_cells, iters=iters, dims=dims, scale=scale
     )
-    codes = pq_encode(emb, codebooks, scale)
-    index = codes.join(
-        assignment.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
+    base = emb.select("vec_id", quantize(F.col("embedding"), scale).alias("v"))
+    assigned = _assign(
+        base,
+        [(int(c["vec_id"]), [int(x) for x in c["v"]]) for c in cents],
+        n_cells,
+    )
+    index = assigned.select(
+        "vec_id", _codes_expr(codebooks, F.col("v")).alias("codes"), "cell"
     )
     return index, cents
 
@@ -365,14 +458,55 @@ def ivfpq_residual_index(
     """Residual-IVFPQ BUILD: (index, residual_codebooks, coarse_cents)
     where index is (vec_id, cell, codes) with codes over residuals —
     persist all three and pass them to ``ivfpq_residual_topk`` to
-    amortize the build across queries (they MUST come from one build)."""
-    assignment, cents = kmeans_fit(
+    amortize the build across queries (they MUST come from one build).
+
+    Like ``ivfpq_index``, the residual table and the final index are
+    each ONE zero-shuffle projection: cell (trained coarse centroids
+    inlined, kmeans argmin), residual (map-literal subtraction) and
+    codes are all pure expressions over the same quantized-vector scan.
+    The old plan paid two vec_id equi-joins (assignment⋈vectors, then
+    codes⋈cells) for identical rows."""
+    from .kmeans import _assign
+
+    _, cents = kmeans_fit(
         emb, k=n_cells, iters=iters, dims=dims, scale=scale
     )
-    res = residualize(emb, assignment, cents, scale)
+    base = emb.select("vec_id", quantize(F.col("embedding"), scale).alias("v"))
+    assigned = _assign(
+        base,
+        [(int(c["vec_id"]), [int(x) for x in c["v"]]) for c in cents],
+        n_cells,
+    )
+    cmap = F.create_map(
+        *[
+            x
+            for c in cents
+            for x in (
+                F.lit(int(c["vec_id"])).cast("int"),
+                F.array(*[F.lit(int(v)) for v in c["v"]]),
+            )
+        ]
+    )
+    res = assigned.select(
+        "vec_id",
+        "cell",
+        F.zip_with(
+            F.col("v"), F.element_at(cmap, F.col("cell")), lambda x, y: x - y
+        ).alias("embedding"),
+    )
+    # lazy checkpoint: the residual expression (argmin assign + map lookup
+    # + zip_with) would otherwise be re-inlined m·k times into every
+    # downstream consumer (the fused fit's per-subspace argmins and the
+    # final codes projection), and Catalyst analysis of that tree
+    # dominates wall-clock; the checkpoint truncates the lineage to a
+    # plain relation. Lazy, so plan construction stays free; blocks are
+    # released by the ContextCleaner when the plan is dropped.
+    res = res.localCheckpoint(eager=False)
     books = pq_fit(res, m=m, k=k, iters=iters, dims=dims, scale=1)
-    index = pq_encode(res, books, scale=1).join(
-        res.select("vec_id", "cell"), "vec_id"
+    index = res.select(
+        "vec_id",
+        _codes_expr(books, quantize(F.col("embedding"), 1)).alias("codes"),
+        "cell",
     )
     return index, books, cents
 

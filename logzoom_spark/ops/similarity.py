@@ -312,12 +312,24 @@ def semdedup(
     a within-partition job. The join shuffles quantized ints keyed by
     cell; CC shuffles (id, label) pairs only."""
     from .cluster import dedup_cluster_assign
-    from .kmeans import kmeans_assign
+    from .kmeans import _assign, kmeans_fit
 
     v = quantize(F.col("embedding"), scale)
-    assignment = kmeans_assign(emb, k=k, iters=iters)
-    withc = emb.select("vec_id", v.alias("v"), dot(v, v).alias("norm2")).join(
-        assignment.select("vec_id", "cluster"), "vec_id"
+    # the trained-centroid assignment is a pure literal-argmin expression,
+    # so the cluster id is computed IN the same projection as the vector
+    # and its norm — the old plan equi-joined two projections of the same
+    # scan on vec_id just to attach `cluster` (2 Exchanges removed;
+    # identical rows by construction)
+    _, cents = kmeans_fit(emb, k=k, iters=iters, scale=scale)
+    base = emb.select("vec_id", v.alias("v"))
+    assigned = _assign(
+        base, [(int(c["vec_id"]), [int(x) for x in c["v"]]) for c in cents], k
+    )
+    withc = assigned.select(
+        "vec_id",
+        "v",
+        dot(F.col("v"), F.col("v")).alias("norm2"),
+        F.col("cell").alias("cluster"),
     )
     a, b = withc.alias("a"), withc.alias("b")
     d = dot(F.col("a.v"), F.col("b.v"))
