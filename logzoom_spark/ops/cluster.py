@@ -45,6 +45,7 @@ def connected_components(
     max_iter: int = 25,
     eager: bool = True,
     on_nonconverged: str = "raise",
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every node; cluster_id = min doc_id reachable
     through the pair graph. Nodes with no pair form singleton clusters.
@@ -53,7 +54,58 @@ def connected_components(
     convergence loop materializations (single-round graphs only — tests).
     ``on_nonconverged``: "raise" (default — partial labels silently split
     one true component into several clusters) or "warn" to return them.
-    """
+
+    Bounded-edge fast path: when the pair set holds at most
+    ``driver_max_edges`` rows, components are solved by union-find on the
+    driver and attached to the (still fully distributed) node table via a
+    broadcast map — the same size class and rationale as a broadcast hash
+    join (a 200k-edge map is a few MB framed; the node table itself never
+    leaves the cluster). The probe is ``head(driver_max_edges + 1)``, so
+    a big pair set stops the scan early and falls through to the
+    label-propagation loop — no extra full pass, no constant tuned to
+    local mode (the switch is on measured edge count, like AQE's
+    broadcast demotion). Components are unique, so both paths return
+    identical labels by definition; pass ``driver_max_edges=0`` to force
+    the distributed loop."""
+    if eager and driver_max_edges > 0:
+        head = pairs.select(
+            F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+        ).head(driver_max_edges + 1)
+        if len(head) <= driver_max_edges:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for row in head:
+                a, b = row["src"], row["dst"]
+                if a is None or b is None:
+                    continue  # NULL ids never equi-join in the loop either
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            lab = [(x, find(x)) for x in parent]
+            spark = pairs.sparkSession
+            schema = pairs.select(
+                F.col(a_col).alias("node"), F.col(a_col).alias("label")
+            ).schema
+            lab_df = spark.createDataFrame(lab, schema) if lab else None
+            out = nodes.select(F.col(id_col).alias("node"))
+            if lab_df is not None:
+                out = out.join(F.broadcast(lab_df), "node", "left")
+                lab_col = F.coalesce("label", "node")
+            else:
+                lab_col = F.col("node")
+            return out.select(
+                F.col("node").alias(id_col), lab_col.alias("cluster_id")
+            )
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))

@@ -27,6 +27,106 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dots_exact(A, B):
+    """Integer-exact dot-product matrix A·Bᵀ of two int64 numpy matrices.
+
+    Fast path: float64 GEMM (BLAS) whenever every |entry| < 2^20 and the
+    width is < 2^13 — then every elementwise product is an integer below
+    2^40 and every partial sum stays below 2^53, so the result is exact
+    under ANY accumulation order (all intermediates are exactly
+    representable doubles); cast back to int64 loses nothing. Otherwise
+    fall back to int64 matmul (exact, same BIGINT wraparound semantics as
+    the JVM expression it replaces). Quantized embeddings here are
+    |entry| ≤ scale·max|x| ≈ a few thousand, so the BLAS path always
+    applies in practice."""
+    import numpy as np
+
+    if (
+        A.size
+        and B.size
+        and A.shape[1] < (1 << 13)
+        and max(np.abs(A).max(), np.abs(B).max()) < (1 << 20)
+    ):
+        return (A.astype(np.float64) @ B.astype(np.float64).T).astype(np.int64)
+    return A @ B.T
+
+
+def _cos2_pairs_within(
+    withg: DataFrame, group_col: str, t2_100: int
+) -> DataFrame:
+    """(doc_a, doc_b, cos2_pct) for all within-group pairs (doc_a < doc_b)
+    passing the sqrt-free cosine test dot ≥ 0 AND dot²·100 div (|a|²·|b|²)
+    ≥ t2_100 — the pair stage shared by `cosine_dup_pairs` (LSH-bucket
+    groups) and `semdedup` (k-means-cell groups).
+
+    One Arrow batch per group (`applyInPandas`): the group's quantized
+    vectors become one int64 matrix and ALL pairwise dots come from a
+    single exact GEMM (`_dots_exact`) instead of a self-join evaluating an
+    interpreted zip_with/aggregate per pair — no pair rows are ever
+    materialized in the exchange (the old self-join shuffled O(c²) rows
+    per group; this shuffles the c member rows once). Row blocks of 1024
+    bound the scratch matrix, so a 100 TB cell never holds a c×c GEMM at
+    once. Engine-exact parity notes: members are processed per distinct
+    vector LENGTH (the JVM zip_with NULL-pads mismatched lengths into a
+    NULL dot, dropping the pair — cross-length pairs are likewise never
+    emitted here); zero-norm members produce nn = 0 whose division the
+    JVM turns NULL (dropped) — masked out identically; ids sort ascending
+    so doc_a < doc_b by construction."""
+    import pandas as pd  # noqa: F401  (executor-side import)
+
+    def pairs_fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a_out: list = []
+        b_out: list = []
+        c_out: list = []
+        ids_all = pdf["vec_id"].to_numpy()
+        vs = pdf["v"]
+        lens = vs.map(lambda x: 0 if x is None else len(x)).to_numpy()
+        for L in np.unique(lens):
+            idx = np.nonzero(lens == L)[0]
+            if len(idx) < 2 or L == 0:
+                continue
+            order = np.argsort(ids_all[idx])
+            idx = idx[order]
+            ids = ids_all[idx]
+            V = np.stack([np.asarray(vs.iat[i], dtype=np.int64) for i in idx])
+            n2 = (V * V).sum(axis=1)
+            n = len(ids)
+            cols = np.arange(n)[None, :]
+            for s in range(0, n, 1024):
+                e = min(n, s + 1024)
+                D = _dots_exact(V[s:e], V)
+                m = cols > np.arange(s, e)[:, None]
+                ii, jj = np.nonzero(m)
+                ii = ii + s
+                d = D[m]
+                nn = n2[ii] * n2[jj]
+                keep = (d >= 0) & (nn > 0)
+                d, nn, ii, jj = d[keep], nn[keep], ii[keep], jj[keep]
+                cos2 = (d * d * 100) // nn
+                keep = cos2 >= t2_100
+                a_out.append(ids[ii[keep]])
+                b_out.append(ids[jj[keep]])
+                c_out.append(cos2[keep])
+        if not a_out:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cos2_pct": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "cos2_pct": "int64"}
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(a_out),
+                "doc_b": np.concatenate(b_out),
+                "cos2_pct": np.concatenate(c_out),
+            }
+        )
+
+    return withg.groupBy(group_col).applyInPandas(
+        pairs_fn, "doc_a bigint, doc_b bigint, cos2_pct bigint"
+    )
+
+
 def brute_force_topk(
     emb: DataFrame, query_vec_id: int = 0, k: int = 10, scale: int = 1000
 ) -> DataFrame:
@@ -104,12 +204,15 @@ def cosine_dup_pairs(
     dot^2 * 100 >= t^2*100 * |a|^2 * |b|^2 — all BIGINT arithmetic
     (quantized entries ≤ ~1000, 64 dims → dot^2·100 < 2^63), identical in
     any engine. Reported as ``cos2_pct`` = dot²·100 div (|a|²·|b|²).
-    """
+
+    The within-bucket pair stage is one exact GEMM per bucket
+    (`_cos2_pairs_within`): the self-join that shuffled O(bucket²) pair
+    rows and evaluated an interpreted dot per pair is gone — the exchange
+    carries each member row once."""
     v = quantize(F.col("embedding"), scale)
     withb = emb.select(
         "vec_id",
         v.alias("v"),
-        dot(v, v).alias("norm2"),
         _bucket_expr(v, planes).alias("bucket"),
     )
     if max_bucket_size is not None:
@@ -120,25 +223,16 @@ def cosine_dup_pairs(
             .select("bucket")
         )
         withb = withb.join(ok, "bucket", "left_semi")
-    a, b = withb.alias("a"), withb.alias("b")
-    d = dot(F.col("a.v"), F.col("b.v"))
     t2_100 = int(round(threshold * threshold * 100))
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+    return (
+        _cos2_pairs_within(withb, "bucket", t2_100)
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            d.alias("dot"),
-            (F.col("a.norm2") * F.col("b.norm2")).alias("nn"),
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            "cos2_pct",
         )
-        .withColumn("cos2_pct", F.expr("(dot * dot * 100) div nn"))
-        .filter((F.col("dot") >= 0) & (F.col("cos2_pct") >= t2_100))
+        .distinct()
     )
-    return pairs.select("vec_a", "vec_b", "cos2_pct").distinct()
 
 
 def ivf_assign(
@@ -328,29 +422,17 @@ def semdedup(
     withc = assigned.select(
         "vec_id",
         "v",
-        dot(F.col("v"), F.col("v")).alias("norm2"),
         F.col("cell").alias("cluster"),
     )
-    a, b = withc.alias("a"), withc.alias("b")
-    d = dot(F.col("a.v"), F.col("b.v"))
     t2_100 = int(round(threshold * threshold * 100))
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("doc_a"),
-            F.col("b.vec_id").alias("doc_b"),
-            d.alias("dot"),
-            (F.col("a.norm2") * F.col("b.norm2")).alias("nn"),
-        )
-        .filter(
-            (F.col("dot") >= 0) & (F.expr("(dot * dot * 100) div nn") >= t2_100)
-        )
-        .select("doc_a", "doc_b")
-    )
+    # within-cell pairs via one exact GEMM per cell (`_cos2_pairs_within`)
+    # instead of a self-join shuffling O(cell²) pair rows with an
+    # interpreted dot per pair; NULL-cluster rows (ragged vectors) never
+    # pair under the old equi-join either, so filtering them from the
+    # PAIR stage only (they still reach the CC node list) is identical
+    pairs = _cos2_pairs_within(
+        withc.filter(F.col("cluster").isNotNull()), "cluster", t2_100
+    ).select("doc_a", "doc_b")
     out = dedup_cluster_assign(
         emb.select(F.col("vec_id").alias("doc_id")), pairs
     )

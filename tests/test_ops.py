@@ -291,8 +291,16 @@ def test_connected_components_string_ids_long_chain(spark):
     nodes = spark.createDataFrame(
         [(x,) for x in ["a", "b", "c", "d", "e", "z"]], "doc_id string"
     )
-    out = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs, nodes).collect()}
-    assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "z": "z"}
+    expect = {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "z": "z"}
+    # driver_max_edges=0 forces the distributed loop (the probe under test);
+    # the default exercises the bounded-edge union-find fast path — both
+    # must label identically
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs, nodes, driver_max_edges=0).collect()}
+    assert out == expect
+    out_fast = {r["doc_id"]: r["cluster_id"]
+                for r in connected_components(pairs, nodes).collect()}
+    assert out_fast == expect
 
 
 def test_connected_components_raises_on_max_iter(spark):
@@ -307,11 +315,14 @@ def test_connected_components_raises_on_max_iter(spark):
         [(i, i + 1) for i in range(1, 24)], "doc_a bigint, doc_b bigint"
     )
     nodes = spark.createDataFrame([(i,) for i in range(1, 25)], "doc_id bigint")
+    # driver_max_edges=0: the loop (not the union-find fast path) is under test
     with pytest.raises(RuntimeError, match="max_iter"):
-        connected_components(pairs, nodes, max_iter=1)
+        connected_components(pairs, nodes, max_iter=1, driver_max_edges=0)
     with w.catch_warnings(record=True) as caught:
         w.simplefilter("always")
-        connected_components(pairs, nodes, max_iter=1, on_nonconverged="warn").collect()
+        connected_components(
+            pairs, nodes, max_iter=1, on_nonconverged="warn", driver_max_edges=0
+        ).collect()
     assert any("max_iter" in str(c.message) for c in caught)
 
 
@@ -325,8 +336,37 @@ def test_connected_components_long_chain_log_rounds(spark):
     )
     nodes = spark.createDataFrame([(i,) for i in range(200, 401)], "doc_id bigint")
     out = {r["doc_id"]: r["cluster_id"]
-           for r in connected_components(pairs, nodes, max_iter=10).collect()}
+           for r in connected_components(
+               pairs, nodes, max_iter=10, driver_max_edges=0).collect()}
     assert set(out.values()) == {200}
+
+
+def test_connected_components_fast_path_matches_loop(spark):
+    """The bounded-edge union-find fast path and the label-propagation
+    loop must label a mixed graph (chain + clique + singletons)
+    identically, and a sub-threshold driver_max_edges must fall through
+    to the loop."""
+    from logzoom_spark.ops.cluster import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(50, 60)]
+        + [(a, b) for a in range(70, 75) for b in range(a + 1, 75)]
+        + [(90, 91)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(50, 61)) + list(range(70, 75)) + [90, 91, 99]],
+        "doc_id bigint",
+    )
+    fast = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs, nodes).collect()}
+    loop = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs, nodes, driver_max_edges=0).collect()}
+    assert fast == loop
+    # threshold smaller than the edge count → head() overflows → loop path
+    small = {r["doc_id"]: r["cluster_id"]
+             for r in connected_components(pairs, nodes, driver_max_edges=3).collect()}
+    assert small == loop
 
 
 def test_range_join_negative_epochs(spark):
