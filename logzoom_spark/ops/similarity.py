@@ -554,10 +554,71 @@ def knn_join(
         F.slice(F.sort_array(probe_structs), 1, n_probe), lambda s: s["cell"]
     )
     probes = qdf.select("query_id", "qv", F.explode(cells).alias("cell"))
+
+    # stage 2+3 pair scoring: cogroup probes and the assignment per cell
+    # and compute every (query, member) dot of a cell with ONE exact GEMM
+    # (`_dots_exact`) instead of an equi-join evaluating an interpreted
+    # zip_with/aggregate per pair. The function also applies the per-cell
+    # partial top-k (the Python-side twin of the WindowGroupLimit the old
+    # plan relied on): only the k best (dot desc, vec_id asc) rows per
+    # (query, cell) are emitted — a global-top-k superset by the standard
+    # partial top-k argument — so the exchange feeding the final window
+    # carries k rows per query per cell, never the c·|queries| pair set.
+    # JVM parity: cross-width (ragged) pairs would dot to NULL and rank
+    # last in the old window — they are likewise never emitted here
+    # (per-length GEMM), assuming the fixed-width stored-table contract.
+    kk = int(k)
+
+    def cell_topk(probe_pdf, member_pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"query_id": [], "vec_id": [], "dot": []}
+        ).astype({"query_id": "int64", "vec_id": "int64", "dot": "int64"})
+        if len(probe_pdf) == 0 or len(member_pdf) == 0:
+            return empty
+        out = [empty]
+        qids_all = probe_pdf["query_id"].to_numpy()
+        mids_all = member_pdf["vec_id"].to_numpy()
+        qlens = probe_pdf["qv"].map(len).to_numpy()
+        mlens = member_pdf["v"].map(len).to_numpy()
+        for L in np.unique(qlens):
+            qi = np.nonzero(qlens == L)[0]
+            mi = np.nonzero(mlens == L)[0]
+            if L == 0 or len(qi) == 0 or len(mi) == 0:
+                continue
+            Q = np.stack(
+                [np.asarray(probe_pdf["qv"].iat[i], dtype=np.int64) for i in qi]
+            )
+            M = np.stack(
+                [np.asarray(member_pdf["v"].iat[i], dtype=np.int64) for i in mi]
+            )
+            mids = mids_all[mi]
+            morder = np.argsort(mids)  # vec_id asc for deterministic ties
+            mids = mids[morder]
+            D = _dots_exact(Q, M[morder])
+            for row, qid in enumerate(qids_all[qi]):
+                d = D[row]
+                keep = mids != qid  # self-match excluded before top-k
+                dk, mk = d[keep], mids[keep]
+                if len(dk) > kk:
+                    # top-k by (dot desc, vec_id asc): mids are ascending,
+                    # so a STABLE sort on -dot breaks ties on vec_id asc
+                    sel = np.argsort(-dk, kind="stable")[:kk]
+                else:
+                    sel = np.arange(len(dk))
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "vec_id": mk[sel], "dot": dk[sel]}
+                    )
+                )
+        return pd.concat(out, ignore_index=True)
+
     scored = (
-        probes.join(assigned, "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", dot(F.col("v"), F.col("qv")).alias("dot"))
+        probes.groupBy("cell")
+        .cogroup(assigned.select("cell", "vec_id", "v").groupBy("cell"))
+        .applyInPandas(cell_topk, "query_id bigint, vec_id bigint, dot bigint")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
     return (
@@ -718,18 +779,44 @@ def random_project(
     preserved, so the 4×-smaller projected table IS the stored ANN index;
     full vectors are only fetched for rerank survivors.
 
-    Zero shuffle: the projection is a pure codegen projection (out_dims
-    inlined dot expressions per row, exact BIGINTs). At 100 TB the
-    projected index is what you persist, bucket, and probe — scans read
-    out_dims·8 bytes per row instead of the raw embedding column."""
-    v = quantize(F.col("embedding"), scale)
-    # one literal array of hyperplanes + one transform lambda instead of
-    # out_dims unrolled dot subtrees — identical rv values/order, ~out_dims×
-    # smaller expression tree (see ops/kmeans.py:_assign)
-    planes_lit = F.array(*[_hyperplane(j, dims) for j in range(out_dims)])
-    return emb.select(
-        "vec_id",
-        F.transform(planes_lit, lambda pl: dot(v, pl)).alias("rv"),
+    Zero shuffle: the projection is one exact GEMM per Arrow batch
+    (V·Pᵀ over the deterministic integer plane matrix, `_dots_exact` —
+    identical BIGINTs to the per-plane dot expressions it replaces, which
+    ran as interpreted higher-order functions). At 100 TB the projected
+    index is what you persist, bucket, and probe — scans read
+    out_dims·8 bytes per row instead of the raw embedding column.
+    Fixed-width contract: rows whose embedding is not `dims` wide project
+    to NULL rv (the JVM zip_with NULL-pad produced NULL entries there)."""
+    P = [
+        [((j * 1315423911 + i * 2654435761) % 2001) - 1000 for i in range(dims)]
+        for j in range(out_dims)
+    ]
+    sc = int(scale)
+
+    def project(it):
+        import numpy as np
+        import pandas as pd
+
+        Pm = np.array(P, dtype=np.int64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            lens = pdf["embedding"].map(len).to_numpy()
+            ok = np.nonzero(lens == dims)[0]
+            rv = np.empty(len(pdf), dtype=object)
+            rv[:] = None
+            if len(ok):
+                E = np.stack(
+                    [np.asarray(pdf["embedding"].iat[i], dtype=np.float64) for i in ok]
+                )
+                V = np.floor(E.astype(np.float64) * sc).astype(np.int64)
+                R = _dots_exact(V, Pm)
+                for t, i in enumerate(ok):
+                    rv[i] = R[t]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "rv": rv})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        project, "vec_id bigint, rv array<bigint>"
     )
 
 
@@ -757,8 +844,21 @@ def rp_rerank_topk(
 
     Returns (vec_id, approx_dot, dot) — shortlist score kept for recall
     audits. Deterministic ties: (score desc, vec_id asc) at both stages."""
-    proj = projected if projected is not None else random_project(emb, out_dims, scale)
-    qp = proj.filter(F.col("vec_id") == query_vec_id).select(F.col("rv").alias("qrv"))
+    if projected is not None:
+        proj = projected
+        qp = proj.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("rv").alias("qrv")
+        )
+    else:
+        proj = random_project(emb, out_dims, scale)
+        # project the 1-row query from a pre-filtered scan: a filter on the
+        # mapInPandas output cannot push below the opaque Python node, so
+        # filtering first keeps the query-side projection a 1-row job
+        # instead of a second full pass (identical values — the projection
+        # is row-local)
+        qp = random_project(
+            emb.filter(F.col("vec_id") == query_vec_id), out_dims, scale
+        ).select(F.col("rv").alias("qrv"))
     shortlist = (
         proj.filter(F.col("vec_id") != query_vec_id)
         .join(F.broadcast(qp))
@@ -811,11 +911,59 @@ def knn_recall_eval(
         F.col("vec_id").alias("query_id"),
         quantize(F.col("embedding"), scale).alias("qq"),
     )
+    # the bounded query sample is collected once (max_query_id rows — the
+    # same driver-state class as ivf_assign's centroid fetch) and every
+    # corpus batch scores ALL queries with one exact GEMM in mapInPandas,
+    # emitting only its per-batch top-k per query (a superset of the
+    # global top-k, the partial top-k argument) — the old plan broadcast
+    # the sample and evaluated |queries| interpreted dots per corpus row,
+    # shipping every pair into the rank window. Fixed-width contract as
+    # in knn_join: ragged rows never enter the ground truth.
+    qrows = sorted(
+        ((int(r["query_id"]), [int(x) for x in r["qq"]]) for r in qv.collect())
+    )
+    kk = int(k)
     base = emb.select("vec_id", quantize(F.col("embedding"), scale).alias("v"))
-    scored = (
-        base.crossJoin(F.broadcast(qv))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", dot(F.col("v"), F.col("qq")).alias("dot"))
+
+    def exact_topk(it):
+        import numpy as np
+        import pandas as pd
+
+        qids = np.array([q for q, _ in qrows], dtype=np.int64)
+        by_len: dict = {}
+        for q, vec in qrows:
+            by_len.setdefault(len(vec), []).append((q, vec))
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids_all = pdf["vec_id"].to_numpy()
+            lens = pdf["v"].map(len).to_numpy()
+            for L, qs in by_len.items():
+                if L == 0:
+                    continue
+                mi = np.nonzero(lens == L)[0]
+                if len(mi) == 0:
+                    continue
+                ids = ids_all[mi]
+                order = np.argsort(ids)
+                ids = ids[order]
+                V = np.stack(
+                    [np.asarray(pdf["v"].iat[i], dtype=np.int64) for i in mi[order]]
+                )
+                Q = np.array([vec for _, vec in qs], dtype=np.int64)
+                D = _dots_exact(Q, V)
+                for row, (qid, _) in enumerate(qs):
+                    d = D[row]
+                    keep = ids != qid
+                    dk, mk = d[keep], ids[keep]
+                    if len(dk) > kk:
+                        sel = np.argsort(-dk, kind="stable")[:kk]
+                    else:
+                        sel = np.arange(len(dk))
+                    yield pd.DataFrame({"query_id": qid, "vec_id": mk[sel], "dot": dk[sel]})
+
+    scored = base.mapInPandas(
+        exact_topk, "query_id bigint, vec_id bigint, dot bigint"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
     exact = (
@@ -857,55 +1005,59 @@ def knn_outlier_scores(
     Returns (vec_id, cell, n_neighbors, kth_dot).
 
     Scale shape: assignment is the zero-shuffle literal-centroid
-    projection (`ivf_assign`); the pair join is equi on cell, so the
-    blow-up is sum over cells of c² and the rank window partitions on
-    vec_id (cell-size bounded)."""
-    from pyspark.sql import Window
+    projection (`ivf_assign`); each cell's k-th-neighbor scores come from
+    ONE exact GEMM over the cell's members inside `applyInPandas`
+    (`_dots_exact`, 1024-row blocks bound the scratch matrix) — the old
+    plan shuffled the O(c²) pair rows of every cell into a rank window
+    and equi-joined the scores back on vec_id; this shuffles each member
+    row ONCE and emits one scored row per member directly (pair exchange,
+    two windows and the attach join all gone). JVM parity: a pair of
+    mismatched widths dotted to NULL and ranked last — here the k-th rank
+    falling past the same-width neighbor count likewise yields NULL
+    kth_dot; n_neighbors counts every cell-mate, matching the old
+    count window."""
 
     assigned = ivf_assign(emb, n_cells=n_cells, scale=scale)
-    a = assigned.select(
-        "cell", F.col("vec_id").alias("a_id"), F.col("v").alias("av")
-    )
-    b = assigned.select(
-        "cell", F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
-    )
-    # both join sides are the full assignment (volume-scaling): never
-    # broadcast — shuffle-hash on the bounded cell key instead
-    pairs = (
-        a.join(b.hint("shuffle_hash"), "cell")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .select(
-            "cell",
-            "a_id",
-            "b_id",
-            dot(F.col("av"), F.col("bv")).alias("dot"),
+    kk = int(k)
+
+    def cell_scores(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        ids = pdf["vec_id"].to_numpy()
+        nb = n - 1
+        kth = np.empty(n, dtype=object)
+        kth[:] = None
+        lens = pdf["v"].map(len).to_numpy()
+        for L in np.unique(lens):
+            idx = np.nonzero(lens == L)[0]
+            if L == 0 or len(idx) < 2:
+                continue
+            V = np.stack([np.asarray(pdf["v"].iat[i], dtype=np.int64) for i in idx])
+            m = len(idx)
+            n_fin = m - 1  # finite (same-width) neighbors per member
+            take = min(kk, nb)
+            if take > n_fin:
+                continue  # rank falls into the NULL-dot tail → NULL kth_dot
+            for s in range(0, m, 1024):
+                e = min(m, s + 1024)
+                D = _dots_exact(V[s:e], V).astype(np.float64)
+                D[np.arange(e - s), np.arange(s, e)] = -np.inf  # self out
+                vals = np.partition(D, m - take, axis=1)[:, m - take]
+                for t in range(s, e):
+                    kth[idx[t]] = int(vals[t - s])
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"],
+                "n_neighbors": np.full(n, nb, dtype=np.int64),
+                "kth_dot": kth,
+            }
         )
-    )
-    w = Window.partitionBy("a_id").orderBy(F.desc("dot"), F.asc("b_id"))
-    wc = Window.partitionBy("a_id")
-    ranked = pairs.select(
-        "cell",
-        "a_id",
-        "dot",
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(wc).alias("_nb"),
-    )
-    kth = ranked.filter(
-        F.col("_rn") == F.least(F.lit(k), F.col("_nb"))
-    ).select(
-        F.col("a_id").alias("vec_id"),
-        F.col("_nb").cast("bigint").alias("n_neighbors"),
-        F.col("dot").alias("kth_dot"),
-    )
-    return (
-        assigned.select("vec_id", "cell")
-        .join(kth, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.coalesce("n_neighbors", F.lit(0)).cast("bigint").alias("n_neighbors"),
-            "kth_dot",
-        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        cell_scores, "vec_id bigint, cell int, n_neighbors bigint, kth_dot bigint"
     )
 
 
