@@ -86,6 +86,90 @@ def _assign(base: DataFrame, cents: list[tuple[int, list[int]]], k: int) -> Data
     )
 
 
+def lloyd_partial_sums(
+    raw: DataFrame,
+    jobs: list[tuple[int, int, bool, list[tuple[int, list[int]]]]],
+    width: int,
+    scale: int,
+) -> DataFrame:
+    """(subj, cell, n, s0..s{width-1}): per-Arrow-batch nearest-centroid
+    assignment and partial member sums for a list of slice-jobs over ONE
+    scan of ``raw`` (vec_id, e=raw embedding) — the map-side half of a
+    Lloyd mean update, shared by `kmeans_fit` (one full-width job) and
+    `ops.pq.pq_fit` (one job per subspace).
+
+    Each job is (subj, offset, exact_len, cents): rows are quantized
+    (floor(float64·scale) — bit-identical to the JVM `quantize`), the
+    job's slice [offset, offset+width) is assigned to its nearest
+    centroid by one exact GEMM (`_dots_exact`; D² = |v|² − 2v·c + |c|²,
+    all int64), ties to the lowest cell id (cents are cell-sorted, so
+    argmin's first-minimum IS the lowest id), and ≤ |cents| partial rows
+    per batch are emitted. ``exact_len`` jobs skip rows whose width ≠
+    offset+width (the full-vector zip_with NULL-pads either direction →
+    NULL cell → dropped from the old update); non-exact jobs need only
+    width ≥ offset+width (a longer row still fills the slice). The
+    reducer is a tiny groupBy(subj, cell) over k·batches rows."""
+    schema = "subj int, cell int, n bigint, " + ", ".join(
+        f"s{i} bigint" for i in range(width)
+    )
+    sc = int(scale)
+    W = int(width)
+    jobs_py = [
+        (int(subj), int(off), bool(exact), [int(c) for c, _ in cents],
+         [[int(x) for x in cv] for _, cv in cents])
+        for subj, off, exact, cents in jobs
+        if cents
+    ]
+
+    def part(it):
+        import numpy as np
+        import pandas as pd
+
+        from logzoom_spark.ops.similarity import _dots_exact
+
+        mats = [
+            (subj, off, exact, np.array(cells, dtype=np.int64),
+             np.array(cvs, dtype=np.int64))
+            for subj, off, exact, cells, cvs in jobs_py
+        ]
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            lens = pdf["e"].map(lambda x: -1 if x is None else len(x)).to_numpy()
+            frames = []
+            for L in np.unique(lens):
+                if L < 0:
+                    continue
+                idx = np.nonzero(lens == L)[0]
+                V = None
+                for subj, off, exact, cells, C in mats:
+                    if (L != off + W) if exact else (L < off + W):
+                        continue
+                    if V is None:
+                        E = np.stack(
+                            [np.asarray(pdf["e"].iat[i], dtype=np.float64) for i in idx]
+                        )
+                        V = np.floor(E * sc).astype(np.int64)
+                    S = V[:, off : off + W]
+                    G = _dots_exact(S, C)
+                    D2 = (S * S).sum(1)[:, None] - 2 * G + (C * C).sum(1)[None, :]
+                    a = np.argmin(D2, axis=1)
+                    counts = np.bincount(a, minlength=len(cells))
+                    sums = np.zeros((len(cells), W), dtype=np.int64)
+                    np.add.at(sums, a, S)
+                    nz = np.nonzero(counts > 0)[0]
+                    d = {"subj": np.full(len(nz), subj, dtype=np.int32),
+                         "cell": cells[nz].astype(np.int32),
+                         "n": counts[nz].astype(np.int64)}
+                    for i in range(W):
+                        d[f"s{i}"] = sums[nz, i]
+                    frames.append(pd.DataFrame(d))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return raw.mapInPandas(part, schema)
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 4,
@@ -126,27 +210,33 @@ def kmeans_fit(
             raise ValueError(
                 f"dims={dims} but embeddings have {len(cv)} dimensions"
             )
+    # update rounds run the Arrow/numpy partial-sum kernel over the RAW
+    # embedding scan (`lloyd_partial_sums` — one exact GEMM per batch,
+    # ≤ k partial rows per batch into a tiny groupBy) instead of an
+    # interpreted literal-argmin projection feeding a dims-column hash
+    # aggregate; centroids are bit-identical (same quantization, same
+    # argmin tie-break, same integer sums and floor-divided means)
+    raw = emb.select("vec_id", F.col("embedding").alias("e"))
     if iters > 1:
-        base = base.persist()  # each update collect + reassign re-reads base
+        raw = raw.persist()  # each update re-reads the scan
     try:
-        assigned = _assign(base, cents, k)
         for _ in range(iters - 1):
-            sums = assigned.groupBy("cell").agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dims)],
+            part = lloyd_partial_sums(raw, [(0, 0, True, cents)], dims, scale)
+            sums = part.groupBy("cell").agg(
+                F.sum("n").alias("n"),
+                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dims)],
             )
             # floor(sum/n) per dimension; k bounded rows reach the driver
             cents = sorted(
                 (int(r["cell"]), [int(r[f"s{i}"]) // int(r["n"]) for i in range(dims)])
                 for r in sums.collect()
             )
-            assigned = _assign(base, cents, k)
     finally:
         if iters > 1:
             # lazy uncache: the returned plan stays valid, the final
             # consumer just re-scans the source once
-            base.unpersist()
-    assignment = assigned.select(
+            raw.unpersist()
+    assignment = _assign(base, cents, k).select(
         "vec_id", F.col("cell").alias("cluster"), "dist2"
     )
     return assignment, [{"vec_id": c, "v": cv} for c, cv in cents]

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .kmeans import kmeans_fit
+from .kmeans import kmeans_fit, lloyd_partial_sums
 from .similarity import quantize
 
 Codebooks = list[list[dict]]
@@ -53,6 +53,7 @@ def pq_fit(
     iters: int = 2,
     dims: int = 64,
     scale: int = 1000,
+    init: list[tuple[int, list[int]]] | None = None,
 ) -> Codebooks:
     """Train m per-subspace codebooks; returns
     ``codebooks[j] = [{"code": id, "v": [subdims ints]}, ...]``.
@@ -61,24 +62,30 @@ def pq_fit(
     deterministic seeding documented in ops/kmeans.py).
 
     All m subspace Lloyd loops run as ONE fused loop: a single init
-    collect (sliced driver-side), and per round a single job whose
-    projection assigns every subspace's cell, explodes m (subspace,
-    cell, subvector) rows per input row, and aggregates per (subspace,
-    cell) — one pass over the data per round for all m fits instead of
-    m passes (the old per-subspace kmeans_fit calls re-scanned the
-    embedding column m times per round). Centroids are bit-identical to
-    the per-subspace loops: each subspace's arithmetic is untouched,
-    only co-scheduled."""
+    collect (sliced driver-side), and per round a single pass of the
+    Arrow/numpy partial-sum kernel (`kmeans.lloyd_partial_sums`, one
+    slice-job per subspace — exact GEMM assignment, ≤ m·k partial rows
+    per batch into a tiny groupBy) instead of m independent scans with
+    interpreted argmin projections. Centroids are bit-identical to the
+    per-subspace loops: each subspace's arithmetic is untouched, only
+    co-scheduled."""
     if dims % m != 0:
         raise ValueError(f"dims={dims} not divisible by m={m}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     sub = dims // m
-    base = emb.select("vec_id", quantize(F.col("embedding"), scale).alias("v"))
-    init = sorted(
-        (int(r["vec_id"]), [int(x) for x in r["v"]])
-        for r in base.filter(F.col("vec_id") < k).collect()
-    )
+    if init is None:
+        # ``init``: pre-supplied (vec_id, quantized full-width vector)
+        # seeds, for inputs behind an opaque Python stage where this
+        # key-pushdown fetch would otherwise be a full pass (the residual
+        # build derives its seeds driver-side instead)
+        base = emb.select(
+            "vec_id", quantize(F.col("embedding"), scale).alias("v")
+        )
+        init = sorted(
+            (int(r["vec_id"]), [int(x) for x in r["v"]])
+            for r in base.filter(F.col("vec_id") < k).collect()
+        )
     if not init:
         raise ValueError(f"no init centroids: no vec_id in [0, {k})")
     # per-subspace centroid lists [(cell, [sub ints]), ...]; slicing after
@@ -94,55 +101,20 @@ def pq_fit(
                 )
         cents.append(cj)
 
-    def _cell(j: int) -> F.Column:
-        # nearest-centroid argmin for subspace j (ties to lowest cell id;
-        # NULL on ragged rows) — the ops/kmeans.py:_assign expression over
-        # the j-th slice
-        sv = F.slice(F.col("v"), j * sub + 1, sub)
-        cells_lit = F.array(*[F.lit(int(c)) for c, _ in cents[j]])
-        cvs_lit = F.array(
-            *[F.array(*[F.lit(int(x)) for x in cv]) for _, cv in cents[j]]
-        )
-        dists = F.transform(
-            cvs_lit,
-            lambda cv: F.aggregate(
-                F.zip_with(sv, cv, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ),
-        )
-        best = F.array_min(
-            F.zip_with(
-                dists, cells_lit, lambda d, c: F.struct(d.alias("d"), c.alias("c"))
-            )
-        )
-        return F.when(best["d"].isNotNull(), best["c"]).cast("int")
-
+    raw = emb.select("vec_id", F.col("embedding").alias("e"))
     if iters > 1:
-        base = base.persist()
+        raw = raw.persist()
     try:
         for _ in range(iters - 1):
-            stacked = base.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(j).alias("subj"),
-                                _cell(j).alias("cell"),
-                                F.slice(F.col("v"), j * sub + 1, sub).alias("sv"),
-                            )
-                            for j in range(m)
-                        ]
-                    )
-                ).alias("s")
-            ).select("s.*")
-            sums = (
-                stacked.filter(F.col("cell").isNotNull())
-                .groupBy("subj", "cell")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[F.sum(F.col("sv")[i]).alias(f"s{i}") for i in range(sub)],
-                )
+            part = lloyd_partial_sums(
+                raw,
+                [(j, j * sub, False, cents[j]) for j in range(m)],
+                sub,
+                scale,
+            )
+            sums = part.groupBy("subj", "cell").agg(
+                F.sum("n").alias("n"),
+                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(sub)],
             )
             rows = sums.collect()
             cents = [
@@ -158,44 +130,107 @@ def pq_fit(
             ]
     finally:
         if iters > 1:
-            base.unpersist()
+            raw.unpersist()
     return [[{"code": c, "v": cv} for c, cv in cents[j]] for j in range(m)]
 
 
-def _codes_expr(codebooks: Codebooks, v) -> F.Column:
-    """array<int> of per-subspace nearest-code ids over a quantized-vector
-    column ``v`` — ties to the lowest code id, NULL per subspace on
-    ragged/short rows (the kmeans NULL-guard). Pure codegen expression
-    over inlined codebook literals (one literal array-of-arrays + a
-    single transform lambda per subspace — see ops/kmeans.py:_assign for
-    why the unrolled per-code form was worth retiring)."""
+def _encode_kernel(
+    codebooks: Codebooks,
+    scale: int,
+    coarse: list | None = None,
+    residual: bool = False,
+):
+    """Arrow-batch encode kernel shared by `pq_encode` and the index
+    builds: quantize (floor(float64·scale) — bit-identical to the JVM
+    `quantize`), per subspace one exact-GEMM argmin against the codebook
+    (`_dots_exact`; ties to the LOWEST code id — books are code-sorted so
+    argmin's first minimum is the lowest id), NULL code for subspaces the
+    row is too short to fill (the zip_with NULL-pad semantics). With
+    ``coarse`` the kernel also assigns the coarse cell (full-width argmin,
+    NULL unless the row width matches exactly) and, with ``residual``,
+    encodes v − coarse_centroid[cell] instead of v (rows without a cell
+    get all-NULL codes, like the NULL-propagating map lookup they
+    replace)."""
+    m = len(codebooks)
     sub = len(codebooks[0][0]["v"])
-    code_cols = []
-    for j, book in enumerate(codebooks):
-        sv = F.slice(v, j * sub + 1, sub)
-        codes_lit = F.array(*[F.lit(int(e["code"])) for e in book])
-        cvs_lit = F.array(
-            *[F.array(*[F.lit(int(x)) for x in e["v"]]) for e in book]
-        )
-        dists = F.transform(
-            cvs_lit,
-            lambda cv: F.aggregate(
-                F.zip_with(sv, cv, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ),
-        )
-        best = F.array_min(
-            F.zip_with(
-                dists,
-                codes_lit,
-                lambda d, c: F.struct(d.alias("d"), c.alias("c")),
-            )
-        )
-        # NULL-padded zip_with (short row) sorts NULL d first — null the
-        # code out rather than silently assigning the lowest id
-        code_cols.append(F.when(best["d"].isNotNull(), best["c"]).cast("int"))
-    return F.array(*code_cols)
+    books = [
+        sorted((int(e["code"]), [int(x) for x in e["v"]]) for e in book)
+        for book in codebooks
+    ]
+    cents = (
+        sorted((int(c["vec_id"]), [int(x) for x in c["v"]]) for c in coarse)
+        if coarse is not None
+        else None
+    )
+    sc = int(scale)
+
+    def enc(it):
+        import numpy as np
+        import pandas as pd
+
+        from logzoom_spark.ops.similarity import _dots_exact
+
+        B = [
+            (np.array([c for c, _ in bk], dtype=np.int64),
+             np.array([cv for _, cv in bk], dtype=np.int64))
+            for bk in books
+        ]
+        if cents is not None:
+            cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
+            CC = np.array([cv for _, cv in cents], dtype=np.int64)
+            dims = CC.shape[1]
+
+        def argmin_codes(S, j):
+            codes_j, CV = B[j]
+            G = _dots_exact(S, CV)
+            D2 = (S * S).sum(1)[:, None] - 2 * G + (CV * CV).sum(1)[None, :]
+            return codes_j[np.argmin(D2, axis=1)]
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            lens = pdf["e"].map(lambda x: -1 if x is None else len(x)).to_numpy()
+            codes_col = np.empty(n, dtype=object)
+            cell_col = np.empty(n, dtype=object)
+            cell_col[:] = None
+            for L in np.unique(lens):
+                idx = np.nonzero(lens == L)[0]
+                if L < 0:
+                    for i in idx:
+                        codes_col[i] = [None] * m
+                    continue
+                E = np.stack(
+                    [np.asarray(pdf["e"].iat[i], dtype=np.float64) for i in idx]
+                )
+                V = np.floor(E * sc).astype(np.int64)
+                mat = np.empty((len(idx), m), dtype=object)
+                mat[:] = None
+                if cents is not None and L == dims:
+                    G = _dots_exact(V, CC)
+                    D2 = (V * V).sum(1)[:, None] - 2 * G + (CC * CC).sum(1)[None, :]
+                    cells = cell_ids[np.argmin(D2, axis=1)]
+                    for t, i in enumerate(idx):
+                        cell_col[i] = int(cells[t])
+                    if residual:
+                        V = V - CC[np.searchsorted(cell_ids, cells)]
+                if residual and (cents is None or L != dims):
+                    # no cell → NULL residual → every subspace code NULL
+                    for i in idx:
+                        codes_col[i] = [None] * m
+                    continue
+                for j in range(m):
+                    if (j + 1) * sub <= L:
+                        got = argmin_codes(V[:, j * sub : (j + 1) * sub], j)
+                        mat[:, j] = got.astype(object)
+                for t, i in enumerate(idx):
+                    codes_col[i] = list(mat[t])
+            out = {"vec_id": pdf["vec_id"], "codes": codes_col}
+            if cents is not None:
+                out["cell"] = cell_col
+            yield pd.DataFrame(out)
+
+    return enc
 
 
 def pq_encode(
@@ -203,13 +238,14 @@ def pq_encode(
 ) -> DataFrame:
     """(vec_id, codes array<int>): per subspace, the id of the nearest
     codebook centroid — ties to the lowest code id, ragged/short rows get
-    NULL code for the affected subspace (the kmeans NULL-guard). Pure
-    codegen projection over inlined codebook literals: zero shuffle, one
-    pass, m·k exact BIGINT sub-distances per row."""
+    NULL code for the affected subspace (the kmeans NULL-guard). One
+    Arrow-batch pass (`_encode_kernel`): zero shuffle, exact-GEMM argmin
+    per subspace instead of interpreted per-code distance expressions."""
     if len(codebooks) == 0:
         raise ValueError("codebooks must be non-empty")
-    base = emb.select("vec_id", quantize(F.col("embedding"), scale).alias("v"))
-    return base.select("vec_id", _codes_expr(codebooks, F.col("v")).alias("codes"))
+    return emb.select("vec_id", F.col("embedding").alias("e")).mapInPandas(
+        _encode_kernel(codebooks, scale), "vec_id bigint, codes array<int>"
+    )
 
 
 def _adc_dist_table(
@@ -315,13 +351,10 @@ def ivfpq_index(
 ) -> tuple[DataFrame, list[dict]]:
     """IVF-PQ BUILD: (index, coarse_centroids) where index is
     (vec_id, cell, codes) — the stored table of a billion-scale ANN
-    deployment. Coarse cells come from the Lloyd loop (``kmeans_fit``,
-    zero-shuffle literal-centroid assignment); codes from the same
-    ``_codes_expr`` projection. Both are pure expressions over ONE
-    quantized-vector scan, so the index is a single zero-shuffle
-    projection — no build-time shuffle at all (the old plan equi-joined
-    two projections of the same source on vec_id just to zip them: 2
-    Exchanges and a second full scan for identical rows). At deploy
+    deployment. Coarse cell (trained-centroid argmin) and PQ codes come
+    from ONE Arrow-batch pass over the embedding scan (`_encode_kernel`):
+    no build-time shuffle at all (the original plan equi-joined two
+    projections of the same source on vec_id just to zip them). At deploy
     scale the index is then written ``partitionBy(cell)`` so probes
     prune to nprobe/n_cells of the files and never shuffle.
 
@@ -331,19 +364,12 @@ def ivfpq_index(
     ``v − centroid[cell]`` and building one distance table per probed
     cell slots into the same shapes — but flat coding keeps the oracle a
     single unrolled SQL twin."""
-    from .kmeans import _assign
-
     _, cents = kmeans_fit(
         emb, k=n_cells, iters=iters, dims=dims, scale=scale
     )
-    base = emb.select("vec_id", quantize(F.col("embedding"), scale).alias("v"))
-    assigned = _assign(
-        base,
-        [(int(c["vec_id"]), [int(x) for x in c["v"]]) for c in cents],
-        n_cells,
-    )
-    index = assigned.select(
-        "vec_id", _codes_expr(codebooks, F.col("v")).alias("codes"), "cell"
+    index = emb.select("vec_id", F.col("embedding").alias("e")).mapInPandas(
+        _encode_kernel(codebooks, scale, coarse=cents),
+        "vec_id bigint, codes array<int>, cell int",
     )
     return index, cents
 
@@ -460,53 +486,82 @@ def ivfpq_residual_index(
     persist all three and pass them to ``ivfpq_residual_topk`` to
     amortize the build across queries (they MUST come from one build).
 
-    Like ``ivfpq_index``, the residual table and the final index are
-    each ONE zero-shuffle projection: cell (trained coarse centroids
-    inlined, kmeans argmin), residual (map-literal subtraction) and
-    codes are all pure expressions over the same quantized-vector scan.
-    The old plan paid two vec_id equi-joins (assignment⋈vectors, then
-    codes⋈cells) for identical rows."""
-    from .kmeans import _assign
-
+    Like ``ivfpq_index``, the build is shuffle-free: the residual table
+    (one Arrow-batch pass — coarse argmin + centroid subtraction) exists
+    only to train the residual codebooks, and the final index is a
+    second single pass over the raw embeddings that assigns the cell,
+    residualizes and encodes in one kernel (`_encode_kernel` with
+    ``residual=True``). The original plan paid two vec_id equi-joins
+    (assignment⋈vectors, then codes⋈cells) for identical rows."""
     _, cents = kmeans_fit(
         emb, k=n_cells, iters=iters, dims=dims, scale=scale
     )
-    base = emb.select("vec_id", quantize(F.col("embedding"), scale).alias("v"))
-    assigned = _assign(
-        base,
-        [(int(c["vec_id"]), [int(x) for x in c["v"]]) for c in cents],
-        n_cells,
+    scents = sorted(
+        (int(c["vec_id"]), [int(x) for x in c["v"]]) for c in cents
     )
-    cmap = F.create_map(
-        *[
-            x
-            for c in cents
-            for x in (
-                F.lit(int(c["vec_id"])).cast("int"),
-                F.array(*[F.lit(int(v)) for v in c["v"]]),
+    sc = int(scale)
+
+    def resid(it):
+        import numpy as np
+        import pandas as pd
+
+        from logzoom_spark.ops.similarity import _dots_exact
+
+        cell_ids = np.array([c for c, _ in scents], dtype=np.int64)
+        CC = np.array([cv for _, cv in scents], dtype=np.int64)
+        d_full = CC.shape[1]
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            lens = pdf["e"].map(lambda x: -1 if x is None else len(x)).to_numpy()
+            cell_col = np.empty(n, dtype=object)
+            cell_col[:] = None
+            emb_col = np.empty(n, dtype=object)
+            emb_col[:] = None
+            idx = np.nonzero(lens == d_full)[0]
+            if len(idx):
+                E = np.stack(
+                    [np.asarray(pdf["e"].iat[i], dtype=np.float64) for i in idx]
+                )
+                V = np.floor(E * sc).astype(np.int64)
+                G = _dots_exact(V, CC)
+                D2 = (V * V).sum(1)[:, None] - 2 * G + (CC * CC).sum(1)[None, :]
+                a = np.argmin(D2, axis=1)
+                R = V - CC[a]
+                for t, i in enumerate(idx):
+                    cell_col[i] = int(cell_ids[a[t]])
+                    emb_col[i] = R[t]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cell_col, "embedding": emb_col}
             )
-        ]
+
+    res = emb.select("vec_id", F.col("embedding").alias("e")).mapInPandas(
+        resid, "vec_id bigint, cell int, embedding array<bigint>"
     )
-    res = assigned.select(
-        "vec_id",
-        "cell",
-        F.zip_with(
-            F.col("v"), F.element_at(cmap, F.col("cell")), lambda x, y: x - y
-        ).alias("embedding"),
+    # residual-fit seeds computed driver-side from the k pushdown-fetched
+    # raw rows (a vec_id filter cannot push below the residual kernel, so
+    # letting pq_fit collect its own init would full-scan the corpus)
+    import numpy as np
+
+    cell_ids = np.array([c for c, _ in scents], dtype=np.int64)
+    CC = np.array([cv for _, cv in scents], dtype=np.int64)
+    qrows = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["v"]])
+        for r in emb.filter(F.col("vec_id") < k)
+        .select("vec_id", quantize(F.col("embedding"), scale).alias("v"))
+        .collect()
+        if len(r["v"]) == CC.shape[1]
     )
-    # lazy checkpoint: the residual expression (argmin assign + map lookup
-    # + zip_with) would otherwise be re-inlined m·k times into every
-    # downstream consumer (the fused fit's per-subspace argmins and the
-    # final codes projection), and Catalyst analysis of that tree
-    # dominates wall-clock; the checkpoint truncates the lineage to a
-    # plain relation. Lazy, so plan construction stays free; blocks are
-    # released by the ContextCleaner when the plan is dropped.
-    res = res.localCheckpoint(eager=False)
-    books = pq_fit(res, m=m, k=k, iters=iters, dims=dims, scale=1)
-    index = res.select(
-        "vec_id",
-        _codes_expr(books, quantize(F.col("embedding"), 1)).alias("codes"),
-        "cell",
+    init = []
+    for vid, v in qrows:
+        V = np.array(v, dtype=np.int64)
+        D2 = ((V[None, :] - CC) ** 2).sum(1)
+        init.append((vid, [int(x) for x in V - CC[int(np.argmin(D2))]]))
+    books = pq_fit(res, m=m, k=k, iters=iters, dims=dims, scale=1, init=init)
+    index = emb.select("vec_id", F.col("embedding").alias("e")).mapInPandas(
+        _encode_kernel(books, scale, coarse=cents, residual=True),
+        "vec_id bigint, codes array<int>, cell int",
     )
     return index, books, cents
 
