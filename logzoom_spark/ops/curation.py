@@ -34,7 +34,12 @@ def curate(docs: DataFrame, hasher: str = "xx", max_iter: int = 25) -> DataFrame
     clean = red.select("doc_id", F.col("clean_text").alias("text"), "n_redacted")
     # exact dedup on the scrubbed text (min doc_id survives)
     winners = dedup.dedup_exact(clean).select("doc_id")
-    clean = clean.join(winners, "doc_id", "left_semi")
+    # lazy checkpoint: the deduped corpus feeds the LSH pair source, the
+    # CC node list AND the final canonical join — without it the
+    # quality→redact→dedup subtree recomputes once per consumer (the
+    # standard materialize-between-stages shape of a production curation
+    # build; MEMORY_AND_DISK blocks, released by the ContextCleaner)
+    clean = clean.join(winners, "doc_id", "left_semi").localCheckpoint(eager=False)
     # near-dup: LSH candidates -> connected components -> canonical only
     pairs = dedup.lsh_candidate_pairs(clean, hasher=hasher)
     cc = dedup_cluster_assign(clean, pairs, max_iter=max_iter)

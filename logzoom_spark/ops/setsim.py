@@ -46,6 +46,101 @@ def _tok_sets(docs: DataFrame, col: str, id_col: str) -> DataFrame:
     )
 
 
+def _setsim_bitmask(
+    toks: DataFrame, vocab_rows: list, threshold_bp: int
+) -> DataFrame | None:
+    """Small-universe exact set-similarity join (see `setsim_join`): the
+    ≤ 63-token vocabulary maps each document's token set to one int64
+    bitmask; identical masks group; the pair join runs over distinct
+    (mask, sz) rows under a broadcast with exact bit_count arithmetic and
+    expands to member pairs. Returns None when the distinct-mask head
+    exceeds 16384 (the O(M²) mask join bound) — caller falls through to
+    the prefix-filter plan."""
+    spark = toks.sparkSession
+    bits = {
+        r["token"]: i
+        for i, r in enumerate(
+            sorted(vocab_rows, key=lambda r: (int(r["dfq"]), r["token"]))
+        )
+    }
+    bit_df = spark.createDataFrame(
+        [(t, b) for t, b in bits.items()], "token string, bit int"
+    )
+    dm = (
+        toks.join(F.broadcast(bit_df), "token")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sz"),
+            F.expr("bit_or(shiftleft(1L, bit))").alias("mask"),
+        )
+        # feeds the distinct-mask table AND both expansion joins
+        .localCheckpoint(eager=False)
+    )
+    masks = dm.groupBy("mask", "sz").agg(F.count(F.lit(1)).alias("n"))
+    mhead = masks.head(16385)
+    if len(mhead) > 16384:
+        return None
+    mrows = spark.createDataFrame(mhead, "mask bigint, sz bigint, n bigint")
+    a, b = mrows.alias("a"), mrows.alias("b")
+    inter = F.expr("bit_count(a.mask & b.mask)").cast("bigint")
+    t = int(threshold_bp)
+    cross = (
+        a.join(
+            F.broadcast(b),
+            F.col("a.mask") < F.col("b.mask"),
+        )
+        .select(
+            F.col("a.mask").alias("mask_a"),
+            F.col("b.mask").alias("mask_b"),
+            inter.alias("inter_tokens"),
+            (F.col("a.sz") + F.col("b.sz") - inter).alias("union_tokens"),
+        )
+        .filter(
+            F.lit(10000) * F.col("inter_tokens")
+            >= F.lit(t) * F.col("union_tokens")
+        )
+    )
+    ma = dm.select(F.col("mask").alias("mask_a"), F.col("id").alias("_ia"))
+    mb = dm.select(F.col("mask").alias("mask_b"), F.col("id").alias("_ib"))
+    cross_pairs = (
+        cross.join(ma, "mask_a")
+        .join(mb, "mask_b")
+        .select(
+            F.least("_ia", "_ib").alias("doc_a"),
+            F.greatest("_ia", "_ib").alias("doc_b"),
+            "inter_tokens",
+            "union_tokens",
+        )
+    )
+    # identical sets: every member pair qualifies at any threshold ≤ 10000
+    # (J = 1); sz doubles as popcount(mask) because tokens are distinct
+    within = (
+        dm.alias("x")
+        .join(
+            dm.alias("y"),
+            (F.col("x.mask") == F.col("y.mask"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("doc_a"),
+            F.col("y.id").alias("doc_b"),
+            F.col("x.sz").alias("inter_tokens"),
+            F.col("x.sz").alias("union_tokens"),
+        )
+    )
+    return cross_pairs.unionByName(within).select(
+        "doc_a",
+        "doc_b",
+        F.col("inter_tokens").cast("bigint").alias("inter_tokens"),
+        F.col("union_tokens").cast("bigint").alias("union_tokens"),
+        F.floor(
+            F.lit(10000) * F.col("inter_tokens") / F.col("union_tokens")
+        )
+        .cast("bigint")
+        .alias("jaccard_bp"),
+    )
+
+
 def setsim_join(
     docs: DataFrame,
     threshold_bp: int = 6000,
@@ -74,6 +169,26 @@ def setsim_join(
         raise ValueError(f"need 0 < threshold_bp <= 10000, got {threshold_bp}")
     toks = _tok_sets(docs, col, id_col)
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("dfq"))
+    # ---- vocabulary-bounded fast path -----------------------------------
+    # Log corpora are template-dense: when the whole vocabulary fits one
+    # int64 bitmask (≤ 63 tokens), prefix filtering degenerates (every
+    # prefix collides on a handful of tokens — measured 22.4M candidate
+    # rows for a 965k-pair answer at bench sf) while exact set algebra
+    # becomes trivial: each document's token SET is a bitmask, identical
+    # sets group together, and the join runs over DISTINCT masks with
+    # codegen bit_count arithmetic (inter = popcount(a&b), union =
+    # sz_a + sz_b − inter), then expands back to member pairs. The probe
+    # is data-adaptive (vocabulary head, then a distinct-mask head capped
+    # at 16384 so the O(M²) mask join stays bounded) and falls through to
+    # the prefix-filter plan otherwise; the vocabulary aggregate is
+    # lazily checkpointed so both paths reuse it. Identical output by
+    # construction: Jaccard depends only on the two sets.
+    dfreq = dfreq.localCheckpoint(eager=False)
+    vhead = dfreq.head(64)
+    if len(vhead) <= 63:
+        out = _setsim_bitmask(toks, vhead, threshold_bp)
+        if out is not None:
+            return out
     # ONE tokenize pass: per-doc token array in the global (dfq asc, token
     # asc) order — rarest-first; (dfq, token) is total because token is
     # unique per document. Everything downstream (sizes, prefixes, verify)

@@ -951,6 +951,13 @@ def winnow_overlap_pairs(
         winnow_fingerprints(docs, col=col, k=k, window=window, seed=seed)
         .select("doc_id", "gh")
         .distinct()
+        # lazy checkpoint: the fingerprint table feeds the hot-bucket
+        # count AND both sides of the pair join — without it the whole
+        # gram-explode/frame-min subtree recomputes three times per
+        # action (the digest table is the small end of the op: one row
+        # per selected fingerprint, far below the member explosion it
+        # derives from)
+        .localCheckpoint(eager=False)
     )
     ok = (
         fps.groupBy("gh")
