@@ -115,24 +115,80 @@ def _merge_expr(syms: Column, a: str, b: str) -> Column:
     return F.aggregate(syms, init, step, finish)
 
 
+def _merge_word(syms: list, a: str, b: str) -> list:
+    """Greedy left-to-right merge — the driver twin of `_merge_expr`'s
+    (arr, prev) fold: same non-overlapping semantics ('aaa' + (a,a) →
+    [aa, a])."""
+    out: list = []
+    prev = None
+    for s in syms:
+        if prev == a and s == b:
+            out.append(a + b)
+            prev = None
+        else:
+            if prev is not None:
+                out.append(prev)
+            prev = s
+    if prev is not None:
+        out.append(prev)
+    return out
+
+
 def bpe_learn(
     docs: DataFrame,
     n_merges: int = 16,
     col: str = "text",
     min_pair_count: int = 2,
+    driver_max_vocab: int = 65536,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn up to ``n_merges`` BPE merges; returns (merges, vocab) where
     vocab is (word, cnt, syms) under the final segmentation.
 
     Tie-break is fully deterministic: highest count, then lexicographically
     smallest (a, b). Stops early when no pair reaches ``min_pair_count``
-    (merging singleton pairs just memorizes whole words)."""
+    (merging singleton pairs just memorizes whole words).
+
+    Bounded-vocabulary fast path: BPE training state is the weighted
+    DISTINCT-WORD table, never the corpus — when it holds at most
+    ``driver_max_vocab`` rows (head-probed on the lazily checkpointed
+    aggregate, the broadcast-relation size class) the whole merge loop
+    runs driver-side over the collected rows with identical arithmetic
+    and tie-breaks, replacing 2·n_merges tiny cluster rounds with zero.
+    Larger vocabularies fall through to the distributed round loop
+    unchanged (reusing the same checkpointed aggregate — no extra pass);
+    ``driver_max_vocab=0`` forces it."""
+    wc = word_counts(docs, col).localCheckpoint(eager=False)
+    merges: list[tuple[str, str]] = []
+    if driver_max_vocab > 0:
+        head = wc.head(driver_max_vocab + 1)
+        if len(head) <= driver_max_vocab:
+            segs: list[list] = [
+                [r["word"], int(r["cnt"]), list(r["word"])] for r in head
+            ]
+            for _ in range(n_merges):
+                pc: dict = {}
+                for _w, cnt, syms in segs:
+                    for i in range(len(syms) - 1):
+                        p = (syms[i], syms[i + 1])
+                        pc[p] = pc.get(p, 0) + cnt
+                if not pc:
+                    break
+                (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+                if c < min_pair_count:
+                    break
+                merges.append((a, b))
+                for rec in segs:
+                    rec[2] = _merge_word(rec[2], a, b)
+            spark = docs.sparkSession
+            vocab = spark.createDataFrame(
+                [(w, c, s) for w, c, s in segs],
+                "word string, cnt bigint, syms array<string>",
+            )
+            return merges, vocab
     vocab = (
-        word_counts(docs, col)
-        .select("word", "cnt", _char_syms(F.col("word")).alias("syms"))
+        wc.select("word", "cnt", _char_syms(F.col("word")).alias("syms"))
         .localCheckpoint()
     )
-    merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (
             sym_pair_counts(vocab)
