@@ -717,15 +717,20 @@ def cuped_adjusted_lift(events: DataFrame) -> DataFrame:
             * F.expr(f"CAST(abs({num}) DIV {den} AS BIGINT)")
         )
     )
+    wide = arms.groupBy().pivot("arm", [0, 1]).agg(
+        F.first("n_arm").alias("n"),
+        F.first("sx_arm").alias("sx"),
+        F.first("sy_arm").alias("sy"),
+    )
+    # an empty hash-parity arm pivots to NULL columns, and NULL nn would
+    # slip past sdiv's den == 0 guard (NULL == 0 → NULL → otherwise
+    # branch) into NULL output rows where the oracle emits zeros —
+    # coalesce every per-arm column to 0 so both engines agree on
+    # degenerate inputs
+    for _c in ["0_n", "1_n", "0_sx", "1_sx", "0_sy", "1_sy"]:
+        wide = wide.withColumn(_c, F.coalesce(F.col(f"`{_c}`"), F.lit(0)))
     wide = (
-        arms.groupBy()
-        .pivot("arm", [0, 1])
-        .agg(
-            F.first("n_arm").alias("n"),
-            F.first("sx_arm").alias("sx"),
-            F.first("sy_arm").alias("sy"),
-        )
-        .crossJoin(F.broadcast(mom))
+        wide.crossJoin(F.broadcast(mom))
         .withColumn("theta_num", F.col("covn") * 1000000)
         .withColumn("theta_micro", sdiv("theta_num", "varx"))
         # mean raw lift numerator: (sy_t*n_c - sy_c*n_t) * 1e6

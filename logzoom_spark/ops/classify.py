@@ -298,9 +298,14 @@ def classifier_auc(
             "n_pos",
             "n_neg",
             "n_unscored",
+            # DECIMAL(38,0) operands: _num ≈ 2·P·N would overflow BIGINT
+            # past ~10^7 docs per class; the histogram is bounded so the
+            # wide-decimal arithmetic costs nothing (the ks_value_drift
+            # discipline)
             F.expr(
                 "CASE WHEN n_pos > 0 AND n_neg > 0 "
-                "THEN CAST((10000 * _num) DIV (2 * n_pos * n_neg) AS BIGINT) END"
+                "THEN CAST((10000 * CAST(_num AS DECIMAL(38,0))) "
+                "DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT) END"
             ).alias("auc_bp"),
         )
     )

@@ -453,7 +453,7 @@ def session_incident_overlap(events: DataFrame, gap_s: int = 1800) -> DataFrame:
             (F.col("event_type") == "error") & F.col("ts").isNotNull()
         )
         .select(ep.alias("_ep"))
-        .groupBy((F.col("_ep") / 86400).cast("bigint").alias("day_no"))
+        .groupBy(F.expr("_ep DIV 86400").alias("day_no"))
         .agg(
             F.min("_ep").alias("i_start"),
             F.max("_ep").alias("i_end"),
@@ -466,8 +466,11 @@ def session_incident_overlap(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         "s_end",
         F.explode(
             F.sequence(
-                (F.col("s_start") / 86400).cast("bigint"),
-                (F.col("s_end") / 86400).cast("bigint"),
+                # integral DIV: exact integer arithmetic (the double
+                # division's cast truncates toward zero, which would also
+                # mis-bucket pre-1970 epochs), matching the oracle's `//`
+                F.expr("s_start DIV 86400"),
+                F.expr("s_end DIV 86400"),
             )
         ).alias("day_no"),
     )

@@ -750,7 +750,11 @@ def kmv_set_overlap(
     base = events.filter(
         F.col(type_col).isNotNull() & F.col(user_col).isNotNull()
     ).select(F.col(type_col).alias("t"), F.col(user_col).alias("u"))
-    sk = _kmv_topk(base, "t", F.col("u"), k).cache()
+    # lazy checkpoint instead of cache(): the ≤|types|·k-row sketch feeds
+    # the kth aggregate and both pair sides, and a cache() here pinned
+    # its blocks for the session lifetime (never unpersisted); checkpoint
+    # blocks are released by the ContextCleaner when the plan is dropped
+    sk = _kmv_topk(base, "t", F.col("u"), k).localCheckpoint(eager=False)
     kth = sk.groupBy("grp").agg(
         F.max("h").alias("kth"), F.count(F.lit(1)).alias("nk")
     )

@@ -1027,8 +1027,12 @@ def heaps_vocab_growth(
     toks = F.filter(toks, lambda t: t != "")
     # equal-width doc_id buckets: W from the 1-row max aggregate
     # (broadcast, stays in-plan — no driver collect)
+    # integral DIV (not a double round-trip): exact at any doc_id
+    # magnitude, matching the oracle's integer `//`
     wdf = docs.agg(
-        (F.floor(F.max("doc_id") / n_buckets) + 1).cast("bigint").alias("_w")
+        (F.expr(f"max(doc_id) DIV {int(n_buckets)}") + 1)
+        .cast("bigint")
+        .alias("_w")
     )
     base = docs.crossJoin(F.broadcast(wdf)).select(
         F.expr("doc_id DIV _w").cast("bigint").alias("bucket"),
