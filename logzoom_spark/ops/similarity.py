@@ -513,8 +513,6 @@ def knn_join(
     pass ``assigned`` + ``centroids`` explicitly."""
     from pyspark.sql import Window
 
-    if assigned is None:
-        assigned = ivf_assign(emb, n_cells=n_cells, scale=scale, centroids=centroids)
     v = quantize(F.col("embedding"), scale)
     base = emb.select("vec_id", v.alias("v"))
     cents = (
@@ -522,6 +520,11 @@ def knn_join(
         if centroids is not None
         else base.filter(F.col("vec_id") < n_cells).collect()
     )
+    if assigned is None:
+        # pass the centroid rows through: ivf_assign would otherwise run
+        # the identical bounded collect a second time (one pushdown job
+        # per plan construction)
+        assigned = ivf_assign(emb, n_cells=n_cells, scale=scale, centroids=cents)
     # same injectivity requirement as ivf_assign — and it must hold even
     # when a pre-built `assigned` skips that path, because the probe's
     # ord sort uses the identical tie-break
