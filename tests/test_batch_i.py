@@ -151,3 +151,42 @@ def test_hrw_single_shard_and_validation(spark):
     assert len(one) == 1 and one[0]["shard"] == 0
     with pytest.raises(ValueError):
         hrw_shard(F.lit("x"), 0)
+
+
+def test_setsim_prefix_path_wide_vocab_equals_brute_force(spark):
+    """A > 63-token vocabulary skips the bitmask fast path, so this pins
+    the prefix-filter plan (the at-scale branch) to the same brute-force
+    ground truth the small-universe tests pin the bitmask branch to."""
+    import random
+
+    from logzoom_spark.ops.setsim import setsim_join
+
+    rng = random.Random(11)
+    vocab = [f"tok{i:03d}" for i in range(80)]
+    rows = []
+    for i in range(60):
+        base = rng.sample(vocab, 12)
+        rows.append((2 * i, " ".join(base)))
+        near = list(base)
+        near[rng.randrange(len(near))] = rng.choice(vocab)  # 1-token edit
+        rows.append((2 * i + 1, " ".join(near)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def brute(threshold_bp):
+        sets = {i: {t for t in txt.lower().split() if t} for i, txt in rows}
+        out = {}
+        ids = sorted(sets)
+        for x, a in enumerate(ids):
+            for b in ids[x + 1:]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and 10000 * inter >= threshold_bp * union:
+                    out[(a, b)] = (inter, union)
+        return out
+
+    for t in (6000, 8000):
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["inter_tokens"], r["union_tokens"])
+            for r in setsim_join(docs, threshold_bp=t).collect()
+        }
+        assert got == brute(t), f"threshold {t}"

@@ -4221,3 +4221,25 @@ def test_daily_dup_rate_curve(spark):
     assert out[d0].dup_bp == 5000
     assert out[d0 + 1].n_rows == 2 and out[d0 + 1].n_unique == 2
     assert out[d0 + 1].dup_bp == 0
+
+
+def test_bpe_distributed_loop_matches_driver_fast_path(spark):
+    """driver_max_vocab=0 forces the distributed round loop; its merges
+    and final segmentation must equal the bounded-vocabulary driver fast
+    path (the default here) on the same corpus."""
+    from logzoom_spark.ops.bpe import bpe_learn
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low aaaa aaaa",
+        "banana bandana banana",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    m_fast, v_fast = bpe_learn(docs, n_merges=8)
+    m_loop, v_loop = bpe_learn(docs, n_merges=8, driver_max_vocab=0)
+    assert m_fast == m_loop
+    fast = {r.word: (r.cnt, list(r.syms)) for r in v_fast.collect()}
+    loop = {r.word: (r.cnt, list(r.syms)) for r in v_loop.collect()}
+    assert fast == loop
