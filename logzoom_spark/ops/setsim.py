@@ -54,7 +54,7 @@ def _setsim_bitmask(
     bitmask; identical masks group; the pair join runs over distinct
     (mask, sz) rows under a broadcast with exact bit_count arithmetic and
     expands to member pairs. Returns None when the distinct-mask head
-    exceeds 16384 (the O(M²) mask join bound) — caller falls through to
+    exceeds 65536 (the O(M²) mask join bound) — caller falls through to
     the prefix-filter plan."""
     spark = toks.sparkSession
     bits = {
@@ -77,8 +77,8 @@ def _setsim_bitmask(
         .localCheckpoint(eager=False)
     )
     masks = dm.groupBy("mask", "sz").agg(F.count(F.lit(1)).alias("n"))
-    mhead = masks.head(16385)
-    if len(mhead) > 16384:
+    mhead = masks.head(65537)
+    if len(mhead) > 65536:
         return None
     mrows = spark.createDataFrame(mhead, "mask bigint, sz bigint, n bigint")
     a, b = mrows.alias("a"), mrows.alias("b")
@@ -179,7 +179,7 @@ def setsim_join(
     # codegen bit_count arithmetic (inter = popcount(a&b), union =
     # sz_a + sz_b − inter), then expands back to member pairs. The probe
     # is data-adaptive (vocabulary head, then a distinct-mask head capped
-    # at 16384 so the O(M²) mask join stays bounded) and falls through to
+    # at 65536 so the O(M²) mask join stays bounded) and falls through to
     # the prefix-filter plan otherwise; the vocabulary aggregate is
     # lazily checkpointed so both paths reuse it. Identical output by
     # construction: Jaccard depends only on the two sets.
